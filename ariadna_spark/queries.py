@@ -1,0 +1,735 @@
+"""Driver-contract query registry (SURVEY.md §5.5).
+
+Each entry pairs a Spark implementation (callable (spark, sf_dir) ->
+DataFrame) with an equivalent DuckDB oracle SQL string over the
+pre-registered views (documents, embeddings, lineitem, orders, customer,
+events, ...). Column names and rounding are aligned on both sides because
+the driver compares order-insensitive value hashes.
+
+The registry covers SURVEY.md §2 groups:
+  B (filters/projections/scalar fns), C (agg/dedup/sort/set),
+  D (joins), E (the delegated fulltext surface: tokenize, stats, df/idf,
+  BM25 top-k, edge-ngram prefix, posting intersection), plus the
+  training-data-pipeline operators (dedup, minhash, jaccard, text quality,
+  fingerprints, embedding similarity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analyze import duckdb_tokenize_sql, edge_ngrams_expr, tokenize_py
+from .corpus import load_docs
+from .functions.bm25 import bm25_expr, duckdb_bm25_sql, idf_expr
+from .operators.topk import bm25_topk_from_stats
+from .stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs
+
+# The reference query set (FIXTURES.md §3): single term, multi-term,
+# camelCase (code-aware analysis), stop-word-heavy, absent term.
+REFERENCE_QUERIES: list[tuple[int, str, int]] = [
+    (1, "merge join", 5),
+    (2, "window scan", 5),
+    (3, "the", 5),
+    (4, "mergeJoin sortTable", 5),
+    (5, "spark stream batch", 5),
+    (6, "zzznotaterm", 5),
+]
+
+FLAGSHIP_QUERY = "merge join sort stream"
+FLAGSHIP_K = 10
+
+_TOK = duckdb_tokenize_sql("text")
+
+# Shared DuckDB CTE prelude: tokenize -> tf -> dl -> stats -> df
+_SQL_PRELUDE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, avg(doc_len) AS avgdl FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+"""
+
+
+def _docs_tf(spark: SparkSession, sf_dir: str):
+    docs = load_docs(spark, sf_dir)
+    tf = term_freqs(docs, use_udf=True)
+    return docs, tf
+
+
+# ---------------------------------------------------------------------------
+# E: fulltext surface
+# ---------------------------------------------------------------------------
+def q_term_counts(spark, sf_dir) -> DataFrame:
+    """E1/C1: global term counts, top 100 (count desc, term asc)."""
+    _, tf = _docs_tf(spark, sf_dir)
+    return (
+        tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("n_occ"), F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_occ"), F.asc("term"))
+        .limit(100)
+    )
+
+
+SQL_TERM_COUNTS = (
+    _SQL_PRELUDE
+    + """
+SELECT term, CAST(sum(tf) AS BIGINT) AS n_occ, CAST(count(*) AS BIGINT) AS n_docs
+FROM tf GROUP BY term ORDER BY n_occ DESC, term ASC LIMIT 100
+"""
+)
+
+
+def q_doc_stats(spark, sf_dir) -> DataFrame:
+    """Per-doc length (the dl side of BM25)."""
+    _, tf = _docs_tf(spark, sf_dir)
+    return doc_lengths(tf).select("doc_id", "doc_len")
+
+
+SQL_DOC_STATS = _SQL_PRELUDE + "SELECT doc_id, doc_len FROM dl"
+
+
+def q_corpus_stats(spark, sf_dir) -> DataFrame:
+    """N, avgdl, total tokens, vocabulary size — the corpus scalars."""
+    _, tf = _docs_tf(spark, sf_dir)
+    dl = doc_lengths(tf)
+    return dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("doc_len"), 4).alias("avgdl_r"),
+        F.sum("doc_len").cast("long").alias("total_tokens"),
+    ).crossJoin(tf.agg(F.countDistinct("term").cast("long").alias("vocab")))
+
+
+SQL_CORPUS_STATS = (
+    _SQL_PRELUDE
+    + """
+SELECT (SELECT n FROM stats) AS n_docs,
+       round((SELECT avgdl FROM stats), 4) AS avgdl_r,
+       (SELECT CAST(sum(doc_len) AS BIGINT) FROM dl) AS total_tokens,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tf) AS vocab
+"""
+)
+
+
+def q_doc_freq_idf(spark, sf_dir) -> DataFrame:
+    """df + BM25 idf per term, top 200 by df."""
+    _, tf = _docs_tf(spark, sf_dir)
+    dl = doc_lengths(tf)
+    n_docs, _ = corpus_scalars(dl)
+    return (
+        doc_freqs(tf)
+        .select("term", "df", F.round(idf_expr(F.col("df"), n_docs), 6).alias("idf_r"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(200)
+    )
+
+
+SQL_DOC_FREQ_IDF = (
+    _SQL_PRELUDE
+    + """
+SELECT term, df,
+       round(ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5)), 6) AS idf_r
+FROM dfreq ORDER BY df DESC, term ASC LIMIT 200
+"""
+)
+
+
+def _bm25_sql(terms: list[str], k: int, extra_select: str = "") -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+)
+SELECT {extra_select}doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+    )
+
+
+def q_bm25_flagship(spark, sf_dir) -> DataFrame:
+    """E5/E6: top-k BM25 for the flagship query (brute-force oracle path)."""
+    docs, tf = _docs_tf(spark, sf_dir)
+    tf.persist()
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    n_docs, avgdl = corpus_scalars(dl)
+    terms = tokenize_py(FLAGSHIP_QUERY)
+    out = bm25_topk_from_stats(tf, dfreq, dl, n_docs, avgdl, terms, FLAGSHIP_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_BM25_FLAGSHIP = _bm25_sql(tokenize_py(FLAGSHIP_QUERY), FLAGSHIP_K)
+
+
+def q_bm25_queryset(spark, sf_dir) -> DataFrame:
+    """E5: the whole reference query set, top-k each, rank column included."""
+    docs, tf = _docs_tf(spark, sf_dir)
+    tf.persist()
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    n_docs, avgdl = corpus_scalars(dl)
+    parts = []
+    for qid, qtext, k in REFERENCE_QUERIES:
+        terms = tokenize_py(qtext)
+        r = bm25_topk_from_stats(tf, dfreq, dl, n_docs, avgdl, terms, k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        r = r.withColumn("rank", F.row_number().over(w)).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "rank",
+            "doc_id",
+            F.round("score", 4).alias("score_r"),
+        )
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_bm25_queryset() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    selects = []
+    for qid, qtext, k in REFERENCE_QUERIES:
+        terms = sorted(set(tokenize_py(qtext)))
+        if not terms:
+            continue
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        selects.append(
+            f"""
+(SELECT CAST({qid} AS BIGINT) AS query_id,
+        CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+        doc_id, round(s, 4) AS score_r
+ FROM (SELECT tf.doc_id, sum({score}) AS s
+       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)
+ ORDER BY s DESC, doc_id ASC LIMIT {k})"""
+        )
+    return _SQL_PRELUDE + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_BM25_QUERYSET = _sql_bm25_queryset()
+
+
+def q_prefix_search(spark, sf_dir) -> DataFrame:
+    """E1 edge-ngram fallback: terms matching prefix 'sc' with their df,
+    found through the ngram expansion (not startswith) on the Spark side."""
+    _, tf = _docs_tf(spark, sf_dir)
+    dfreq = doc_freqs(tf)
+    ng = dfreq.select("term", "df", F.explode(edge_ngrams_expr("term")).alias("ng"))
+    return (
+        ng.filter(F.col("ng") == "sc")
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+SQL_PREFIX_SEARCH = (
+    _SQL_PRELUDE
+    + """
+SELECT term, df FROM dfreq WHERE term LIKE 'sc%' AND length(term) >= 2
+ORDER BY df DESC, term ASC
+"""
+)
+
+
+def q_posting_intersection(spark, sf_dir) -> DataFrame:
+    """C4 analog (ariadna crossroads: >=2 posting lists share a node,
+    /root/reference/osm/xroads.go:33-43): docs containing ALL of
+    {merge, join, window}."""
+    _, tf = _docs_tf(spark, sf_dir)
+    terms = ["merge", "join", "window"]
+    return (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .filter(F.col("nt") == len(terms))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_POSTING_INTERSECTION = (
+    _SQL_PRELUDE
+    + """
+SELECT doc_id FROM tf WHERE term IN ('merge','join','window')
+GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup by content hash (scalar summary)."""
+    docs = load_docs(spark, sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.countDistinct("content_sha").cast("long").alias("n_distinct"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+_MINHASH_SEEDS = list(range(8))
+_MINHASH_CAP = 300
+
+
+def q_minhash_signatures(spark, sf_dir) -> DataFrame:
+    """MinHash signatures over unigram token sets (doc_id < cap).
+
+    Deterministic cross-engine hash family: h_i(t) = sha256(i || '|' || t),
+    minimum taken lexicographically over the doc's distinct terms.
+    """
+    _, tf = _docs_tf(spark, sf_dir)
+    aggs = [
+        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("term")), 256)).alias(f"mh{i}")
+        for i in _MINHASH_SEEDS
+    ]
+    return tf.filter(F.col("doc_id") < _MINHASH_CAP).groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+SQL_MINHASH_SIGNATURES = (
+    _SQL_PRELUDE
+    + "SELECT doc_id, "
+    + ", ".join(
+        f"min(sha256('{i}' || '|' || term)) AS mh{i}" for i in _MINHASH_SEEDS
+    )
+    + f" FROM tf WHERE doc_id < {_MINHASH_CAP} GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+_JACC_CAP = 150
+_JACC_T = 0.7
+
+
+def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """Exact n-gram (unigram) Jaccard near-dup pairs among doc_id < cap."""
+    _, tf = _docs_tf(spark, sf_dir)
+    t = tf.filter(F.col("doc_id") < _JACC_CAP).select("doc_id", "term")
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    j = (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .withColumn("jacc", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jacc") >= _JACC_T)
+        .select("da", "db", F.round("jacc", 4).alias("jacc_r"))
+        .orderBy("da", "db")
+    )
+    return j
+
+
+SQL_JACCARD_PAIRS = (
+    _SQL_PRELUDE
+    + f"""
+, t AS (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < {_JACC_CAP}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jacc_r
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACC_T}
+ORDER BY da, db
+"""
+)
+
+
+_STOPWORDS = ["the", "a", "of", "and", "if", "import"]
+
+
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    """Quality scoring: token counts, avg token length, digit/stopword ratios."""
+    docs = load_docs(spark, sf_dir)
+    from .analyze import tokenize_udf
+
+    # docs with zero tokens are absent on both sides (explode drops them)
+    toks = docs.select("doc_id", F.explode(tokenize_udf(F.col("content"))).alias("term"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("term").cast("long").alias("n_distinct"),
+            F.round(F.avg(F.length("term")), 4).alias("avg_tok_len"),
+            F.round(
+                F.sum(F.when(F.col("term").rlike("^[0-9]+$"), 1).otherwise(0)) / F.count(F.lit(1)),
+                4,
+            ).alias("digit_ratio"),
+            F.round(
+                F.sum(F.when(F.col("term").isin(_STOPWORDS), 1).otherwise(0)) / F.count(F.lit(1)),
+                4,
+            ).alias("stop_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_QUALITY = (
+    _SQL_PRELUDE
+    + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,
+       round(avg(length(term)), 4) AS avg_tok_len,
+       round(sum(CASE WHEN regexp_matches(term, '^[0-9]+$') THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS digit_ratio,
+       round(sum(CASE WHEN term IN ({', '.join(repr(s) for s in _STOPWORDS)}) THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS stop_ratio
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    """Document fingerprint: sha256 over the normalized token stream."""
+    docs = load_docs(spark, sf_dir)
+    from .analyze import tokenize_udf
+
+    return docs.select(
+        "doc_id",
+        F.sha2(F.concat_ws(" ", tokenize_udf(F.col("content"))), 256).alias("fp"),
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_profile(spark, sf_dir) -> DataFrame:
+    """Per-language corpus profile (language-ID downstream consumer shape)."""
+    docs = load_docs(spark, sf_dir)
+    from .analyze import tokenize_udf
+
+    return (
+        docs.select("lang", F.size(tokenize_udf(F.col("content"))).alias("nt"), F.length("content").alias("nc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+            F.round(F.avg("nc"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LANG_PROFILE = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+_EMB_K = 20
+
+
+def q_embedding_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 embedding (similarity
+    search baseline; JVM-side via zip_with/aggregate, no UDF)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", (dot / (nv * nq)).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_EMB_K)
+        .select("vec_id", F.round("cos", 4).alias("cos_r"))
+    )
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+)
+SELECT vec_id, round(cos, 4) AS cos_r FROM s ORDER BY cos DESC, vec_id ASC LIMIT {_EMB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# B/C/D analogs on the relational tables
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    """C5/C7 analog (TPC-H Q1 shape): grouped aggregates with map-side
+    partial aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_semi_join_filter(spark, sf_dir) -> DataFrame:
+    """B1 analog (dictionary semi-join filter,
+    /root/reference/osm/handler/handler.go:94-103): customers with >=1
+    order, counted per nation."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(), "c_custkey", "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_SEMI_JOIN_FILTER = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_join_enrich(spark, sf_dir) -> DataFrame:
+    """D1/D3 analog (hash-lookup enrichment join,
+    /root/reference/osm/xroads.go:38-40): revenue per market segment via
+    lineitem -> orders -> customer, dims broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_having_groups(spark, sf_dir) -> DataFrame:
+    """C4 analog (HAVING over collect_set cardinality): users with >= 3
+    distinct event types."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id")
+        .agg(F.countDistinct("event_type").cast("long").alias("n_types"))
+        .filter(F.col("n_types") >= 3)
+        .orderBy("user_id")
+    )
+
+
+SQL_HAVING_GROUPS = """
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id HAVING count(DISTINCT event_type) >= 3 ORDER BY user_id
+"""
+
+
+def q_dedup_sort_concat(spark, sf_dir) -> DataFrame:
+    """C2+C3+B9 analog (ariadna's uniqString + sort + join-with-space,
+    /root/reference/osm/xroads.go:33-51): per user, sorted distinct event
+    types concatenated."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("user_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_set("event_type"))).alias("types"))
+        .orderBy("user_id")
+    )
+
+
+SQL_DEDUP_SORT_CONCAT = """
+SELECT user_id, array_to_string(list_sort(list_distinct(list(event_type))), ' ') AS types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_union_fanout(spark, sf_dir) -> DataFrame:
+    """C6 analog (3 concurrent sub-pipelines into one sink,
+    /root/reference/osm/osm.go:84-86): three filtered projections unioned,
+    counted per source tag."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.filter(F.col("value") > 50).select(F.lit("hot").alias("src"), "event_id")
+    b = e.filter(F.col("event_type") == "click").select(F.lit("clicks").alias("src"), "event_id")
+    c = e.filter(F.col("user_id") % 10 == 0).select(F.lit("decile").alias("src"), "event_id")
+    return (
+        a.unionByName(b).unionByName(c)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("src")
+    )
+
+
+SQL_UNION_FANOUT = """
+SELECT src, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT 'hot' AS src, event_id FROM events WHERE value > 50
+  UNION ALL SELECT 'clicks', event_id FROM events WHERE event_type = 'click'
+  UNION ALL SELECT 'decile', event_id FROM events WHERE user_id % 10 = 0
+) GROUP BY src ORDER BY src
+"""
+
+
+def q_prefix_norm(spark, sf_dir) -> DataFrame:
+    """B5 analog (street-prefix dictionary rewrite,
+    /root/reference/osm/utils.go:42-59): extract a leading dictionary token
+    into its own column, keep the remainder length."""
+    docs = load_docs(spark, sf_dir)
+    pat = "^(the|a|spark) "
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_extract("content", pat, 1).alias("prefix"),
+            F.length(F.regexp_replace("content", pat, "")).alias("rest_len"),
+        )
+        .filter(F.col("prefix") != "")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PREFIX_NORM = """
+SELECT doc_id, regexp_extract(text, '^(the|a|spark) ', 1) AS prefix,
+       CAST(length(regexp_replace(text, '^(the|a|spark) ', '')) AS INT) AS rest_len
+FROM documents WHERE regexp_extract(text, '^(the|a|spark) ', 1) <> '' ORDER BY doc_id
+"""
+
+
+def q_window_rank(spark, sf_dir) -> DataFrame:
+    """Window function: top-balance customer per nation."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("bal_r"))
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal_r FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn = 1 ORDER BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "term_counts": q_term_counts,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "doc_freq_idf": q_doc_freq_idf,
+    "bm25_flagship": q_bm25_flagship,
+    "bm25_queryset": q_bm25_queryset,
+    "prefix_search": q_prefix_search,
+    "posting_intersection": q_posting_intersection,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "jaccard_pairs": q_jaccard_pairs,
+    "text_quality": q_text_quality,
+    "fingerprint": q_fingerprint,
+    "lang_profile": q_lang_profile,
+    "embedding_topk": q_embedding_topk,
+    "pricing_summary": q_pricing_summary,
+    "semi_join_filter": q_semi_join_filter,
+    "join_enrich": q_join_enrich,
+    "having_groups": q_having_groups,
+    "dedup_sort_concat": q_dedup_sort_concat,
+    "union_fanout": q_union_fanout,
+    "prefix_norm": q_prefix_norm,
+    "window_rank": q_window_rank,
+}
+
+ORACLES: dict[str, str] = {
+    "term_counts": SQL_TERM_COUNTS,
+    "doc_stats": SQL_DOC_STATS,
+    "corpus_stats": SQL_CORPUS_STATS,
+    "doc_freq_idf": SQL_DOC_FREQ_IDF,
+    "bm25_flagship": SQL_BM25_FLAGSHIP,
+    "bm25_queryset": SQL_BM25_QUERYSET,
+    "prefix_search": SQL_PREFIX_SEARCH,
+    "posting_intersection": SQL_POSTING_INTERSECTION,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "fingerprint": SQL_FINGERPRINT,
+    "lang_profile": SQL_LANG_PROFILE,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "semi_join_filter": SQL_SEMI_JOIN_FILTER,
+    "join_enrich": SQL_JOIN_ENRICH,
+    "having_groups": SQL_HAVING_GROUPS,
+    "dedup_sort_concat": SQL_DEDUP_SORT_CONCAT,
+    "union_fanout": SQL_UNION_FANOUT,
+    "prefix_norm": SQL_PREFIX_NORM,
+    "window_rank": SQL_WINDOW_RANK,
+}
