@@ -1,0 +1,230 @@
+"""Distributed top-k BM25 over compressed segments with block-max pruning
+(SURVEY.md E5/E6, M6).
+
+Query lifecycle (the native replacement for ariadna's delegated ES match
+query, /root/reference/osm/osm.go:181, /root/reference/elastic contract):
+
+ 1. analyze the query with the SAME analyzer as the index (symmetric
+    analyzer discipline),
+ 2. prune segment *buckets* driver-side (crc32(term) % n_buckets — only
+    directories that can contain a query term are listed at all),
+ 3. scan those buckets with a pushed-down `term IN (...)` filter
+    (parquet row-group pruning on the sorted term column),
+ 4. partition the matched blocks by doc_id range (each block is assigned
+    to every range it overlaps; decoded ids are masked to the range so a
+    doc is scored exactly once),
+ 5. inside each range partition, an Arrow kernel runs *stride-level
+    block-max WAND*: strides are scored in descending upper-bound order
+    (UB = sum over terms of the max block_max_score overlapping the
+    stride) and the kernel stops as soon as UB <= current local top-k
+    threshold theta — blocks in never-visited strides are never decoded,
+ 6. per-range top-k rows are merged globally by
+    orderBy(score desc, doc_id asc).limit(k) — a TakeOrdered merge of
+    tiny per-partition heaps, not a full sort.
+
+Scale notes: nothing per-doc ever reaches the driver; the only data
+movement is (matched blocks -> range shuffle) and (k rows per range ->
+driver). Threshold sharing across ranges is intentionally not done (it
+would serialize partitions); each range prunes locally, which is the
+standard distributed BMW trade-off.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import B, K1
+from .._pickle import register_by_value
+from ..analyze import tokenize_py
+from ..functions import varint as _varint
+
+RANGE_SIZE_DEFAULT = 8192  # doc_ids per WAND partition at test scale
+STRIDE = 1024  # doc_ids per pruning stride inside a range
+
+WAND_OUT_SCHEMA = "doc_id long, score double"
+
+
+def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def wand_kernel(
+    pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    range_size: int,
+    stride: int = STRIDE,
+    prune_stats: dict | None = None,
+) -> pd.DataFrame:
+    """Blocks of all query terms for ONE doc_id range -> local top-k.
+
+    Vectorized: per-stride upper bounds come from block metadata only;
+    blocks are decoded lazily, at most once, and only when their stride is
+    actually visited.
+    """
+    rid = int(pdf["rid"].iloc[0])
+    lo, hi = rid * range_size, (rid + 1) * range_size
+    n_strides = (range_size + stride - 1) // stride
+
+    # Stride upper bounds from metadata alone (no decode): for each term,
+    # a stride's bound is the max block_max_score of blocks overlapping it.
+    terms = pdf["term"].unique()
+    ub = np.zeros(n_strides, dtype=np.float64)
+    fd = pdf["first_doc_id"].to_numpy()
+    ld = pdf["last_doc_id"].to_numpy()
+    bms = pdf["block_max_score"].to_numpy()
+    s_lo = np.maximum((fd - lo) // stride, 0)
+    s_hi = np.minimum((ld - lo) // stride, n_strides - 1)
+    for t in terms:
+        tmask = (pdf["term"] == t).to_numpy()
+        term_ub = np.zeros(n_strides, dtype=np.float64)
+        for i in np.flatnonzero(tmask):
+            a, b_ = int(s_lo[i]), int(s_hi[i])
+            if b_ < 0 or a >= n_strides:
+                continue
+            seg = term_ub[a : b_ + 1]
+            np.maximum(seg, bms[i], out=seg)
+        ub += term_ub
+
+    order = np.argsort(-ub, kind="stable")
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # row idx -> (ids, scores)
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    theta = 0.0
+    n_decoded = 0
+
+    idf_by_term = {}
+    for t in terms:
+        df_t = int(pdf.loc[pdf["term"] == t, "df"].iloc[0])
+        idf_by_term[t] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+
+    row_term = pdf["term"].to_numpy()
+
+    for si in order:
+        if ub[si] <= 0.0:
+            break
+        # Strict <: a stride with ub == theta could still hold a doc tying
+        # the k-th score but winning the doc_id tie-break (rank-identity).
+        if len(heap) >= k and ub[si] < theta:
+            break  # block-max pruning: no doc in this stride can enter top-k
+        st_lo, st_hi = lo + si * stride, lo + (si + 1) * stride
+        cand_ids: list[np.ndarray] = []
+        cand_sc: list[np.ndarray] = []
+        overlap = np.flatnonzero((fd < st_hi) & (ld >= st_lo))
+        for i in overlap:
+            if i not in decoded:
+                ids = _varint.delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+                tfs = _varint.varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+                dls = _varint.varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+                sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
+                m = (ids >= lo) & (ids < hi)  # mask to this range partition
+                decoded[i] = (ids[m], sc[m])
+                n_decoded += 1
+            ids, sc = decoded[i]
+            m = (ids >= st_lo) & (ids < st_hi)
+            if m.any():
+                cand_ids.append(ids[m])
+                cand_sc.append(sc[m])
+        if not cand_ids:
+            continue
+        all_ids = np.concatenate(cand_ids)
+        all_sc = np.concatenate(cand_sc)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(uniq.shape, dtype=np.float64)
+        np.add.at(sums, inv, all_sc)
+        for d, s in zip(uniq.tolist(), sums.tolist()):
+            item = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        if len(heap) >= k:
+            theta = heap[0][0]
+
+    if prune_stats is not None:
+        prune_stats["n_blocks_total"] = len(pdf)
+        prune_stats["n_blocks_decoded"] = n_decoded
+    out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(out, columns=["doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+
+
+class IndexReader:
+    """Query-side handle on a published build."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, build_id: str | None = None):
+        from ..sources.segments import SegmentStore, term_bucket_py
+
+        self._term_bucket_py = term_bucket_py
+        self.spark = spark
+        store = SegmentStore(out_dir)
+        self.build_id = build_id or store.live_build()
+        if self.build_id is None:
+            raise FileNotFoundError(f"no live build in {out_dir}")
+        self.bdir = store.build_dir(self.build_id)
+        with open(os.path.join(self.bdir, "stats.json")) as f:
+            self.stats = json.load(f)
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.bdir, "docmap"))
+
+    def _blocks_for_terms(self, terms: list[str]) -> DataFrame | None:
+        n_buckets = self.stats["n_buckets"]
+        buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
+        dirs = [
+            os.path.join(self.bdir, f"bucket={b}")
+            for b in buckets
+            if os.path.exists(os.path.join(self.bdir, f"bucket={b}"))
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).filter(F.col("term").isin(terms))
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
+        terms = sorted(set(tokenize_py(query)))
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not terms:
+            return empty
+        blocks = self._blocks_for_terms(terms)
+        if blocks is None:
+            return empty
+
+        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+
+        # A block overlapping multiple ranges is replicated to each; the
+        # kernel masks decoded ids to its own range, so no double counting.
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+
+        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docmap:
+            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
+
+
+register_by_value(__name__)

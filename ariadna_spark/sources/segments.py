@@ -1,0 +1,215 @@
+"""Segment lifecycle: build, atomic publish, GC, resume (SURVEY.md A5/A6/E3, M5).
+
+The reference publishes an index by creating a timestamped physical ES
+index and atomically re-pointing an alias at it, then deletes the old ones
+(/root/reference/elastic/elastic.go:34-97). Our analog:
+
+    <out>/builds/<build_id>/bucket=<b>/...parquet   physical segments
+    <out>/builds/<build_id>/docmap/                 doc_id -> (repo, path, ...)
+    <out>/builds/<build_id>/stats.json              {N, avgdl, ...}
+    <out>/builds/<build_id>/manifest.json           per-bucket lineage+metrics
+    <out>/MANIFEST                                  atomic pointer (alias)
+
+Resumability (north rule): each term-bucket is an idempotent unit of
+commit — a bucket directory plus a `_bucket_<b>.json` marker with its
+lineage (files, blocks, postings, bytes, wall_ms). A killed build re-run
+with the same build_id skips committed buckets; posting construction is
+deterministic (stable sort, fixed salting), so resume produces a
+byte-identical logical index. The pointer swap via os.replace is atomic on
+POSIX, exactly like the alias swap.
+
+Bucketing: bucket = crc32(term) % n_buckets — crc32 because Spark
+(F.crc32) and plain Python (zlib.crc32) agree, so the query driver can
+prune bucket directories without a JVM round-trip. At query time only the
+buckets of the query's terms are read at all (partition pruning by
+construction), and parquet predicate pushdown on `term` prunes row groups
+within them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import DOCS_COLUMNS
+from ..operators.postings import BLOCK_SIZE, build_postings
+from ..stats import corpus_scalars, doc_lengths, term_freqs
+
+DEFAULT_BUCKETS = 16
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_expr(col, n_buckets: int):
+    return F.pmod(F.crc32(F.col(col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+class SegmentStore:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(os.path.join(out_dir, "builds"), exist_ok=True)
+
+    # -- publish / read pointer (A5 analog: alias swap) --
+    def live_build(self) -> str | None:
+        p = os.path.join(self.out_dir, "MANIFEST")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["build_id"]
+
+    def publish(self, build_id: str) -> None:
+        _atomic_write_json(os.path.join(self.out_dir, "MANIFEST"), {"build_id": build_id})
+
+    # -- GC (A6 analog: delete indices behind the alias) --
+    def gc(self) -> list[str]:
+        live = self.live_build()
+        removed = []
+        broot = os.path.join(self.out_dir, "builds")
+        for b in os.listdir(broot):
+            if b != live:
+                shutil.rmtree(os.path.join(broot, b))
+                removed.append(b)
+        return removed
+
+    def build_dir(self, build_id: str) -> str:
+        return os.path.join(self.out_dir, "builds", build_id)
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    build_id: str = "b0",
+    n_buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    n_salts: int = 16,
+    publish: bool = True,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Full index build with per-bucket idempotent commits.
+
+    fail_after_buckets: test hook — raise after committing that many
+    buckets in this invocation (simulates a mid-build kill for the resume
+    test, SURVEY.md §5.4).
+    """
+    store = SegmentStore(out_dir)
+    bdir = store.build_dir(build_id)
+    os.makedirs(bdir, exist_ok=True)
+
+    docs = docs.select(*DOCS_COLUMNS)
+    tf = term_freqs(docs, use_udf=True)
+    tf.persist()
+    dl = doc_lengths(tf)
+    n_docs, avgdl = corpus_scalars(dl)
+
+    # docmap (D3-analog dimension table) — written once, idempotently
+    docmap_dir = os.path.join(bdir, "docmap")
+    if not os.path.exists(os.path.join(bdir, "_docmap.json")):
+        t0 = time.monotonic()
+        (
+            docs.join(dl, "doc_id")
+            .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha")
+            .repartition(1 if n_docs < 1_000_000 else 32)
+            .write.mode("overwrite")
+            .parquet(docmap_dir)
+        )
+        _atomic_write_json(
+            os.path.join(bdir, "_docmap.json"),
+            {"docs": n_docs, "wall_ms": int((time.monotonic() - t0) * 1000)},
+        )
+
+    postings = build_postings(
+        tf, n_docs, avgdl, block_size=block_size, n_salts=n_salts
+    ).withColumn("bucket", term_bucket_expr("term", n_buckets))
+    postings.persist()
+
+    committed = 0
+    for b in range(n_buckets):
+        marker = os.path.join(bdir, f"_bucket_{b}.json")
+        if os.path.exists(marker):
+            continue  # resume: already committed
+        t0 = time.monotonic()
+        part = postings.filter(F.col("bucket") == b).drop("bucket")
+        part_dir = os.path.join(bdir, f"bucket={b}")
+        part.write.mode("overwrite").parquet(part_dir)
+        m = part.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
+            F.coalesce(
+                F.sum(
+                    F.length("doc_ids_varint")
+                    + F.length("tfs_varint")
+                    + F.length("dls_varint")
+                ),
+                F.lit(0),
+            ).alias("bytes_compressed"),
+        ).collect()[0]
+        _atomic_write_json(
+            marker,
+            {
+                "bucket": b,
+                "blocks": int(m["blocks"]),
+                "postings": int(m["postings"]),
+                "bytes_compressed": int(m["bytes_compressed"]),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            },
+        )
+        committed += 1
+        if fail_after_buckets is not None and committed >= fail_after_buckets:
+            postings.unpersist()
+            tf.unpersist()
+            raise RuntimeError(f"injected failure after {committed} buckets")
+
+    stats = {
+        "N": n_docs,
+        "avgdl": avgdl,
+        "build_id": build_id,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+    }
+    _atomic_write_json(os.path.join(bdir, "stats.json"), stats)
+
+    partitions = []
+    for b in range(n_buckets):
+        with open(os.path.join(bdir, f"_bucket_{b}.json")) as f:
+            partitions.append(json.load(f))
+    manifest = {
+        "build_id": build_id,
+        "stats": stats,
+        "partitions": partitions,
+        "complete": True,
+        "total_postings": sum(p["postings"] for p in partitions),
+        "total_blocks": sum(p["blocks"] for p in partitions),
+        "total_bytes_compressed": sum(p["bytes_compressed"] for p in partitions),
+    }
+    _atomic_write_json(os.path.join(bdir, "manifest.json"), manifest)
+    if publish:
+        store.publish(build_id)
+    postings.unpersist()
+    tf.unpersist()
+    return manifest
+
+
+def load_manifest(out_dir: str, build_id: str | None = None) -> dict:
+    store = SegmentStore(out_dir)
+    build_id = build_id or store.live_build()
+    if build_id is None:
+        raise FileNotFoundError(f"no live build published under {out_dir}")
+    with open(os.path.join(store.build_dir(build_id), "manifest.json")) as f:
+        return json.load(f)

@@ -1,0 +1,173 @@
+"""M4-M6: compressed postings, segment lifecycle, block-max WAND — built
+index must be rank-identical to the brute-force DataFrame scorer."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ariadna_spark.functions.varint import delta_decode_ids, varint_decode
+from ariadna_spark.operators.postings import build_postings
+from ariadna_spark.operators.topk import bm25_topk
+from ariadna_spark.operators.wand import IndexReader, wand_kernel
+from ariadna_spark.sources.segments import SegmentStore, build_index, load_manifest, term_bucket_py
+from ariadna_spark.stats import corpus_scalars, doc_lengths, term_freqs
+
+QUERIES = ["merge join", "window", "the", "spark stream batch", "mergeJoin sortTable", "zzznot"]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("segments"))
+    build_index(spark, docs, out, build_id="t1", n_buckets=8, n_salts=4)
+    return out
+
+
+def test_manifest_lineage(index_dir):
+    m = load_manifest(index_dir)
+    assert m["complete"] and m["build_id"] == "t1"
+    assert len(m["partitions"]) == 8
+    assert m["total_postings"] > 0 and m["total_bytes_compressed"] > 0
+    for p in m["partitions"]:
+        assert set(p) >= {"bucket", "blocks", "postings", "bytes_compressed", "wall_ms"}
+
+
+def test_postings_invariants(spark, docs, index_dir):
+    """doc_ids strictly increasing per block; sum(tf)==doc_len; df matches."""
+    store = SegmentStore(index_dir)
+    bdir = store.build_dir("t1")
+    blocks = spark.read.parquet(*[f"{bdir}/bucket={b}" for b in range(8)])
+    pdf = blocks.toPandas()
+    # strictly increasing ids within blocks + metadata consistent
+    for _, r in pdf.sample(min(200, len(pdf)), random_state=0).iterrows():
+        ids = delta_decode_ids(r["doc_ids_varint"])
+        tfs = varint_decode(r["tfs_varint"])
+        assert (np.diff(ids) > 0).all() or len(ids) == 1
+        assert ids[0] == r["first_doc_id"] and ids[-1] == r["last_doc_id"]
+        assert len(ids) == r["n_docs"] == len(tfs)
+        assert tfs.max() == r["block_max_tf"]
+    # df per term == total postings per term
+    per_term = pdf.groupby("term").agg(postings=("n_docs", "sum"), df=("df", "first"))
+    assert (per_term["postings"] == per_term["df"]).all()
+    # total postings == distinct (term, doc) pairs
+    tf = term_freqs(docs)
+    assert int(pdf["n_docs"].sum()) == tf.count()
+    # bucket routing matches python-side crc32
+    for t in per_term.index[:20]:
+        b = term_bucket_py(t, 8)
+        assert os.path.exists(f"{bdir}/bucket={b}")
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_rank_identical_to_bruteforce(spark, docs, index_dir, query):
+    k = 10
+    expected = bm25_topk(docs, query, k).collect()
+    reader = IndexReader(spark, index_dir)
+    got = reader.topk(query, k, range_size=128).collect()  # small ranges: many partitions
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expected], query
+    for g, e in zip(got, expected):
+        assert g["score"] == pytest.approx(e["score"], abs=1e-9)
+
+
+def test_wand_with_docmap_join(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    rows = reader.topk("merge join", 5, with_docmap=True).collect()
+    assert len(rows) == 5
+    assert all(r["repo"] and r["path"] for r in rows)
+
+
+def test_wand_kernel_prunes_blocks():
+    """With k=1 and a dominant stride, most blocks must never be decoded."""
+    from ariadna_spark import K1, B  # noqa: F401
+    import math
+
+    n_docs, avgdl = 100_000, 100.0
+    rows = []
+    # one term, 50 blocks of low tf, one block with a huge tf
+    for bi in range(50):
+        ids = np.arange(bi * 1000, bi * 1000 + 128, dtype=np.int64)
+        tfs = np.full(128, 1, dtype=np.uint64)
+        dls = np.full(128, 100, dtype=np.uint64)
+        from ariadna_spark.functions.varint import delta_encode_ids, varint_encode
+
+        tf_for_max = 50 if bi == 7 else 1
+        t = tfs.copy()
+        t[0] = tf_for_max
+        idf = math.log(1.0 + (n_docs - 6400 + 0.5) / (6400 + 0.5))
+        smax = idf * (tf_for_max * 2.2) / (tf_for_max + 1.2 * (0.25 + 0.75))
+        rows.append(
+            {
+                "rid": 0,
+                "term": "x",
+                "df": 6400,
+                "block_id": bi,
+                "n_docs": 128,
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "block_max_tf": tf_for_max,
+                "block_max_score": smax,
+                "doc_ids_varint": delta_encode_ids(ids),
+                "tfs_varint": varint_encode(t),
+                "dls_varint": varint_encode(dls),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    stats = {}
+    out = wand_kernel(pdf, n_docs, avgdl, k=1, range_size=64000, stride=1024, prune_stats=stats)
+    assert len(out) == 1
+    assert out["doc_id"].iloc[0] == 7000  # the high-tf doc
+    assert stats["n_blocks_decoded"] < stats["n_blocks_total"] / 2, stats
+
+
+def test_resume_after_injected_failure(spark, docs, tmp_path):
+    """Kill mid-build, re-run, manifest + query results identical to a
+    clean build (SURVEY.md §5.4)."""
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, docs, out1, build_id="r1", n_buckets=4, fail_after_buckets=2)
+    # partial state: some buckets committed, no manifest, nothing published
+    assert SegmentStore(out1).live_build() is None
+    assert not os.path.exists(os.path.join(out1, "builds/r1/manifest.json"))
+    m1 = build_index(spark, docs, out1, build_id="r1", n_buckets=4)  # resume
+    m2 = build_index(spark, docs, out2, build_id="r1", n_buckets=4)  # clean
+    for key in ("total_postings", "total_blocks", "total_bytes_compressed"):
+        assert m1[key] == m2[key]
+    r1 = IndexReader(spark, out1).topk("merge join", 10).collect()
+    r2 = IndexReader(spark, out2).topk("merge join", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in r1] == [(r["doc_id"], r["score"]) for r in r2]
+
+
+def test_publish_swap_and_gc(spark, docs, tmp_path):
+    out = str(tmp_path / "seg")
+    build_index(spark, docs.limit(50), out, build_id="old", n_buckets=2)
+    build_index(spark, docs, out, build_id="new", n_buckets=2)
+    store = SegmentStore(out)
+    assert store.live_build() == "new"
+    removed = store.gc()
+    assert removed == ["old"]
+    assert os.path.exists(store.build_dir("new"))
+    # reader still works after GC
+    assert IndexReader(spark, out).topk("merge", 3).count() >= 0
+
+
+def test_salting_splits_hot_terms(spark, synth_docs):
+    """Zipf-head terms must produce multiple (term, salt) groups."""
+    tf = term_freqs(synth_docs)
+    dl = doc_lengths(tf)
+    n, avgdl = corpus_scalars(dl)
+    posts = build_postings(tf, n, avgdl, block_size=16, hot_df_threshold=30, n_salts=4)
+    pdf = posts.toPandas()
+    hot = pdf[pdf["df"] > 30]
+    assert not hot.empty
+    # salt is encoded in high bits of block_id
+    salts = (hot["block_id"].to_numpy() >> 32)
+    assert len(np.unique(salts)) > 1, "hot terms were not range-salted"
+    # global order preserved: blocks of a term, sorted by block_id, have
+    # non-overlapping increasing doc ranges
+    for t in hot["term"].unique()[:5]:
+        tb = hot[hot["term"] == t].sort_values("block_id")
+        fd, ld = tb["first_doc_id"].to_numpy(), tb["last_doc_id"].to_numpy()
+        assert (fd[1:] > ld[:-1]).all(), f"blocks of {t} overlap across salts"

@@ -1,0 +1,51 @@
+"""Property tests for the vectorized varint/delta codec (FIXTURES.md §4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ariadna_spark.functions.varint import (
+    delta_decode_ids,
+    delta_encode_ids,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert varint_decode(varint_encode(a)).tolist() == vals
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    sorted_ids = sorted(ids)
+    a = np.array(sorted_ids, dtype=np.int64)
+    assert delta_decode_ids(delta_encode_ids(a)).tolist() == sorted_ids
+
+
+def test_known_encodings():
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_encode(np.array([300], dtype=np.uint64)) == b"\xac\x02"
+    assert varint_encode(np.array([2**64 - 1], dtype=np.uint64)) == b"\xff" * 9 + b"\x01"
+
+
+def test_compression_wins_on_dense_ids():
+    ids = np.arange(0, 100000, 3, dtype=np.int64)  # gaps of 3 -> 1 byte each
+    enc = delta_encode_ids(ids)
+    assert len(enc) < ids.size * 1.1
+    assert (delta_decode_ids(enc) == ids).all()
+
+
+def test_empty_and_monotonicity_guard():
+    assert delta_encode_ids(np.array([], dtype=np.int64)) == b""
+    assert delta_decode_ids(b"").size == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        delta_encode_ids(np.array([5, 5], dtype=np.int64))
