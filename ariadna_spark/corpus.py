@@ -117,3 +117,74 @@ def synth_code_corpus(spark: SparkSession, n: int = 500, seed: int = 42) -> Data
     pdf = _synth_pdf(n, seed)
     df = spark.createDataFrame(pdf)
     return df.select(*DOCS_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Distributed deterministic generator (scaling benchmarks).
+#
+# Counter-based hashing (splitmix64 over (seed, doc_id, position)) instead of
+# stateful RNG: every token is a pure function of its coordinates, so the
+# corpus is byte-identical regardless of partition count or evaluation order
+# — the property the two-parallelism scaling comparison depends on.
+# ---------------------------------------------------------------------------
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _vocab_and_cumw() -> tuple[np.ndarray, np.ndarray]:
+    cold = [f"sym{j}_{'XyZ'[j % 3]}Var" for j in range(_COLD_N)]
+    vocab = np.array(_HOT + _WARM + cold)
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    w = 1.0 / ranks
+    return vocab, np.cumsum(w / w.sum())
+
+
+def synth_code_corpus_distributed(
+    spark: SparkSession, n: int, seed: int = 42, min_len: int = 50, len_spread: int = 350
+) -> DataFrame:
+    """Large deterministic corpus, generated executor-side via mapInPandas."""
+    import pandas as pd  # noqa: F811  (worker-side import)
+
+    def gen(batches):
+        vocab, cumw = _vocab_and_cumw()
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            lens = (min_len + (ids % np.uint64(len_spread))).astype(np.int64)
+            total = int(lens.sum())
+            # flat (doc, pos) coordinate grid -> one hash per token
+            doc_rep = np.repeat(ids, lens)
+            pos = np.arange(total, dtype=np.uint64) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            ).astype(np.uint64)
+            h = _splitmix64(_splitmix64(doc_rep * np.uint64(0x9E3779B1) + np.uint64(seed)) + pos)
+            u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            tok_idx = np.searchsorted(cumw, u, side="left")
+            toks = vocab[np.clip(tok_idx, 0, len(vocab) - 1)]
+            bounds = np.cumsum(lens)[:-1]
+            contents = [" ".join(chunk) for chunk in np.split(toks, bounds)]
+            ids_i = ids.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_i,
+                    "repo": [f"org{i % 97}/proj{i % 31}" for i in ids_i],
+                    "path": [f"src/m{i % 13}/file_{i}.py" for i in ids_i],
+                    "commit": ["0" * 40] * len(ids_i),
+                    "lang": [_LANGS[i % len(_LANGS)] for i in ids_i],
+                    "content": contents,
+                }
+            )
+
+    base = spark.range(n).repartition(max(spark.sparkContext.defaultParallelism * 2, 8))
+    df = base.mapInPandas(
+        gen, "doc_id long, repo string, path string, commit string, lang string, content string"
+    )
+    return df.withColumn("content_sha", F.sha2(F.col("content"), 256)).select(*DOCS_COLUMNS)
+
+
+from ._pickle import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

@@ -15,12 +15,17 @@ import numpy as np
 _MAX_BYTES = 10  # ceil(64 / 7)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """uint64 array -> LEB128 bytes (little-endian 7-bit groups,
-    high bit = continuation)."""
+def varint_encode_ex(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array -> (LEB128 bytes, per-value byte counts).
+
+    The byte counts let a caller slice the buffer at arbitrary value
+    boundaries — the posting builder encodes a whole partition in ONE call
+    and carves per-block buffers by offset, instead of one numpy call per
+    128-value block (which is pure call overhead at millions of blocks).
+    """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # bytes needed per value: 1 + number of 7-bit thresholds crossed
     nb = np.ones(a.shape, dtype=np.int64)
     for j in range(1, _MAX_BYTES):
@@ -36,7 +41,13 @@ def varint_encode(values: np.ndarray) -> bytes:
         vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nb[mask] - 1) > j
         out[pos] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 bytes (little-endian 7-bit groups,
+    high bit = continuation)."""
+    return varint_encode_ex(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

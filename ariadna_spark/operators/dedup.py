@@ -1,0 +1,174 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash + banded LSH (shingle -> minhash -> band ->
+bucket join), SimHash (hamming near-dup), and exact n-gram Jaccard for
+verification of candidates. All hash families are deterministic and
+engine-portable (sha256 / crc32), so results are reproducible across
+partitionings and comparable against SQL oracles.
+
+Scale shape: LSH is the point — candidate generation is a self-join on
+(band_id, band_hash) buckets, never an all-pairs product. The exact
+Jaccard verifier runs only on candidates. At 10^12 docs the band join is a
+shuffle on band_hash with AQE skew splitting; bucket skew (a degenerate
+band value shared by millions of near-identical docs) is bounded by
+`max_bucket` — oversized buckets are dropped with a lineage metric rather
+than exploding the join (those docs are by definition exact-dup-family and
+caught by the exact pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .._pickle import register_by_value
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band with N_MINHASH=16
+
+
+def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Groups of byte-identical docs: (content_sha, n, doc_ids)."""
+    sha = F.sha2(F.col(content_col), 256).alias("content_sha")
+    return (
+        docs.select(sha, "doc_id")
+        .groupBy("content_sha")
+        .agg(F.count(F.lit(1)).alias("n"), F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def keep_first_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Exact dedup keeping the smallest doc_id per identical content."""
+    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy("doc_id")
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signatures(tf: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, term[, ...]) -> (doc_id, mh0..mh{n-1}) over unigram sets.
+
+    h_i(t) = sha256(i || '|' || t), min taken lexicographically — portable
+    to any engine with sha256, which is how the driver oracle checks it.
+    """
+    aggs = [
+        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("term")), 256)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return tf.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket -> candidate pairs (da < db).
+
+    Oversized buckets (> max_bucket docs) are dropped — they are
+    exact-dup families better handled by the exact pass, and they would
+    otherwise quadratically explode the join.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.sha2(F.concat_ws("|", *cols), 256).alias("bhash"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+
+    sized = all_bands.join(
+        all_bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("bn")),
+        ["band", "bhash"],
+    ).filter(F.col("bn") <= max_bucket)
+
+    a = sized.select("band", "bhash", F.col("doc_id").alias("da"))
+    b_ = sized.select("band", "bhash", F.col("doc_id").alias("db"))
+    return (
+        a.join(b_, ["band", "bhash"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    tf: DataFrame, candidates: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact unigram-set Jaccard on candidate pairs only."""
+    t = tf.select("doc_id", "term")
+    sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = t.select(F.col("doc_id").alias("da"), "term")
+    tb = t.select(F.col("doc_id").alias("db"), "term")
+    inter = (
+        candidates.join(ta, "da")
+        .join(tb, ["db", "term"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")), "db")
+        .withColumn("jacc", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jacc") >= threshold)
+        .select("da", "db", "jacc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature; near-dups = small hamming distance.
+# ---------------------------------------------------------------------------
+def simhash_signatures(tf: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) -> (doc_id, simhash: long).
+
+    bit_j(doc) = sign of sum over terms of tf * (+1 if bit_j(xxhash64(term))
+    else -1). Stays entirely in Catalyst expressions: per-term hash once,
+    then 64 conditional sums — JVM-side, no UDF.
+    """
+    h = F.xxhash64("term")
+    aggs = []
+    for j in range(64):
+        bit = (F.shiftrightunsigned(h, j) % 2 == 1).cast("int") * 2 - 1
+        aggs.append(F.sum(bit * F.col("tf")).alias(f"b{j}"))
+    sums = tf.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        # 1<<63 overflows signed long; use the wrapped constant directly
+        weight = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit chunk equality (any of 4 chunks equal ->
+    candidate; guarantees recall for hamming <= 3), verified exactly."""
+    chunks = []
+    for c in range(4):
+        chunk = (F.shiftrightunsigned(F.col("simhash"), c * 16) % (1 << 16)).alias("chunk")
+        chunks.append(sigs.select("doc_id", "simhash", F.lit(c).alias("ci"), chunk))
+    allc = chunks[0]
+    for x in chunks[1:]:
+        allc = allc.unionByName(x)
+    a = allc.select("ci", "chunk", F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = allc.select("ci", "chunk", F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    cand = (
+        a.join(b, ["ci", "chunk"]).filter(F.col("da") < F.col("db")).select("da", "db", "sa", "sb").distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "da", "db", "hamming"
+    )
+
+
+register_by_value(__name__)

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float|double>).
+
+Baseline: brute-force cosine top-k, all JVM-side (zip_with/aggregate — no
+UDF, stays in codegen). Scale path: random-hyperplane LSH bucketing —
+candidate generation inside buckets only, then exact re-scoring of
+candidates; planes are generated counter-deterministically (splitmix64) so
+the index is reproducible across partitionings and rebuilds.
+
+At 10^12 scale: the brute-force path is a full scan per query (fine for
+batch scoring of a query *set* — one scan amortizes over all queries);
+the LSH path turns per-query work into one bucket lookup + a small
+in-bucket scan. IVF (k-means coarse quantizer) is the next step up and
+shares this module's re-scoring machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .._pickle import register_by_value
+
+N_PLANES_DEFAULT = 12
+
+
+def _cos_expr(v: str | F.Column, q: list[float]) -> F.Column:
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    v = F.col(v) if isinstance(v, str) else v
+    dot = F.aggregate(F.zip_with(v, qlit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nq = float(np.sqrt(np.dot(q, q)))
+    return dot / (nv * F.lit(nq))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force exact cosine top-k. orderBy+limit compiles to
+    TakeOrdered (per-partition heaps), not a full sort."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        e.select("vec_id", _cos_expr("v", query_vec).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic hyperplanes: splitmix64 counter -> uniform -> gauss-ish
+    via sum of 4 uniforms (CLT) — stable, no RNG state."""
+
+    def splitmix(x):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (z ^ (z >> 31)) / 2**64
+
+    out = np.zeros((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            u = sum(splitmix(seed + p * 100003 + d * 7 + i) for i in range(4))
+            out[p, d] = u - 2.0
+    return out
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign pattern over hyperplanes -> integer bucket id (JVM-side)."""
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for p_i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(v, plit, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p_i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_index(
+    emb: DataFrame, n_planes: int = N_PLANES_DEFAULT, n_tables: int = 4,
+    dim: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 1234,
+) -> tuple[DataFrame, list[np.ndarray]]:
+    """Multi-table LSH index: L independent plane sets (standard LSH
+    recall amplification — a true neighbor missed by one table is caught
+    by another). -> ((table, bucket, vec_id, v) rows, [planes per table]).
+
+    Storage is L x the input's id+vector columns; at scale, write
+    partitioned by (table, bucket) so a query reads only probed buckets."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    tables = [_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    parts = [
+        e.select(F.lit(t).alias("table"), lsh_bucket_expr("v", planes).alias("bucket"), "vec_id", "v")
+        for t, planes in enumerate(tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, tables
+
+
+def lsh_topk(
+    indexed: DataFrame, tables: list[np.ndarray], query_vec: list[float], k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Multi-table multi-probe LSH: per table, scan buckets within
+    `probe_hamming` bit flips of the query's bucket; union candidates
+    across tables; exact cosine re-score. Recall knobs = n_tables (at
+    index time) and probe_hamming (at query time)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = None
+    for t, planes in enumerate(tables):
+        qb = 0
+        for p_i, plane in enumerate(planes):
+            if float(np.dot(plane, q)) > 0:
+                qb |= 1 << p_i
+        buckets = [qb]
+        n = len(planes)
+        if probe_hamming >= 1:
+            buckets += [qb ^ (1 << i) for i in range(n)]
+        if probe_hamming >= 2:
+            buckets += [qb ^ (1 << i) ^ (1 << j) for i in range(n) for j in range(i + 1, n)]
+        c = (F.col("table") == t) & F.col("bucket").isin(buckets)
+        cond = c if cond is None else (cond | c)
+    cand = indexed.filter(cond).select("vec_id", "v").dropDuplicates(["vec_id"])
+    return (
+        cand.select("vec_id", _cos_expr("v", query_vec).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+register_by_value(__name__)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from .. import B, K1
 from .._pickle import register_by_value
 from ..analyze import tokenize_py
-from ..functions import varint as _varint
+from ..functions.varint import delta_decode_ids, varint_decode
 
 RANGE_SIZE_DEFAULT = 8192  # doc_ids per WAND partition at test scale
 STRIDE = 1024  # doc_ids per pruning stride inside a range
@@ -57,7 +57,7 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
 
 def wand_kernel(
     pdf: pd.DataFrame,
-    n_docs: int,
+    idf_by_term: dict[str, float],
     avgdl: float,
     k: int,
     range_size: int,
@@ -80,7 +80,8 @@ def wand_kernel(
     ub = np.zeros(n_strides, dtype=np.float64)
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
-    bms = pdf["block_max_score"].to_numpy()
+    # block max score = idf(term) * stored idf-free tfnorm max
+    bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy()
     s_lo = np.maximum((fd - lo) // stride, 0)
     s_hi = np.minimum((ld - lo) // stride, n_strides - 1)
     for t in terms:
@@ -100,11 +101,6 @@ def wand_kernel(
     theta = 0.0
     n_decoded = 0
 
-    idf_by_term = {}
-    for t in terms:
-        df_t = int(pdf.loc[pdf["term"] == t, "df"].iloc[0])
-        idf_by_term[t] = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
-
     row_term = pdf["term"].to_numpy()
 
     for si in order:
@@ -120,9 +116,9 @@ def wand_kernel(
         overlap = np.flatnonzero((fd < st_hi) & (ld >= st_lo))
         for i in overlap:
             if i not in decoded:
-                ids = _varint.delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-                tfs = _varint.varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
-                dls = _varint.varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+                ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+                tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+                dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
                 sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
                 m = (ids >= lo) & (ids < hi)  # mask to this range partition
                 decoded[i] = (ids[m], sc[m])
@@ -188,6 +184,32 @@ class IndexReader:
             return None
         return self.spark.read.parquet(*dirs).filter(F.col("term").isin(terms))
 
+    def idf_for_terms(self, terms: list[str]) -> dict[str, float]:
+        """df lookups from the bucketed terms table (bucket-pruned dirs +
+        pushed-down term predicate); idf = Lucene BM25 form."""
+        import numpy as np
+
+        n_buckets = self.stats["n_buckets"]
+        n_docs = self.stats["N"]
+        buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
+        dirs = [
+            os.path.join(self.bdir, "terms", f"bucket={b}")
+            for b in buckets
+            if os.path.exists(os.path.join(self.bdir, "terms", f"bucket={b}"))
+        ]
+        if not dirs:
+            return {}
+        rows = (
+            self.spark.read.parquet(*dirs)
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {
+            r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
     def topk(
         self,
         query: str,
@@ -202,8 +224,11 @@ class IndexReader:
         blocks = self._blocks_for_terms(terms)
         if blocks is None:
             return empty
+        idf_by_term = self.idf_for_terms(terms)
+        if not idf_by_term:
+            return empty
 
-        n_docs, avgdl = self.stats["N"], self.stats["avgdl"]
+        avgdl = self.stats["avgdl"]
 
         # A block overlapping multiple ranges is replicated to each; the
         # kernel masks decoded ids to its own range, so no double counting.
@@ -216,7 +241,7 @@ class IndexReader:
         ranged = blocks.select("*", rid)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+            return wand_kernel(pdf, idf_by_term, avgdl, k, range_size)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -10,6 +10,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    for cand in (os.environ.get("SPARK_GRAFT_LOCAL_DIR"), "/dev/shm"):
+        if cand and os.path.isdir(cand):
+            d = os.path.join(cand, "spark-local")
+            try:
+                os.makedirs(d, exist_ok=True)
+                return d
+            except OSError:
+                continue
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "ariadna_spark",
     cores: int | None = None,
@@ -33,9 +45,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Text pipelines are allocation-heavy in the JVM (parquet string
+        # decode, Arrow ferrying); measured: G1 with a small heap anti-scales
+        # past ~8 local cores, throughput-oriented ParallelGC + headroom
+        # restores linearity. On a real cluster this is per-executor sizing.
+        .config("spark.driver.extraJavaOptions", os.environ.get("SPARK_GC_OPTS", "-XX:+UseParallelGC"))
+        # Shuffle spill dir: the sandbox's ext4 virtual disk serializes
+        # under concurrent writers (measured: a 1.5s shuffle takes 19s at 32
+        # threads); tmpfs restores flat behavior. On a real cluster this is
+        # the executors' local NVMe, which is per-node and scales with N.
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

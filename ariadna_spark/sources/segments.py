@@ -39,8 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..corpus import DOCS_COLUMNS
-from ..operators.postings import BLOCK_SIZE, build_postings
-from ..stats import corpus_scalars, doc_lengths, term_freqs
+from ..operators.postings import BLOCK_SIZE, build_postings, hot_terms
+from ..stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs_dl
 
 DEFAULT_BUCKETS = 16
 
@@ -91,6 +91,13 @@ class SegmentStore:
         return os.path.join(self.out_dir, "builds", build_id)
 
 
+def _trace(label: str, t0: float) -> None:
+    if os.environ.get("ARIADNA_TRACE"):
+        import sys as _sys
+
+        print(f"TRACE {label} {time.monotonic() - t0:.1f}s", file=_sys.stderr, flush=True)
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -99,6 +106,7 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     block_size: int = BLOCK_SIZE,
     n_salts: int = 16,
+    bucket_batch: int = 8,
     publish: bool = True,
     fail_after_buckets: int | None = None,
 ) -> dict:
@@ -113,10 +121,49 @@ def build_index(
     os.makedirs(bdir, exist_ok=True)
 
     docs = docs.select(*DOCS_COLUMNS)
-    tf = term_freqs(docs, use_udf=True)
-    tf.persist()
+    # ensure enough input splits that the tokenize kernel uses the whole
+    # cluster even when the source packed into few files (real 100TB inputs
+    # have plenty of splits; this branch only fires on small/test data)
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism * 2)
+    # tf is reused by three downstream passes (scalars, dfreq, postings).
+    # It is checkpointed to parquet on fast local storage instead of the
+    # JVM block-manager cache: tens of millions of cached rows turn into
+    # GC pressure that showed up as random multi-10s pauses; a columnar
+    # file re-read is cheap and keeps the heap small. At cluster scale the
+    # same role is played by a scratch dataset on local NVMe / HDFS.
+    t0 = time.monotonic()
+    scratch = spark.conf.get("spark.local.dir", "/tmp")
+    tf_ckpt = os.path.join(scratch, f"tf_ckpt_{build_id}_{uuid.uuid4().hex[:8]}")
+    term_freqs_dl(docs).write.mode("overwrite").parquet(tf_ckpt)
+    tf = spark.read.parquet(tf_ckpt)
     dl = doc_lengths(tf)
     n_docs, avgdl = corpus_scalars(dl)
+    _trace("tf+scalars", t0)
+
+    # term dictionary (df per term) — bucketed like postings so query-time
+    # idf lookups prune to one bucket dir + pushed-down term predicate
+    t0 = time.monotonic()
+    dfreq = doc_freqs(tf.select("doc_id", "term", "tf")).persist()
+    dfreq.count()
+    _trace("dfreq", t0)
+    terms_dir = os.path.join(bdir, "terms")
+    if not os.path.exists(os.path.join(bdir, "_terms.json")):
+        t0 = time.monotonic()
+        (
+            dfreq.withColumn("bucket", term_bucket_expr("term", n_buckets))
+            .repartition("bucket")
+            .sortWithinPartitions("term")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(terms_dir)
+        )
+        _atomic_write_json(
+            os.path.join(bdir, "_terms.json"),
+            {"wall_ms": int((time.monotonic() - t0) * 1000)},
+        )
+        _trace("terms_write", t0)
 
     # docmap (D3-analog dimension table) — written once, idempotently
     docmap_dir = os.path.join(bdir, "docmap")
@@ -125,7 +172,7 @@ def build_index(
         (
             docs.join(dl, "doc_id")
             .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha")
-            .repartition(1 if n_docs < 1_000_000 else 32)
+            .repartition(max(1, min(n_docs // 250_000 + 1, 64)))
             .write.mode("overwrite")
             .parquet(docmap_dir)
         )
@@ -133,48 +180,81 @@ def build_index(
             os.path.join(bdir, "_docmap.json"),
             {"docs": n_docs, "wall_ms": int((time.monotonic() - t0) * 1000)},
         )
+        _trace("docmap_write", t0)
 
-    postings = build_postings(
-        tf, n_docs, avgdl, block_size=block_size, n_salts=n_salts
-    ).withColumn("bucket", term_bucket_expr("term", n_buckets))
-    postings.persist()
-
+    missing = [
+        b for b in range(n_buckets) if not os.path.exists(os.path.join(bdir, f"_bucket_{b}.json"))
+    ]
     committed = 0
-    for b in range(n_buckets):
-        marker = os.path.join(bdir, f"_bucket_{b}.json")
-        if os.path.exists(marker):
-            continue  # resume: already committed
+    if missing:
         t0 = time.monotonic()
-        part = postings.filter(F.col("bucket") == b).drop("bucket")
-        part_dir = os.path.join(bdir, f"bucket={b}")
-        part.write.mode("overwrite").parquet(part_dir)
-        m = part.agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
-            F.coalesce(
+        hot = hot_terms(dfreq, max(block_size * 4, n_docs // 8))
+        _trace("hot_terms", t0)
+        t0 = time.monotonic()
+        postings = build_postings(
+            tf, n_docs, avgdl, block_size=block_size, hot=hot, n_salts=n_salts
+        ).withColumn("bucket", term_bucket_expr("term", n_buckets))
+        postings.persist()
+
+        # one agg job computes every bucket's lineage metrics
+        metric_rows = (
+            postings.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("n_docs").alias("postings"),
                 F.sum(
                     F.length("doc_ids_varint")
                     + F.length("tfs_varint")
                     + F.length("dls_varint")
-                ),
-                F.lit(0),
-            ).alias("bytes_compressed"),
-        ).collect()[0]
-        _atomic_write_json(
-            marker,
-            {
-                "bucket": b,
-                "blocks": int(m["blocks"]),
-                "postings": int(m["postings"]),
-                "bytes_compressed": int(m["bytes_compressed"]),
-                "wall_ms": int((time.monotonic() - t0) * 1000),
-            },
+                ).alias("bytes_compressed"),
+            )
+            .collect()
         )
-        committed += 1
-        if fail_after_buckets is not None and committed >= fail_after_buckets:
-            postings.unpersist()
-            tf.unpersist()
-            raise RuntimeError(f"injected failure after {committed} buckets")
+        _trace("postings_metrics", t0)
+        metrics = {
+            int(r["bucket"]): {
+                "blocks": int(r["blocks"]),
+                "postings": int(r["postings"]),
+                "bytes_compressed": int(r["bytes_compressed"]),
+            }
+            for r in metric_rows
+        }
+
+        # batched writes: each batch is one partitionBy job into a staging
+        # dir, then per-bucket atomic rename + marker (idempotent commits;
+        # far fewer jobs than one write per bucket)
+        for i in range(0, len(missing), bucket_batch):
+            batch = missing[i : i + bucket_batch]
+            t0 = time.monotonic()
+            staging = os.path.join(bdir, f"_staging_{uuid.uuid4().hex[:8]}")
+            (
+                postings.filter(F.col("bucket").isin(batch))
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            for b in batch:
+                src = os.path.join(staging, f"bucket={b}")
+                dst = os.path.join(bdir, f"bucket={b}")
+                if os.path.exists(src):
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst)
+                    os.rename(src, dst)
+                m = metrics.get(b, {"blocks": 0, "postings": 0, "bytes_compressed": 0})
+                _atomic_write_json(
+                    os.path.join(bdir, f"_bucket_{b}.json"),
+                    {"bucket": b, **m, "wall_ms": wall_ms // len(batch)},
+                )
+                committed += 1
+            shutil.rmtree(staging, ignore_errors=True)
+            _trace(f"batch_{i}", t0)
+            if fail_after_buckets is not None and committed >= fail_after_buckets:
+                postings.unpersist()
+                dfreq.unpersist()
+                shutil.rmtree(tf_ckpt, ignore_errors=True)
+                raise RuntimeError(f"injected failure after {committed} buckets")
+        postings.unpersist()
 
     stats = {
         "N": n_docs,
@@ -201,8 +281,8 @@ def build_index(
     _atomic_write_json(os.path.join(bdir, "manifest.json"), manifest)
     if publish:
         store.publish(build_id)
-    postings.unpersist()
-    tf.unpersist()
+    dfreq.unpersist()
+    shutil.rmtree(tf_ckpt, ignore_errors=True)
     return manifest
 
 

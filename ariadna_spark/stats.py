@@ -17,24 +17,107 @@ counts, not raw tokens.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .analyze import tokenize_expr, tokenize_udf
+from ._pickle import register_by_value
+from .analyze import CAMEL_1, CAMEL_2, NON_ASCII, TOKEN_SPLIT, tokenize_expr
+
+
+def _tf_arrow_kernel(batches, with_dl: bool):
+    """Tokenize AND count per doc inside one pure-Arrow kernel.
+
+    Two scale decisions live here:
+
+    * tf(doc, term) and doc_len are doc-local quantities: computing them
+      via explode + groupBy would shuffle every token occurrence (the
+      largest intermediate in the whole build); here they never leave the
+      input partition. The only build-wide shuffle left is groupBy(term).
+
+    * Pure pyarrow.compute (RE2 regex over contiguous string buffers, C++
+      hash group-by) instead of pandas: python-object string handling is
+      memory-bandwidth-bound and measured ~4x slower AND anti-scales when
+      32 workers share one node's bandwidth. The Arrow kernel's token
+      stream never materializes as python objects at all.
+
+    The regex sequence is the canonical analyzer spec (analyze.py) —
+    identical token streams are asserted against tokenize_py in tests.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pa.set_cpu_count(1)  # one Spark worker per core already; don't oversubscribe
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        doc_ids = tbl["doc_id"].combine_chunks()
+        c = tbl["content"].combine_chunks()
+        c = pc.replace_substring_regex(c, NON_ASCII, " ")
+        c = pc.replace_substring_regex(c, CAMEL_1, r"\1 \2")
+        c = pc.replace_substring_regex(c, CAMEL_2, r"\1 \2")
+        c = pc.utf8_lower(c)
+        toks = pc.split_pattern_regex(c, TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents.filter(keep)
+        grouped = pa.TableGroupBy(pa.table({"pi": parents, "term": flat}), ["pi", "term"]).aggregate(
+            [([], "count_all")]
+        )
+        pi = grouped["pi"].to_numpy(zero_copy_only=False)
+        ids_np = doc_ids.to_numpy(zero_copy_only=False)
+        cols = {
+            "doc_id": pa.array(ids_np[pi], type=pa.int64()),
+            "term": grouped["term"].combine_chunks(),
+            "tf": pc.cast(grouped["count_all"], pa.int32()),
+        }
+        if with_dl:
+            dl = np.bincount(
+                parents.to_numpy(zero_copy_only=False), minlength=rb.num_rows
+            )
+            cols["doc_len"] = pa.array(dl[pi], type=pa.int64())
+        yield from pa.table(cols).to_batches()
 
 
 def term_freqs(docs: DataFrame, use_udf: bool = True) -> DataFrame:
-    """docs -> (doc_id, term, tf). One row per distinct (doc, term)."""
-    tok = tokenize_udf(F.col("content")) if use_udf else tokenize_expr("content")
+    """docs -> (doc_id, term, tf). One row per distinct (doc, term).
+
+    use_udf=True: shuffle-free Arrow kernel via mapInArrow (production).
+    use_udf=False: pure-Catalyst explode + groupBy using the native
+    tokenizer expression — the reference implementation parity tests
+    compare against.
+    """
+    if use_udf:
+        return docs.select("doc_id", "content").mapInArrow(
+            lambda it: _tf_arrow_kernel(it, with_dl=False),
+            "doc_id long, term string, tf int",
+        )
     return (
-        docs.select("doc_id", F.explode(tok).alias("term"))
+        docs.select("doc_id", F.explode(tokenize_expr("content")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     )
 
 
+def term_freqs_dl(docs: DataFrame) -> DataFrame:
+    """docs -> (doc_id, term, tf, doc_len) — doc_len computed in-kernel so
+    the posting builder needs no doc_len side-join."""
+    return docs.select("doc_id", "content").mapInArrow(
+        lambda it: _tf_arrow_kernel(it, with_dl=True),
+        "doc_id long, term string, tf int, doc_len long",
+    )
+
+
 def doc_lengths(tf: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) -> (doc_id, doc_len)."""
+    """(doc_id, [term, tf, ...]) -> (doc_id, doc_len). Uses the in-kernel
+    doc_len when present (tiny grouped max), else sums tf."""
+    if "doc_len" in tf.columns:
+        return tf.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
     return tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
 
 
@@ -50,3 +133,6 @@ def corpus_scalars(dl: DataFrame) -> tuple[int, float]:
         F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
     return int(row["n"]), float(row["avgdl"])
+
+
+register_by_value(__name__)

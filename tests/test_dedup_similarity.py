@@ -1,0 +1,112 @@
+"""Dedup (exact / minhash-LSH / simhash) and embedding similarity
+(brute-force + multi-probe LSH) operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadna_spark.operators.dedup import (
+    exact_dup_groups,
+    jaccard_verify,
+    keep_first_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from ariadna_spark.operators.similarity import cosine_topk, lsh_index, lsh_topk
+from ariadna_spark.stats import term_freqs
+
+SF_DIR = None  # uses fixtures
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Corpus with planted exact and near duplicates."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "pack my box with five dozen liquor jugs"),
+        (2, "sphinx of black quartz judge my vow"),
+    ]
+    rows = []
+    for i, (d, t) in enumerate(base):
+        rows.append((d, t))
+    rows.append((3, base[0][1]))  # exact dup of 0
+    rows.append((4, base[0][1] + " again"))  # near dup of 0
+    rows.append((5, "completely different content about spark dataflow engines"))
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = exact_dup_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 3]
+    kept = keep_first_dedup(dup_docs).select("doc_id").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [0, 1, 2, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    tf = term_freqs(dup_docs)
+    sigs = minhash_signatures(tf)
+    cand = lsh_candidate_pairs(sigs)
+    pairs = {(r["da"], r["db"]) for r in cand.collect()}
+    assert (0, 3) in pairs  # exact dups always collide
+    assert (0, 4) in pairs  # near dup shares most bands
+    verified = jaccard_verify(tf, cand, threshold=0.8).collect()
+    vp = {(r["da"], r["db"]): r["jacc"] for r in verified}
+    assert vp[(0, 3)] == 1.0
+    assert 0.8 <= vp[(0, 4)] < 1.0
+    assert (1, 2) not in vp
+
+
+def test_simhash(spark, dup_docs):
+    tf = term_freqs(dup_docs)
+    sigs = simhash_signatures(tf)
+    s = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert s[0] == s[3]  # identical content -> identical simhash
+    ham04 = bin(s[0] ^ s[4]).count("1")
+    ham05 = bin(s[0] ^ s[5]).count("1")
+    assert ham04 < ham05  # near dup closer than unrelated
+    pairs = {(r["da"], r["db"]): r["hamming"] for r in simhash_near_pairs(sigs, max_hamming=8).collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 0].embedding.iloc[0])
+    vecs = np.array([list(v) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    qn = np.asarray(q)
+    cos = vecs @ qn / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qn))
+    order = sorted(zip(ids, cos), key=lambda t: (-t[1], t[0]))[:10]
+    got = cosine_topk(emb, q, k=10).collect()
+    assert [r["vec_id"] for r in got] == [int(i) for i, _ in order]
+    for r, (_, c) in zip(got, order):
+        # Spark's aggregate() is a left fold, numpy sums pairwise — the
+        # rounding differs at ~1e-8 on 64-dim dot products
+        assert r["cos"] == pytest.approx(float(c), abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb):
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 7].embedding.iloc[0])
+    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4)
+    indexed.persist()
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(indexed, tables, q, k=10, probe_hamming=1).collect()]
+    # multi-table multi-probe LSH: top-1 must be found, recall@10 reasonable
+    assert exact[0] in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+    # determinism: same planes regardless of call order
+    _, tables2 = lsh_index(emb, n_planes=8, n_tables=4)
+    for a, b in zip(tables, tables2):
+        assert np.allclose(a, b)

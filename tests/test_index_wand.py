@@ -36,7 +36,8 @@ def test_manifest_lineage(index_dir):
 
 
 def test_postings_invariants(spark, docs, index_dir):
-    """doc_ids strictly increasing per block; sum(tf)==doc_len; df matches."""
+    """doc_ids strictly increasing per block; terms-table df == posting
+    counts; totals match distinct (term, doc) pairs."""
     store = SegmentStore(index_dir)
     bdir = store.build_dir("t1")
     blocks = spark.read.parquet(*[f"{bdir}/bucket={b}" for b in range(8)])
@@ -49,9 +50,11 @@ def test_postings_invariants(spark, docs, index_dir):
         assert ids[0] == r["first_doc_id"] and ids[-1] == r["last_doc_id"]
         assert len(ids) == r["n_docs"] == len(tfs)
         assert tfs.max() == r["block_max_tf"]
-    # df per term == total postings per term
-    per_term = pdf.groupby("term").agg(postings=("n_docs", "sum"), df=("df", "first"))
-    assert (per_term["postings"] == per_term["df"]).all()
+    # df in the terms table == total postings per term in the blocks
+    terms_pdf = spark.read.parquet(f"{bdir}/terms").toPandas()
+    per_term = pdf.groupby("term").agg(postings=("n_docs", "sum"))
+    merged = per_term.join(terms_pdf.set_index("term")["df"], how="left")
+    assert (merged["postings"] == merged["df"]).all()
     # total postings == distinct (term, doc) pairs
     tf = term_freqs(docs)
     assert int(pdf["n_docs"].sum()) == tf.count()
@@ -81,10 +84,10 @@ def test_wand_with_docmap_join(spark, index_dir):
 
 def test_wand_kernel_prunes_blocks():
     """With k=1 and a dominant stride, most blocks must never be decoded."""
-    from ariadna_spark import K1, B  # noqa: F401
     import math
 
     n_docs, avgdl = 100_000, 100.0
+    idf = math.log(1.0 + (n_docs - 6400 + 0.5) / (6400 + 0.5))
     rows = []
     # one term, 50 blocks of low tf, one block with a huge tf
     for bi in range(50):
@@ -96,19 +99,17 @@ def test_wand_kernel_prunes_blocks():
         tf_for_max = 50 if bi == 7 else 1
         t = tfs.copy()
         t[0] = tf_for_max
-        idf = math.log(1.0 + (n_docs - 6400 + 0.5) / (6400 + 0.5))
-        smax = idf * (tf_for_max * 2.2) / (tf_for_max + 1.2 * (0.25 + 0.75))
+        tfn_max = (tf_for_max * 2.2) / (tf_for_max + 1.2 * (0.25 + 0.75))
         rows.append(
             {
                 "rid": 0,
                 "term": "x",
-                "df": 6400,
                 "block_id": bi,
                 "n_docs": 128,
                 "first_doc_id": int(ids[0]),
                 "last_doc_id": int(ids[-1]),
                 "block_max_tf": tf_for_max,
-                "block_max_score": smax,
+                "block_max_tfnorm": tfn_max,
                 "doc_ids_varint": delta_encode_ids(ids),
                 "tfs_varint": varint_encode(t),
                 "dls_varint": varint_encode(dls),
@@ -116,7 +117,9 @@ def test_wand_kernel_prunes_blocks():
         )
     pdf = pd.DataFrame(rows)
     stats = {}
-    out = wand_kernel(pdf, n_docs, avgdl, k=1, range_size=64000, stride=1024, prune_stats=stats)
+    out = wand_kernel(
+        pdf, {"x": idf}, avgdl, k=1, range_size=64000, stride=1024, prune_stats=stats
+    )
     assert len(out) == 1
     assert out["doc_id"].iloc[0] == 7000  # the high-tf doc
     assert stats["n_blocks_decoded"] < stats["n_blocks_total"] / 2, stats
@@ -155,12 +158,17 @@ def test_publish_swap_and_gc(spark, docs, tmp_path):
 
 def test_salting_splits_hot_terms(spark, synth_docs):
     """Zipf-head terms must produce multiple (term, salt) groups."""
+    from ariadna_spark.stats import doc_freqs
+
     tf = term_freqs(synth_docs)
     dl = doc_lengths(tf)
     n, avgdl = corpus_scalars(dl)
     posts = build_postings(tf, n, avgdl, block_size=16, hot_df_threshold=30, n_salts=4)
     pdf = posts.toPandas()
-    hot = pdf[pdf["df"] > 30]
+    hot_list = [
+        r["term"] for r in doc_freqs(tf).filter("df > 30").collect()
+    ]
+    hot = pdf[pdf["term"].isin(hot_list)]
     assert not hot.empty
     # salt is encoded in high bits of block_id
     salts = (hot["block_id"].to_numpy() >> 32)

@@ -1,0 +1,64 @@
+"""Text-analysis operators: language ID, quality metrics, token counts,
+fingerprints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadna_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_metrics,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "der Hund ist nicht in das Haus und die Katze"),
+        (2, "le chat est dans la maison et les chiens"),
+        (3, "el perro es un animal y la casa es grande en verano"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_language_id(spark, lang_docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(lang_docs).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es"}
+
+
+def test_quality_metrics(spark):
+    docs = spark.createDataFrame(
+        [(0, "the the the 123 456"), (1, "unique tokens only here now")],
+        "doc_id long, content string",
+    )
+    q = {r["doc_id"]: r for r in quality_metrics(docs).collect()}
+    assert q[0]["n_tokens"] == 5 and q[0]["n_distinct"] == 3
+    assert q[0]["digit_ratio"] == pytest.approx(0.4)
+    assert q[0]["stop_ratio"] == pytest.approx(0.6)
+    assert q[1]["uniq_ratio"] == 1.0
+
+
+def test_token_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "fooBar baz_qux 12")], "doc_id long, content string"
+    )
+    r = token_counts(docs).collect()[0]
+    assert r["n_ws_tokens"] == 3
+    assert r["n_code_tokens"] == 5  # foo bar baz qux 12
+    assert r["n_bpe_est"] == 5  # ceil(18/4)
+
+
+def test_fingerprint_normalization_invariance(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mergeSort(arr, lo, hi)"),
+            (1, "merge_sort ARR  lo;;hi"),  # same token stream after analysis
+            (2, "something else"),
+        ],
+        "doc_id long, content string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
