@@ -497,6 +497,209 @@ SELECT vec_id, round(cos, 4) AS cos_r FROM s ORDER BY cos DESC, vec_id ASC LIMIT
 """
 
 
+_LSH_CAP = 300
+_LSH_BANDS = 4
+_LSH_T = 0.7
+
+
+def q_near_dup_lsh(spark, sf_dir) -> DataFrame:
+    """MinHash -> banded LSH candidates -> exact Jaccard verify (the full
+    near-dup pipeline) on doc_id < cap."""
+    from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
+
+    _, tf = _docs_tf(spark, sf_dir)
+    t = tf.filter(F.col("doc_id") < _LSH_CAP)
+    cand = lsh_candidate_pairs(minhash_signatures(t), n_hashes=8, n_bands=_LSH_BANDS)
+    out = jaccard_verify(t, cand, threshold=_LSH_T)
+    return out.select("da", "db", F.round("jacc", 4).alias("jacc_r")).orderBy("da", "db")
+
+
+def _sql_near_dup_lsh() -> str:
+    rows_per_band = 8 // _LSH_BANDS
+    mh = ", ".join(f"min(sha256('{i}' || '|' || term)) AS mh{i}" for i in range(8))
+    band_selects = []
+    for b in range(_LSH_BANDS):
+        cols = " || '|' || ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        band_selects.append(f"SELECT doc_id, {b} AS band, sha256({cols}) AS bhash FROM sigs")
+    return (
+        _SQL_PRELUDE
+        + f"""
+, t AS (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < {_LSH_CAP}),
+sigs AS (SELECT doc_id, {mh} FROM t GROUP BY doc_id),
+bands AS ({' UNION ALL '.join(band_selects)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+inter AS (
+  SELECT da, db, count(*) AS inter
+  FROM cand JOIN t ta ON ta.doc_id = da JOIN t tb ON tb.doc_id = db AND tb.term = ta.term
+  GROUP BY da, db
+)
+SELECT da, db, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jacc_r
+FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_LSH_T}
+ORDER BY da, db
+"""
+    )
+
+
+SQL_NEAR_DUP_LSH = _sql_near_dup_lsh()
+
+
+def q_dedup_keep_first(spark, sf_dir) -> DataFrame:
+    """Exact dedup keeping smallest doc_id per identical content."""
+    from .operators.dedup import keep_first_dedup
+
+    docs = load_docs(spark, sf_dir)
+    return keep_first_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents
+GROUP BY sha256(text) ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """Stopword-profile language ID over the documents corpus."""
+    from .operators.text import language_id
+
+    docs = load_docs(spark, sf_dir)
+    return language_id(docs).orderBy("doc_id")
+
+
+def _sql_lang_id() -> str:
+    from .operators.text import LANG_MARKERS
+
+    per_lang = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        per_lang.append(
+            f"SELECT doc_id, '{lang}' AS l, "
+            f"len(list_filter(toks, x -> x IN ({lst}))) * 1.0 / greatest(len(toks), 1) AS s "
+            f"FROM d"
+        )
+    return f"""
+WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+scores AS ({' UNION ALL '.join(per_lang)}),
+ranked AS (
+  SELECT doc_id, l, s, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, l AS lang_pred, round(s, 4) AS lang_score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    from .operators.text import token_counts
+
+    docs = load_docs(spark, sf_dir)
+    return token_counts(docs).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+       CAST(len({_TOK}) AS INT) AS n_code_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_metrics(spark, sf_dir) -> DataFrame:
+    from .operators.text import quality_metrics
+
+    docs = load_docs(spark, sf_dir)
+    return quality_metrics(docs).orderBy("doc_id")
+
+
+def _sql_quality_metrics() -> str:
+    from .operators.text import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH d AS (SELECT doc_id, text AS c, {_TOK} AS toks FROM documents),
+n AS (SELECT doc_id, c, toks, greatest(len(toks), 1) AS nt FROM d)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / nt, 4) AS avg_tok_len,
+       round(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) * 1.0 / nt, 4) AS digit_ratio,
+       round(len(list_filter(toks, t -> t IN ({stop}))) * 1.0 / nt, 4) AS stop_ratio,
+       round(len(list_distinct(toks)) * 1.0 / nt, 4) AS uniq_ratio,
+       round((length(c) - length(regexp_replace(c, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1.0 / greatest(length(c), 1), 4) AS punct_density
+FROM n ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_METRICS = _sql_quality_metrics()
+
+
+_WAND_CACHE: dict[str, str] = {}
+_WAND_QUERY = "table scan filter group"
+_WAND_K = 10
+
+
+def q_wand_topk(spark, sf_dir) -> DataFrame:
+    """THE indexed path under the correctness gate: full segment build
+    (compressed postings + manifest) then block-max WAND top-k; the oracle
+    is the brute-force BM25 SQL — rank AND score identity end-to-end."""
+    import tempfile
+
+    from .operators.wand import IndexReader
+    from .sources.segments import build_index
+
+    if sf_dir not in _WAND_CACHE:
+        out = tempfile.mkdtemp(prefix="wand_gate_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, out, build_id="gate", n_buckets=8)
+        _WAND_CACHE[sf_dir] = out
+    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    out = reader.topk(_WAND_QUERY, _WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_WAND_TOPK = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K)
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    """SimHash signatures (rows-only: xxhash64 has no DuckDB equivalent)."""
+    from .operators.dedup import simhash_signatures
+
+    _, tf = _docs_tf(spark, sf_dir)
+    return simhash_signatures(tf.filter(F.col("doc_id") < 200)).orderBy("doc_id")
+
+
+def q_embedding_lsh(spark, sf_dir) -> DataFrame:
+    """Multi-table LSH ANN (rows-only: plane generation is engine-side)."""
+    from .operators.similarity import lsh_index, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4)
+    return lsh_topk(indexed, tables, q, k=10, probe_hamming=1).select(
+        "vec_id", F.round("cos", 4).alias("cos_r")
+    )
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing (rows-only: payload decode is a stub)."""
+    from .operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=48)
+    feats = extract_features(media)
+    return (
+        feats.select("asset_id", "kind", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feat_sum"))
+        .orderBy("asset_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B/C/D analogs on the relational tables
 # ---------------------------------------------------------------------------
@@ -692,7 +895,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_search": q_prefix_search,
     "posting_intersection": q_posting_intersection,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
+    "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
+    "quality_metrics": q_quality_metrics,
+    "wand_topk": q_wand_topk,
+    "embedding_lsh": q_embedding_lsh,
+    "media_features": q_media_features,
     "jaccard_pairs": q_jaccard_pairs,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
@@ -718,7 +930,15 @@ ORACLES: dict[str, str] = {
     "prefix_search": SQL_PREFIX_SEARCH,
     "posting_intersection": SQL_POSTING_INTERSECTION,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
+    "near_dup_lsh": SQL_NEAR_DUP_LSH,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    # simhash / embedding_lsh / media_features: rows-only (engine-side
+    # hashing or stubs have no DuckDB equivalent)
+    "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_metrics": SQL_QUALITY_METRICS,
+    "wand_topk": SQL_WAND_TOPK,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
