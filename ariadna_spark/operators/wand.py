@@ -210,6 +210,42 @@ class IndexReader:
             for r in rows
         }
 
+    def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
+        """Edge-ngram prefix expansion (E1 fallback): prefix -> index terms.
+
+        The prefix is truncated to the indexed max gram (8); expansion is
+        capped at max_terms by (df desc, term asc) — the dominant-df terms
+        carry the ranking signal, and an unbounded expansion of a 2-char
+        prefix over a code vocabulary would be a scan."""
+        from ..analyze import NGRAM_MAX, NGRAM_MIN, tokenize_py as _tok
+
+        norm = _tok(prefix)
+        if not norm:
+            return []
+        ng = norm[0][:NGRAM_MAX]
+        if len(ng) < NGRAM_MIN:
+            return []
+        n_buckets = self.stats["n_buckets"]
+        b = self._term_bucket_py(ng, n_buckets)
+        d = os.path.join(self.bdir, "ngrams", f"bucket={b}")
+        if not os.path.exists(d):
+            return []
+        rows = (
+            self.spark.read.parquet(d)
+            .filter(F.col("ng") == ng)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
+        """Top-k BM25 for a prefix query: OR over the expanded terms (each
+        expanded term scores with its own df/idf — standard query
+        expansion, vs ES's ngram-as-a-term which needs an ngram postings
+        index ~7x the size)."""
+        return self._topk_terms(self.expand_prefix(prefix), k, **kw)
+
     def topk(
         self,
         query: str,
@@ -217,7 +253,17 @@ class IndexReader:
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
     ) -> DataFrame:
-        terms = sorted(set(tokenize_py(query)))
+        return self._topk_terms(
+            sorted(set(tokenize_py(query))), k, range_size=range_size, with_docmap=with_docmap
+        )
+
+    def _topk_terms(
+        self,
+        terms: list[str],
+        k: int = 10,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
         empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
         if not terms:
             return empty

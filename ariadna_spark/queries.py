@@ -668,6 +668,55 @@ def q_wand_topk(spark, sf_dir) -> DataFrame:
 SQL_WAND_TOPK = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K)
 
 
+_PREFIX_Q = "sc"
+
+
+def q_prefix_topk(spark, sf_dir) -> DataFrame:
+    """E1 prefix fallback end-to-end: edge-ngram expansion through the
+    segment index, BM25 OR-scored; oracle expands via LIKE."""
+    import tempfile
+
+    from .operators.wand import IndexReader
+    from .sources.segments import build_index
+
+    if sf_dir not in _WAND_CACHE:
+        out = tempfile.mkdtemp(prefix="wand_gate_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, out, build_id="gate", n_buckets=8)
+        _WAND_CACHE[sf_dir] = out
+    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    out = reader.prefix_topk(_PREFIX_Q, _WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_prefix_topk() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, matched AS (
+  SELECT term FROM dfreq WHERE term LIKE '{_PREFIX_Q}%'
+  ORDER BY df DESC, term ASC LIMIT 256
+),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM matched)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_PREFIX_TOPK = _sql_prefix_topk()
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     """SimHash signatures (rows-only: xxhash64 has no DuckDB equivalent)."""
     from .operators.dedup import simhash_signatures
@@ -903,6 +952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality_metrics,
     "wand_topk": q_wand_topk,
+    "prefix_topk": q_prefix_topk,
     "embedding_lsh": q_embedding_lsh,
     "media_features": q_media_features,
     "jaccard_pairs": q_jaccard_pairs,
@@ -939,6 +989,7 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_metrics": SQL_QUALITY_METRICS,
     "wand_topk": SQL_WAND_TOPK,
+    "prefix_topk": SQL_PREFIX_TOPK,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,

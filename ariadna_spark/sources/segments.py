@@ -38,6 +38,7 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..analyze import NGRAM_MAX, NGRAM_MIN, edge_ngrams_expr
 from ..corpus import DOCS_COLUMNS
 from ..operators.postings import BLOCK_SIZE, build_postings, hot_terms
 from ..stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs_dl
@@ -164,6 +165,32 @@ def build_index(
             {"wall_ms": int((time.monotonic() - t0) * 1000)},
         )
         _trace("terms_write", t0)
+
+    # edge-ngram expansion table (E1 prefix fallback, mirroring ariadna's
+    # intended edge-ngram analyzer): ngram -> (term, df), bucketed by
+    # crc32(ngram) so a prefix query prunes to one bucket dir. Sized at
+    # ~(NGRAM_MAX - NGRAM_MIN + 1) x vocabulary — term metadata, not
+    # postings, so it stays small relative to the index.
+    if not os.path.exists(os.path.join(bdir, "_ngrams.json")):
+        t0 = time.monotonic()
+        (
+            dfreq.select(
+                F.explode(edge_ngrams_expr("term", NGRAM_MIN, NGRAM_MAX)).alias("ng"),
+                "term",
+                "df",
+            )
+            .withColumn("bucket", term_bucket_expr("ng", n_buckets))
+            .repartition("bucket")
+            .sortWithinPartitions("ng")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(os.path.join(bdir, "ngrams"))
+        )
+        _atomic_write_json(
+            os.path.join(bdir, "_ngrams.json"),
+            {"wall_ms": int((time.monotonic() - t0) * 1000)},
+        )
+        _trace("ngrams_write", t0)
 
     # docmap (D3-analog dimension table) — written once, idempotently
     docmap_dir = os.path.join(bdir, "docmap")

@@ -179,3 +179,26 @@ def test_salting_splits_hot_terms(spark, synth_docs):
         tb = hot[hot["term"] == t].sort_values("block_id")
         fd, ld = tb["first_doc_id"].to_numpy(), tb["last_doc_id"].to_numpy()
         assert (fd[1:] > ld[:-1]).all(), f"blocks of {t} overlap across salts"
+
+
+def test_prefix_topk_expansion(spark, docs, index_dir):
+    """Prefix query through the ngram table == brute-force OR over the
+    LIKE-matched vocabulary."""
+    from ariadna_spark.operators.topk import bm25_topk_from_stats
+    from ariadna_spark.stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs
+
+    reader = IndexReader(spark, index_dir)
+    terms = reader.expand_prefix("sc")
+    assert terms, "expected 'sc*' terms in the corpus"
+    assert all(t.startswith("sc") for t in terms)
+    tf = term_freqs(docs)
+    tf.persist()
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    n, avgdl = corpus_scalars(dl)
+    expected = bm25_topk_from_stats(tf, dfreq, dl, n, avgdl, terms, 10).collect()
+    got = reader.prefix_topk("sc", 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expected]
+    # too-short and unanalyzable prefixes return empty cleanly
+    assert reader.prefix_topk("s", 5).count() == 0
+    assert reader.prefix_topk("###", 5).count() == 0
