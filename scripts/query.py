@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Query entry point: top-k BM25 (term or prefix) over a published index.
+
+    spark-submit --py-files dist/ariadna_spark.zip scripts/query.py \
+        --index /tmp/idx --q "binary search tree" --k 10 [--prefix] [--docmap]
+
+Prints one JSON line per result row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--q", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--build-id", default=None)
+    ap.add_argument("--prefix", action="store_true", help="edge-ngram prefix query")
+    ap.add_argument("--docmap", action="store_true", help="join repo/path onto results")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("ariadna-query").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ariadna_spark.operators.wand import IndexReader
+
+    reader = IndexReader(spark, args.index, build_id=args.build_id)
+    if args.prefix:
+        df = reader.prefix_topk(args.q, args.k, with_docmap=args.docmap)
+    else:
+        df = reader.topk(args.q, args.k, with_docmap=args.docmap)
+    for row in df.collect():
+        print(json.dumps(row.asDict()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
