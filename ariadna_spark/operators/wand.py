@@ -80,8 +80,12 @@ def wand_kernel(
     ub = np.zeros(n_strides, dtype=np.float64)
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
-    # block max score = idf(term) * stored idf-free tfnorm max
-    bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy()
+    # block max score = idf(term) * stored idf-free tfnorm max, scaled by
+    # the per-segment bound correction (1.0 for a single-build index; for
+    # merge-on-read, max(1, avgdl_global/avgdl_segment) keeps the stored
+    # per-build tfnorm max a valid upper bound under the global avgdl)
+    scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else 1.0
+    bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy() * scale
     s_lo = np.maximum((fd - lo) // stride, 0)
     s_hi = np.minimum((ld - lo) // stride, n_strides - 1)
     for t in terms:
@@ -156,58 +160,100 @@ def wand_kernel(
 class IndexReader:
     """Query-side handle on a published build."""
 
-    def __init__(self, spark: SparkSession, out_dir: str, build_id: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        build_id: str | None = None,
+        build_ids: list[str] | None = None,
+    ):
         from ..sources.segments import SegmentStore, term_bucket_py
 
         self._term_bucket_py = term_bucket_py
         self.spark = spark
         store = SegmentStore(out_dir)
-        self.build_id = build_id or store.live_build()
-        if self.build_id is None:
+        if build_ids is None:
+            build_ids = [build_id] if build_id else store.live_builds()
+        if not build_ids:
             raise FileNotFoundError(f"no live build in {out_dir}")
-        self.bdir = store.build_dir(self.build_id)
-        with open(os.path.join(self.bdir, "stats.json")) as f:
-            self.stats = json.load(f)
+        self.build_ids = build_ids
+        self.build_id = build_ids[-1]
+        self.bdirs = [store.build_dir(b) for b in build_ids]
+        self.bdir = self.bdirs[-1]
+        self.build_stats = []
+        for d in self.bdirs:
+            with open(os.path.join(d, "stats.json")) as f:
+                self.build_stats.append(json.load(f))
+        # query-time GLOBAL stats across the live segment set: the segments
+        # were built independently (each with its own N/avgdl), but BM25
+        # must score against the whole corpus — df summed per term, N
+        # summed, avgdl from total token mass. This is the merge-on-read
+        # half of the "distributed multi-way posting merge".
+        n_total = sum(st["N"] for st in self.build_stats)
+        tok_total = sum(st.get("total_tokens", int(round(st["N"] * st["avgdl"]))) for st in self.build_stats)
+        self.stats = dict(self.build_stats[-1])
+        self.stats["N"] = n_total
+        self.stats["avgdl"] = tok_total / max(n_total, 1)
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.bdir, "docmap"))
+        dm = self.spark.read.parquet(os.path.join(self.bdirs[0], "docmap"))
+        for d in self.bdirs[1:]:
+            dm = dm.unionByName(self.spark.read.parquet(os.path.join(d, "docmap")))
+        return dm
 
     def _blocks_for_terms(self, terms: list[str]) -> DataFrame | None:
-        n_buckets = self.stats["n_buckets"]
-        buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
-        dirs = [
-            os.path.join(self.bdir, f"bucket={b}")
-            for b in buckets
-            if os.path.exists(os.path.join(self.bdir, f"bucket={b}"))
-        ]
-        if not dirs:
+        avgdl_q = self.stats["avgdl"]
+        parts = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            n_buckets = st["n_buckets"]
+            buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
+            dirs = [
+                os.path.join(d, f"bucket={b}")
+                for b in buckets
+                if os.path.exists(os.path.join(d, f"bucket={b}"))
+            ]
+            if not dirs:
+                continue
+            scale = max(1.0, avgdl_q / st["avgdl"])
+            parts.append(
+                self.spark.read.parquet(*dirs)
+                .filter(F.col("term").isin(terms))
+                .withColumn("scale", F.lit(scale))
+            )
+        if not parts:
             return None
-        return self.spark.read.parquet(*dirs).filter(F.col("term").isin(terms))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def idf_for_terms(self, terms: list[str]) -> dict[str, float]:
-        """df lookups from the bucketed terms table (bucket-pruned dirs +
-        pushed-down term predicate); idf = Lucene BM25 form."""
+        """df lookups from the bucketed terms tables of every live segment
+        (bucket-pruned dirs + pushed-down term predicate), summed per term;
+        idf = Lucene BM25 form over the global N."""
         import numpy as np
 
-        n_buckets = self.stats["n_buckets"]
         n_docs = self.stats["N"]
-        buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
-        dirs = [
-            os.path.join(self.bdir, "terms", f"bucket={b}")
-            for b in buckets
-            if os.path.exists(os.path.join(self.bdir, "terms", f"bucket={b}"))
-        ]
-        if not dirs:
-            return {}
-        rows = (
-            self.spark.read.parquet(*dirs)
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
+        df_sum: dict[str, int] = {}
+        for d, st in zip(self.bdirs, self.build_stats):
+            n_buckets = st["n_buckets"]
+            buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
+            dirs = [
+                os.path.join(d, "terms", f"bucket={b}")
+                for b in buckets
+                if os.path.exists(os.path.join(d, "terms", f"bucket={b}"))
+            ]
+            if not dirs:
+                continue
+            for r in (
+                self.spark.read.parquet(*dirs)
+                .filter(F.col("term").isin(terms))
+                .select("term", "df")
+                .collect()
+            ):
+                df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
         return {
-            r["term"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
-            for r in rows
+            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))) for t, df in df_sum.items()
         }
 
     def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
@@ -225,19 +271,18 @@ class IndexReader:
         ng = norm[0][:NGRAM_MAX]
         if len(ng) < NGRAM_MIN:
             return []
-        n_buckets = self.stats["n_buckets"]
-        b = self._term_bucket_py(ng, n_buckets)
-        d = os.path.join(self.bdir, "ngrams", f"bucket={b}")
-        if not os.path.exists(d):
-            return []
-        rows = (
-            self.spark.read.parquet(d)
-            .filter(F.col("ng") == ng)
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_terms)
-            .collect()
-        )
-        return [r["term"] for r in rows]
+        df_sum: dict[str, int] = {}
+        for d, st in zip(self.bdirs, self.build_stats):
+            b = self._term_bucket_py(ng, st["n_buckets"])
+            path = os.path.join(d, "ngrams", f"bucket={b}")
+            if not os.path.exists(path):
+                continue
+            for r in (
+                self.spark.read.parquet(path).filter(F.col("ng") == ng).collect()
+            ):
+                df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
+        ranked = sorted(df_sum.items(), key=lambda kv: (-kv[1], kv[0]))[:max_terms]
+        return [t for t, _ in ranked]
 
     def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
         """Top-k BM25 for a prefix query: OR over the expanded terms (each

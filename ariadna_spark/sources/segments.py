@@ -67,23 +67,42 @@ class SegmentStore:
         os.makedirs(os.path.join(out_dir, "builds"), exist_ok=True)
 
     # -- publish / read pointer (A5 analog: alias swap) --
-    def live_build(self) -> str | None:
+    def live_builds(self) -> list[str]:
+        """The published segment set. One entry for a monolithic build;
+        several for incremental ingestion (merge-on-read across them)."""
         p = os.path.join(self.out_dir, "MANIFEST")
         if not os.path.exists(p):
-            return None
+            return []
         with open(p) as f:
-            return json.load(f)["build_id"]
+            m = json.load(f)
+        if "build_ids" in m:
+            return list(m["build_ids"])
+        return [m["build_id"]]
+
+    def live_build(self) -> str | None:
+        builds = self.live_builds()
+        return builds[-1] if builds else None
 
     def publish(self, build_id: str) -> None:
         _atomic_write_json(os.path.join(self.out_dir, "MANIFEST"), {"build_id": build_id})
 
+    def publish_many(self, build_ids: list[str]) -> None:
+        """Atomic swap of the whole live segment set (incremental commits
+        append a segment and re-publish the list)."""
+        _atomic_write_json(os.path.join(self.out_dir, "MANIFEST"), {"build_ids": list(build_ids)})
+
+    def append_live(self, build_id: str) -> list[str]:
+        builds = [b for b in self.live_builds() if b != build_id] + [build_id]
+        self.publish_many(builds)
+        return builds
+
     # -- GC (A6 analog: delete indices behind the alias) --
     def gc(self) -> list[str]:
-        live = self.live_build()
+        live = set(self.live_builds())
         removed = []
         broot = os.path.join(self.out_dir, "builds")
         for b in os.listdir(broot):
-            if b != live:
+            if b not in live:
                 shutil.rmtree(os.path.join(broot, b))
                 removed.append(b)
         return removed
@@ -283,9 +302,11 @@ def build_index(
                 raise RuntimeError(f"injected failure after {committed} buckets")
         postings.unpersist()
 
+    total_tokens = int(round(n_docs * avgdl))
     stats = {
         "N": n_docs,
         "avgdl": avgdl,
+        "total_tokens": total_tokens,
         "build_id": build_id,
         "n_buckets": n_buckets,
         "block_size": block_size,
