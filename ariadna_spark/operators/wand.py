@@ -37,7 +37,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import B, K1
@@ -301,6 +301,68 @@ class IndexReader:
         return self._topk_terms(
             sorted(set(tokenize_py(query))), k, range_size=range_size, with_docmap=with_docmap
         )
+
+    def topk_many(
+        self,
+        queries: list[tuple[int, str, int]],
+        range_size: int = RANGE_SIZE_DEFAULT,
+    ) -> DataFrame:
+        """Batch scoring: the WHOLE query set in one Spark job.
+
+        -> (query_id, rank, doc_id, score). Blocks for the union of all
+        query terms are fetched once; each (query_id, rid) group runs its
+        own WAND kernel; per-query global top-k via a rank window. Per-
+        query Spark-job overhead (the dominant cost of single-query latency
+        at small scale) amortizes across the set — this is the shape a
+        production batch scorer uses.
+        """
+        import pandas as pd  # noqa: F811
+
+        per_q = {qid: sorted(set(tokenize_py(q))) for qid, q, k in queries}
+        k_by_q = {qid: k for qid, _, k in queries}
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        empty = self.spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+        if not all_terms:
+            return empty
+        blocks = self._blocks_for_terms(all_terms)
+        if blocks is None:
+            return empty
+        idf_all = self.idf_for_terms(all_terms)
+        if not idf_all:
+            return empty
+        avgdl = self.stats["avgdl"]
+        max_k = max(k_by_q.values())
+
+        # replicate each block to every query that contains its term
+        q_map = [(qid, t) for qid, ts in per_q.items() for t in ts if t in idf_all]
+        qdf = self.spark.createDataFrame(q_map, "query_id long, term string")
+        tagged = blocks.join(F.broadcast(qdf), "term")
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = tagged.select("*", rid)
+
+        def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(key[0])
+            out = wand_kernel(pdf, idf_all, avgdl, k_by_q.get(qid, max_k), range_size)
+            out.insert(0, "query_id", qid)
+            return out
+
+        local = ranged.groupBy("query_id", "rid").applyInPandas(
+            kernel, "query_id long, doc_id long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = local.withColumn("rank", F.row_number().over(w))
+        cond = None
+        for qid, k in k_by_q.items():
+            c = (F.col("query_id") == qid) & (F.col("rank") <= k)
+            cond = c if cond is None else (cond | c)
+        return ranked.filter(cond).select("query_id", "rank", "doc_id", "score")
 
     def _topk_terms(
         self,

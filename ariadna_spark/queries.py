@@ -717,6 +717,128 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_PREFIX_TOPK = _sql_prefix_topk()
 
 
+def q_wand_queryset(spark, sf_dir) -> DataFrame:
+    """The whole reference query set through the compressed index in ONE
+    Spark job (IndexReader.topk_many) — must equal the brute-force
+    queryset oracle exactly."""
+    import tempfile
+
+    from .operators.wand import IndexReader
+    from .sources.segments import build_index
+
+    if sf_dir not in _WAND_CACHE:
+        out = tempfile.mkdtemp(prefix="wand_gate_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, out, build_id="gate", n_buckets=8)
+        _WAND_CACHE[sf_dir] = out
+    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    out = reader.topk_many([(qid, q, k) for qid, q, k in REFERENCE_QUERIES])
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_multifield_bm25(spark, sf_dir) -> DataFrame:
+    """E8 multi-field search: BM25 over content plus a boosted BM25 over
+    the path field (each field with its own df/dl/avgdl statistics, the
+    Lucene per-field model)."""
+    docs = load_docs(spark, sf_dir)
+    boost = 2.0
+    terms = sorted(set(tokenize_py("doc en merge join")))
+    parts = []
+    for field, weight in (("content", 1.0), ("path", boost)):
+        tf = term_freqs(docs.select("doc_id", F.col(field).alias("content")), use_udf=True)
+        tf.persist()
+        dl = doc_lengths(tf)
+        dfreq = doc_freqs(tf)
+        n_docs, avgdl = corpus_scalars(dl)
+        matched = tf.filter(F.col("term").isin(terms))
+        scored = (
+            matched.join(F.broadcast(dfreq.filter(F.col("term").isin(terms))), "term")
+            .join(dl, "doc_id")
+            .withColumn(
+                "contrib",
+                bm25_expr(F.col("tf"), F.col("df"), F.col("doc_len"), n_docs, avgdl) * weight,
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        parts.append(scored)
+    total = parts[0].unionByName(parts[1]).groupBy("doc_id").agg(F.sum("s").alias("s"))
+    return (
+        total.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("s", 4).alias("score_r"))
+    )
+
+
+def _sql_multifield() -> str:
+    terms = sorted(set(tokenize_py("doc en merge join")))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    path_expr = (
+        "'docs/' || lang || '/doc_' || doc_id || '.txt'"
+    )  # load_docs' synthesized path
+    tok_path = duckdb_tokenize_sql(path_expr)
+    score = duckdb_bm25_sql("tf", "df", "doc_len", "n", "avgdl")
+    per_field = []
+    for field_tok, weight in ((_TOK, 1.0), (tok_path, 2.0)):
+        per_field.append(
+            f"""
+SELECT doc_id, sum({score}) * {weight} AS s FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.doc_len,
+         (SELECT count(*) FROM dl_{'c' if weight == 1.0 else 'p'}) AS n,
+         (SELECT avg(doc_len) FROM dl_{'c' if weight == 1.0 else 'p'}) AS avgdl
+  FROM tf_{'c' if weight == 1.0 else 'p'} tf
+  JOIN dfreq_{'c' if weight == 1.0 else 'p'} dfreq USING (term)
+  JOIN dl_{'c' if weight == 1.0 else 'p'} dl USING (doc_id)
+  WHERE tf.term IN ({tlist})
+) GROUP BY doc_id"""
+        )
+    return f"""
+WITH toks_c AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf_c AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks_c GROUP BY 1, 2),
+dl_c AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf_c GROUP BY 1),
+dfreq_c AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_c GROUP BY 1),
+toks_p AS (SELECT doc_id, unnest({tok_path}) AS term FROM documents),
+tf_p AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks_p GROUP BY 1, 2),
+dl_p AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf_p GROUP BY 1),
+dfreq_p AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_p GROUP BY 1),
+both_f AS ({' UNION ALL '.join(per_field)})
+SELECT doc_id, round(sum(s), 4) AS score_r FROM both_f GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL_MULTIFIELD_BM25 = _sql_multifield()
+
+
+_TIERS = [(0.0, 2000.0, "low"), (2000.0, 6000.0, "mid"), (6000.0, 1e18, "high")]
+
+
+def q_theta_containment(spark, sf_dir) -> DataFrame:
+    """D5 analog (broadcast nested-loop containment join,
+    /root/reference/osm/utils.go:60-88: every point tested against every
+    polygon): every customer tested against every balance tier interval."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tiers = spark.createDataFrame(_TIERS, "lo double, hi double, tier string")
+    joined = c.crossJoin(F.broadcast(tiers)).filter(
+        (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .orderBy("tier")
+    )
+
+
+SQL_THETA_CONTAINMENT = f"""
+WITH tiers(lo, hi, tier) AS (VALUES {', '.join(f"({lo}, {hi}, '{t}')" for lo, hi, t in _TIERS)})
+SELECT tier, CAST(count(*) AS BIGINT) AS n_cust, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer JOIN tiers ON c_acctbal >= lo AND c_acctbal < hi
+GROUP BY tier ORDER BY tier
+"""
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     """SimHash signatures (rows-only: xxhash64 has no DuckDB equivalent)."""
     from .operators.dedup import simhash_signatures
@@ -953,6 +1075,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_metrics": q_quality_metrics,
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
+    "wand_queryset": q_wand_queryset,
+    "multifield_bm25": q_multifield_bm25,
+    "theta_containment": q_theta_containment,
     "embedding_lsh": q_embedding_lsh,
     "media_features": q_media_features,
     "jaccard_pairs": q_jaccard_pairs,
@@ -990,6 +1115,9 @@ ORACLES: dict[str, str] = {
     "quality_metrics": SQL_QUALITY_METRICS,
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
+    "wand_queryset": SQL_BM25_QUERYSET,
+    "multifield_bm25": SQL_MULTIFIELD_BM25,
+    "theta_containment": SQL_THETA_CONTAINMENT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
