@@ -74,3 +74,37 @@ def test_edge_ngrams(spark):
     for t in toks:
         assert got[t] == edge_ngrams_py(t)
         assert list(duck[t]) == edge_ngrams_py(t)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_three_way_parity_property(spark_global, texts):
+    """Random unicode strings: Catalyst expr == pandas UDF == DuckDB SQL
+    == pure python. (spark fixture injected via module global set in
+    test_three_way_parity run; falls back to building rows directly.)"""
+    import duckdb
+
+    spark = spark_global
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, content string")
+    expr_rows = df.select("id", tokenize_expr("content").alias("t")).orderBy("id").collect()
+    udf_rows = df.select("id", tokenize_udf(F.col("content")).alias("t")).orderBy("id").collect()
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {duckdb_tokenize_sql('t')} FROM (SELECT unnest(?) AS t)", [texts]
+    ).fetchall()
+    for i, t in enumerate(texts):
+        py = tokenize_py(t)
+        assert list(expr_rows[i]["t"]) == py
+        assert list(udf_rows[i]["t"]) == py
+        assert list(duck[i][0]) == py
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
