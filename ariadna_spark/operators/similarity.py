@@ -134,4 +134,45 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: k-means (MLlib) assigns every vector to a
+    centroid list; queries probe only the nearest n_probe lists.
+
+    -> ((vec_id, v, centroid) rows, centroid matrix). At scale, write the
+    result partitioned by `centroid` (same pruning story as the postings
+    buckets); centroids are tiny and broadcast/driver-held.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("fv", array_to_vector(F.col("v")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", predictionCol="centroid")
+    model = km.fit(e)
+    indexed = model.transform(e).select("vec_id", "v", "centroid")
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame, centroids: np.ndarray, query_vec: list[float], k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe the n_probe centroid lists nearest to the query (euclidean,
+    matching the k-means objective), exact cosine re-score inside."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    cand = indexed.filter(F.col("centroid").isin(probe))
+    return (
+        cand.select("vec_id", _cos_expr("v", query_vec).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 register_by_value(__name__)

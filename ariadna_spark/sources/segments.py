@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..analyze import NGRAM_MAX, NGRAM_MIN, edge_ngrams_expr
 from ..corpus import DOCS_COLUMNS
 from ..operators.postings import BLOCK_SIZE, build_postings, hot_terms
-from ..stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs_dl
+from ..stats import corpus_scalars_full, doc_freqs, doc_lengths, term_freqs_dl
 
 DEFAULT_BUCKETS = 16
 
@@ -158,9 +158,51 @@ def build_index(
     tf_ckpt = os.path.join(scratch, f"tf_ckpt_{build_id}_{uuid.uuid4().hex[:8]}")
     term_freqs_dl(docs).write.mode("overwrite").parquet(tf_ckpt)
     tf = spark.read.parquet(tf_ckpt)
-    dl = doc_lengths(tf)
-    n_docs, avgdl = corpus_scalars(dl)
     _trace("tf+scalars", t0)
+    dl = doc_lengths(tf)
+    docmap_df = docs.join(dl, "doc_id").select(
+        "doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha"
+    )
+    try:
+        return _build_from_tf(
+            spark,
+            tf,
+            docmap_df,
+            out_dir,
+            build_id=build_id,
+            n_buckets=n_buckets,
+            block_size=block_size,
+            n_salts=n_salts,
+            bucket_batch=bucket_batch,
+            publish=publish,
+            fail_after_buckets=fail_after_buckets,
+        )
+    finally:
+        shutil.rmtree(tf_ckpt, ignore_errors=True)
+
+
+def _build_from_tf(
+    spark: SparkSession,
+    tf: DataFrame,
+    docmap_df: DataFrame,
+    out_dir: str,
+    build_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    n_salts: int = 16,
+    bucket_batch: int = 8,
+    publish: bool = False,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Shared lower half of the build: (doc_id, term, tf, doc_len) rows +
+    a docmap -> terms/ngrams/docmap/postings artifacts + manifest. Used by
+    the normal corpus build AND by segment compaction (whose tf rows come
+    from decoding existing segments, not from tokenization)."""
+    store = SegmentStore(out_dir)
+    bdir = store.build_dir(build_id)
+    os.makedirs(bdir, exist_ok=True)
+    dl = doc_lengths(tf)
+    n_docs, avgdl, total_tokens = corpus_scalars_full(dl)
 
     # term dictionary (df per term) — bucketed like postings so query-time
     # idf lookups prune to one bucket dir + pushed-down term predicate
@@ -216,8 +258,7 @@ def build_index(
     if not os.path.exists(os.path.join(bdir, "_docmap.json")):
         t0 = time.monotonic()
         (
-            docs.join(dl, "doc_id")
-            .select("doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha")
+            docmap_df
             .repartition(max(1, min(n_docs // 250_000 + 1, 64)))
             .write.mode("overwrite")
             .parquet(docmap_dir)
@@ -298,11 +339,9 @@ def build_index(
             if fail_after_buckets is not None and committed >= fail_after_buckets:
                 postings.unpersist()
                 dfreq.unpersist()
-                shutil.rmtree(tf_ckpt, ignore_errors=True)
                 raise RuntimeError(f"injected failure after {committed} buckets")
         postings.unpersist()
 
-    total_tokens = int(round(n_docs * avgdl))
     stats = {
         "N": n_docs,
         "avgdl": avgdl,
@@ -330,6 +369,95 @@ def build_index(
     if publish:
         store.publish(build_id)
     dfreq.unpersist()
+    return manifest
+
+
+def compact(
+    spark: SparkSession,
+    out_dir: str,
+    build_id: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    gc: bool = True,
+) -> dict:
+    """Merge all live segments into one (the Lucene merge / ES force-merge
+    analog). Incremental ingestion accumulates small per-batch segments;
+    compaction reads their docmaps' doc ids back through the ORIGINAL
+    source? No — segments are self-contained: the docmap rows carry
+    everything except content, so compaction re-tokenizes nothing. Instead
+    the merged build is constructed directly from the segments' posting
+    blocks:
+
+      decode -> re-emit (doc_id, term, tf, doc_len) rows -> normal build
+
+    which is exactly the "distributed multi-way posting merge" expressed
+    as dataflow. Results are identical to a monolithic build because
+    postings are lossless. Publishes the merged build as the single live
+    segment, then GCs the inputs.
+    """
+    import pyarrow as pa
+
+    from ..functions.varint import delta_decode_ids, varint_decode
+    from ..operators.wand import IndexReader
+
+    store = SegmentStore(out_dir)
+    live = store.live_builds()
+    if not live:
+        raise FileNotFoundError(f"nothing live to compact in {out_dir}")
+    build_id = build_id or f"compact_{int(len(live))}_{live[-1]}"
+    reader = IndexReader(spark, out_dir)
+
+    # all blocks of all live segments -> posting rows (Arrow kernel)
+    blocks = None
+    for d in reader.bdirs:
+        with open(os.path.join(d, "stats.json")) as f:
+            nb = json.load(f)["n_buckets"]
+        dirs = [os.path.join(d, f"bucket={b}") for b in range(nb) if os.path.exists(os.path.join(d, f"bucket={b}"))]
+        if not dirs:
+            continue
+        part = spark.read.parquet(*dirs).select(
+            "term", "doc_ids_varint", "tfs_varint", "dls_varint"
+        )
+        blocks = part if blocks is None else blocks.unionByName(part)
+
+    def explode_blocks(batches):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            terms, ids_l, tfs_l, dls_l, reps = [], [], [], [], []
+            t_col = tbl["term"].to_pylist()
+            for i in range(tbl.num_rows):
+                ids = delta_decode_ids(tbl["doc_ids_varint"][i].as_py())
+                tfs = varint_decode(tbl["tfs_varint"][i].as_py())
+                dls = varint_decode(tbl["dls_varint"][i].as_py())
+                ids_l.append(ids)
+                tfs_l.append(tfs.astype("int64"))
+                dls_l.append(dls.astype("int64"))
+                reps.append(len(ids))
+            import numpy as np
+
+            yield from pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate(ids_l) if ids_l else [], type=pa.int64()),
+                    "term": pa.array(np.repeat(np.array(t_col, dtype=object), reps)),
+                    "tf": pa.array(
+                        (np.concatenate(tfs_l) if tfs_l else np.array([], dtype="int64")).astype("int32")
+                    ),
+                    "doc_len": pa.array(np.concatenate(dls_l) if dls_l else [], type=pa.int64()),
+                }
+            ).to_batches()
+
+    tf = blocks.mapInArrow(explode_blocks, "doc_id long, term string, tf int, doc_len long")
+    scratch = spark.conf.get("spark.local.dir", "/tmp")
+    tf_ckpt = os.path.join(scratch, f"compact_tf_{uuid.uuid4().hex[:8]}")
+    tf.write.mode("overwrite").parquet(tf_ckpt)
+    tf = spark.read.parquet(tf_ckpt)
+
+    docmap = reader.docmap()
+    manifest = _build_from_tf(
+        spark, tf, docmap, out_dir, build_id=build_id, n_buckets=n_buckets
+    )
+    store.publish_many([build_id])
+    if gc:
+        store.gc()
     shutil.rmtree(tf_ckpt, ignore_errors=True)
     return manifest
 

@@ -135,4 +135,15 @@ def corpus_scalars(dl: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"])
 
 
+def corpus_scalars_full(dl: DataFrame) -> tuple[int, float, int]:
+    """(N, avgdl, total_tokens) — total kept as the exact integer sum so
+    multi-segment readers can recompute a bit-exact global avgdl."""
+    row = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("tot"),
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"]), int(row["tot"])
+
+
 register_by_value(__name__)

@@ -110,3 +110,22 @@ def test_lsh_topk_recall(spark, emb):
     _, tables2 = lsh_index(emb, n_planes=8, n_tables=4)
     for a, b in zip(tables, tables2):
         assert np.allclose(a, b)
+
+
+def test_ivf_topk(spark, emb):
+    from ariadna_spark.operators.similarity import ivf_index, ivf_topk
+
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 11].embedding.iloc[0])
+    indexed, centroids = ivf_index(emb, n_centroids=8)
+    indexed.persist()
+    assert centroids.shape[0] == 8
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    # probing half the lists must find the top-1 and decent recall
+    approx = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=4).collect()]
+    assert exact[0] in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, (recall, exact, approx)
+    # probing ALL lists is exact
+    full = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=8).collect()]
+    assert full == exact

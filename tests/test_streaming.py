@@ -64,3 +64,31 @@ def test_gc_respects_live_list(spark, incremental_index, docs, tmp_path):
     removed = store.gc()
     assert removed == ["orphan"]
     assert store.live_builds() == builds
+
+
+def test_compaction_preserves_results(spark, docs, tmp_path):
+    """Compacting many small segments into one leaves query results
+    rank+score identical and shrinks the live set to one build."""
+    from ariadna_spark.sources.segments import compact
+
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "i"), str(tmp_path / "c")
+    for m in range(4):
+        docs.filter(F.col("doc_id") % 4 == m).coalesce(1).write.mode("append").parquet(src)
+    builds = ingest_available(spark, src, out, ckpt, n_buckets=4, max_files_per_trigger=1)
+    assert len(builds) == 4
+    before = IndexReader(spark, out).topk("merge join sort", 10).collect()
+    manifest = compact(spark, out, build_id="merged", n_buckets=4)
+    store = SegmentStore(out)
+    assert store.live_builds() == ["merged"]
+    # inputs GC'd
+    import os as _os
+
+    assert sorted(_os.listdir(_os.path.join(out, "builds"))) == ["merged"]
+    after = IndexReader(spark, out).topk("merge join sort", 10).collect()
+    # ranks exact; scores to 1e-9 (physical block layout changes the float
+    # summation order inside the kernel -> last-ulp drift, the documented
+    # tolerance contract from SURVEY.md hard-part 2)
+    assert [r["doc_id"] for r in after] == [r["doc_id"] for r in before]
+    for a, b in zip(after, before):
+        assert a["score"] == pytest.approx(b["score"], abs=1e-9)
+    assert manifest["total_postings"] > 0
