@@ -134,6 +134,54 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    O(n^2) — the verification baseline. For scale, generate candidates
+    with lsh_near_dup_pairs (bucketed self-join) and re-score only those.
+    """
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    e = e.withColumn("nrm", norm)
+    a = e.select(F.col("vec_id").alias("va"), F.col("v").alias("xa"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("v").alias("xb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("xa", "xb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, n_planes: int = 8, n_tables: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 1234,
+) -> DataFrame:
+    """Scale path: candidates = pairs sharing any (table, bucket); exact
+    cosine re-score of candidates only. Recall grows with n_tables."""
+    indexed, _ = lsh_index(emb, n_planes=n_planes, n_tables=n_tables,
+                           id_col=id_col, vec_col=vec_col, seed=seed)
+    a = indexed.select("table", "bucket", F.col("vec_id").alias("va"), F.col("v").alias("xa"))
+    b = indexed.select("table", "bucket", F.col("vec_id").alias("vb"), F.col("v").alias("xb"))
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", "xa", "xb")
+        .dropDuplicates(["va", "vb"])
+    )
+    dot = F.aggregate(F.zip_with("xa", "xb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("xa", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("xb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        cand.withColumn("cos", dot / (na * nb))
+        .filter(F.col("cos") >= threshold)
+        .select("va", "vb", "cos")
+    )
+
+
 def ivf_index(
     emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42,

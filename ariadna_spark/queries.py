@@ -859,6 +859,47 @@ def q_embedding_lsh(spark, sf_dir) -> DataFrame:
     )
 
 
+_EMB_DUP_T = 0.45  # random 64-dim embeddings: top pair similarities ~0.5
+
+
+def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (vec_id < 300)."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    return (
+        cosine_near_dup_pairs(emb, threshold=_EMB_DUP_T)
+        .select("va", "vb", F.round("cos", 4).alias("cos_r"))
+        .orderBy("va", "vb")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings WHERE vec_id < 300
+)
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_EMB_DUP_T}
+ORDER BY va, vb
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir) -> DataFrame:
+    """LSH-accelerated near-dup pairs (rows-only: approximate recall)."""
+    from .operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    return (
+        lsh_near_dup_pairs(emb, threshold=_EMB_DUP_T, n_planes=6, n_tables=6)
+        .select("va", "vb", F.round("cos", 4).alias("cos_r"))
+        .orderBy("va", "vb")
+    )
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing (rows-only: payload decode is a stub)."""
     from .operators.multimodal import extract_features, synth_media
@@ -1079,6 +1120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multifield_bm25": q_multifield_bm25,
     "theta_containment": q_theta_containment,
     "embedding_lsh": q_embedding_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "media_features": q_media_features,
     "jaccard_pairs": q_jaccard_pairs,
     "text_quality": q_text_quality,
@@ -1116,6 +1159,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
