@@ -89,6 +89,10 @@ def run_queries(spark, out_dir: str) -> dict:
         t0 = time.monotonic()
         reader.topk(q, k).collect()
         timings[name] = round(time.monotonic() - t0, 4)
+    # the whole set as ONE Spark job (production batch-scoring shape)
+    t0 = time.monotonic()
+    reader.topk_many([(i, q, k) for i, (_, q, k) in enumerate(BENCH_QUERIES)]).collect()
+    timings["q_batch_all"] = round(time.monotonic() - t0, 4)
     return timings
 
 
