@@ -57,7 +57,7 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
 
 def wand_kernel(
     pdf: pd.DataFrame,
-    idf_by_term: dict[str, float],
+    n_docs: int,
     avgdl: float,
     k: int,
     range_size: int,
@@ -68,9 +68,16 @@ def wand_kernel(
 
     Vectorized: per-stride upper bounds come from block metadata only;
     blocks are decoded lazily, at most once, and only when their stride is
-    actually visited.
+    actually visited. Each block row carries the GLOBAL df of its term (a
+    broadcast join against the merged terms tables), so idf is derived
+    here — no driver-side stats round-trip per query.
     """
     rid = int(pdf["rid"].iloc[0])
+    tdf = pdf[["term", "df"]].drop_duplicates("term")
+    idf_by_term = {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in zip(tdf["term"], tdf["df"])
+    }
     lo, hi = rid * range_size, (rid + 1) * range_size
     n_strides = (range_size + stride - 1) // stride
 
@@ -139,12 +146,23 @@ def wand_kernel(
         uniq, inv = np.unique(all_ids, return_inverse=True)
         sums = np.zeros(uniq.shape, dtype=np.float64)
         np.add.at(sums, inv, all_sc)
-        for d, s in zip(uniq.tolist(), sums.tolist()):
-            item = (s, -d)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+        # Vectorized top-k merge: strides partition the doc_id space, so a
+        # doc never appears in two visited strides — the running heap and
+        # this stride's candidates are disjoint and can be merged with one
+        # lexsort (doc_id asc breaks score ties) instead of a per-doc
+        # Python loop.
+        if heap:
+            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
+            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
+            all_s = np.concatenate([hs, sums])
+            all_d = np.concatenate([hd, uniq])
+        else:
+            all_s, all_d = sums, uniq
+        if all_d.size > k:
+            top = np.lexsort((all_d, -all_s))[:k]
+            all_s, all_d = all_s[top], all_d[top]
+        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
+        heapq.heapify(heap)
         if len(heap) >= k:
             theta = heap[0][0]
 
@@ -201,88 +219,114 @@ class IndexReader:
             dm = dm.unionByName(self.spark.read.parquet(os.path.join(d, "docmap")))
         return dm
 
-    def _blocks_for_terms(self, terms: list[str]) -> DataFrame | None:
-        avgdl_q = self.stats["avgdl"]
-        parts = []
+    def _bucket_dirs(self, terms: list[str], sub: str | None = None) -> list[str]:
+        """Matching bucket=<b> leaf dirs across ALL live segments (each
+        segment may have its own n_buckets). Only directories that can
+        contain a query term are listed at all — partition pruning by
+        construction, before Spark sees a path."""
+        out = []
         for d, st in zip(self.bdirs, self.build_stats):
-            n_buckets = st["n_buckets"]
-            buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
-            dirs = [
-                os.path.join(d, f"bucket={b}")
-                for b in buckets
-                if os.path.exists(os.path.join(d, f"bucket={b}"))
-            ]
-            if not dirs:
-                continue
-            scale = max(1.0, avgdl_q / st["avgdl"])
-            parts.append(
-                self.spark.read.parquet(*dirs)
-                .filter(F.col("term").isin(terms))
-                .withColumn("scale", F.lit(scale))
-            )
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            root = os.path.join(d, sub) if sub else d
+            for b in sorted({self._term_bucket_py(t, st["n_buckets"]) for t in terms}):
+                p = os.path.join(root, f"bucket={b}")
+                if os.path.exists(p):
+                    out.append(p)
         return out
 
+    def _df_for_terms(self, terms: list[str]) -> DataFrame | None:
+        """GLOBAL df per query term: ONE union-read over every live
+        segment's matching term buckets (pushed-down `term IN`), summed in
+        Spark. Job count is constant in the number of live segments."""
+        dirs = self._bucket_dirs(terms, "terms")
+        if not dirs:
+            return None
+        return (
+            self.spark.read.parquet(*dirs)
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+
+    def _blocks_for_terms(self, terms: list[str]) -> DataFrame | None:
+        """All matching posting blocks across ALL live segments in ONE
+        read (one InMemoryFileIndex, one Spark job when consumed). The
+        per-segment block-max bound correction is derived from the file
+        path (builds/<id>/...) via a tiny literal map, not per-part reads;
+        the term's GLOBAL df is attached with a broadcast join so the
+        kernel needs no driver-side idf round-trip."""
+        avgdl_q = self.stats["avgdl"]
+        dirs = self._bucket_dirs(terms)
+        if not dirs:
+            return None
+        scale_by_build = {
+            bid: max(1.0, avgdl_q / st["avgdl"])
+            for bid, st in zip(self.build_ids, self.build_stats)
+        }
+        mapping = F.create_map(
+            *[F.lit(x) for kv in scale_by_build.items() for x in kv]
+        )
+        bid = F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+        blocks = (
+            self.spark.read.parquet(*dirs)
+            .filter(F.col("term").isin(terms))
+            .withColumn("scale", F.element_at(mapping, bid))
+        )
+        dfs = self._df_for_terms(terms)
+        if dfs is None:
+            return None
+        return blocks.join(F.broadcast(dfs), "term")
+
     def idf_for_terms(self, terms: list[str]) -> dict[str, float]:
-        """df lookups from the bucketed terms tables of every live segment
-        (bucket-pruned dirs + pushed-down term predicate), summed per term;
-        idf = Lucene BM25 form over the global N."""
+        """Driver-side idf lookup (kept for diagnostics/tests; the query
+        path no longer calls this — df rides along with the blocks)."""
         import numpy as np
 
         n_docs = self.stats["N"]
-        df_sum: dict[str, int] = {}
-        for d, st in zip(self.bdirs, self.build_stats):
-            n_buckets = st["n_buckets"]
-            buckets = sorted({self._term_bucket_py(t, n_buckets) for t in terms})
-            dirs = [
-                os.path.join(d, "terms", f"bucket={b}")
-                for b in buckets
-                if os.path.exists(os.path.join(d, "terms", f"bucket={b}"))
-            ]
-            if not dirs:
-                continue
-            for r in (
-                self.spark.read.parquet(*dirs)
-                .filter(F.col("term").isin(terms))
-                .select("term", "df")
-                .collect()
-            ):
-                df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
+        dfs = self._df_for_terms(terms)
+        if dfs is None:
+            return {}
         return {
-            t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))) for t, df in df_sum.items()
+            r["term"]: float(np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5)))
+            for r in dfs.collect()
         }
 
-    def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
-        """Edge-ngram prefix expansion (E1 fallback): prefix -> index terms.
-
-        The prefix is truncated to the indexed max gram (8); expansion is
-        capped at max_terms by (df desc, term asc) — the dominant-df terms
-        carry the ranking signal, and an unbounded expansion of a 2-char
-        prefix over a code vocabulary would be a scan."""
+    def _prefix_terms_df(self, prefix: str, max_terms: int = 256) -> DataFrame | None:
+        """Edge-ngram prefix expansion AS A PLAN: ngram-bucket read with a
+        pushed-down `ng =` predicate, per-term df summed across segments,
+        capped at max_terms by (df desc, term asc) INSIDE Spark — compiles
+        to TakeOrderedAndProject, so only max_terms rows ever reach the
+        driver (an unbounded 2-char prefix over a 100x code vocabulary
+        stays executor-side)."""
         from ..analyze import NGRAM_MAX, NGRAM_MIN, tokenize_py as _tok
 
         norm = _tok(prefix)
         if not norm:
-            return []
+            return None
         ng = norm[0][:NGRAM_MAX]
         if len(ng) < NGRAM_MIN:
+            return None
+        dirs = self._bucket_dirs([ng], "ngrams")
+        if not dirs:
+            return None
+        return (
+            self.spark.read.parquet(*dirs)
+            .filter(F.col("ng") == ng)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_terms)
+        )
+
+    def expand_prefix(self, prefix: str, max_terms: int = 256) -> list[str]:
+        """Edge-ngram prefix expansion (E1 fallback): prefix -> index terms.
+
+        The prefix is truncated to the indexed max gram (8); the dominant-
+        df terms carry the ranking signal. The cap is a TakeOrdered inside
+        Spark (see _prefix_terms_df) — at most max_terms rows collect."""
+        ranked = self._prefix_terms_df(prefix, max_terms)
+        if ranked is None:
             return []
-        df_sum: dict[str, int] = {}
-        for d, st in zip(self.bdirs, self.build_stats):
-            b = self._term_bucket_py(ng, st["n_buckets"])
-            path = os.path.join(d, "ngrams", f"bucket={b}")
-            if not os.path.exists(path):
-                continue
-            for r in (
-                self.spark.read.parquet(path).filter(F.col("ng") == ng).collect()
-            ):
-                df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
-        ranked = sorted(df_sum.items(), key=lambda kv: (-kv[1], kv[0]))[:max_terms]
-        return [t for t, _ in ranked]
+        return [r["term"] for r in ranked.collect()]
 
     def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
         """Top-k BM25 for a prefix query: OR over the expanded terms (each
@@ -329,14 +373,12 @@ class IndexReader:
         blocks = self._blocks_for_terms(all_terms)
         if blocks is None:
             return empty
-        idf_all = self.idf_for_terms(all_terms)
-        if not idf_all:
-            return empty
+        n_docs = self.stats["N"]
         avgdl = self.stats["avgdl"]
         max_k = max(k_by_q.values())
 
         # replicate each block to every query that contains its term
-        q_map = [(qid, t) for qid, ts in per_q.items() for t in ts if t in idf_all]
+        q_map = [(qid, t) for qid, ts in per_q.items() for t in ts]
         qdf = self.spark.createDataFrame(q_map, "query_id long, term string")
         tagged = blocks.join(F.broadcast(qdf), "term")
         rid = F.explode(
@@ -349,7 +391,7 @@ class IndexReader:
 
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
-            out = wand_kernel(pdf, idf_all, avgdl, k_by_q.get(qid, max_k), range_size)
+            out = wand_kernel(pdf, n_docs, avgdl, k_by_q.get(qid, max_k), range_size)
             out.insert(0, "query_id", qid)
             return out
 
@@ -377,10 +419,7 @@ class IndexReader:
         blocks = self._blocks_for_terms(terms)
         if blocks is None:
             return empty
-        idf_by_term = self.idf_for_terms(terms)
-        if not idf_by_term:
-            return empty
-
+        n_docs = self.stats["N"]
         avgdl = self.stats["avgdl"]
 
         # A block overlapping multiple ranges is replicated to each; the
@@ -394,7 +433,7 @@ class IndexReader:
         ranged = blocks.select("*", rid)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return wand_kernel(pdf, idf_by_term, avgdl, k, range_size)
+            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

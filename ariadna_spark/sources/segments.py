@@ -445,6 +445,11 @@ def compact(
                 }
             ).to_batches()
 
+    if blocks is None:
+        raise FileNotFoundError(
+            f"compact: no posting buckets found in any live segment of {out_dir} "
+            f"(live={live}) — nothing to merge"
+        )
     tf = blocks.mapInArrow(explode_blocks, "doc_id long, term string, tf int, doc_len long")
     scratch = spark.conf.get("spark.local.dir", "/tmp")
     tf_ckpt = os.path.join(scratch, f"compact_tf_{uuid.uuid4().hex[:8]}")

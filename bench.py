@@ -196,7 +196,8 @@ def scaling_run(n_docs: int = 300_000, core_levels: tuple = (2, 8, 32), trials: 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="also run local[8] vs local[32]")
+    ap.add_argument("--scaling", action="store_true", help="also run the core-scaling ladder")
+    ap.add_argument("--scaling-docs", type=int, default=300_000, help="synthetic corpus size for --scaling")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -227,7 +228,7 @@ def main():
         "cpus": CPUS,
     }
     if args.scaling:
-        result["scaling"] = scaling_run(args.sf_dir)
+        result["scaling"] = scaling_run(n_docs=args.scaling_docs)
     print(json.dumps(result))
 
 

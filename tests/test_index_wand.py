@@ -104,6 +104,7 @@ def test_wand_kernel_prunes_blocks():
             {
                 "rid": 0,
                 "term": "x",
+                "df": 6400,
                 "block_id": bi,
                 "n_docs": 128,
                 "first_doc_id": int(ids[0]),
@@ -118,8 +119,9 @@ def test_wand_kernel_prunes_blocks():
     pdf = pd.DataFrame(rows)
     stats = {}
     out = wand_kernel(
-        pdf, {"x": idf}, avgdl, k=1, range_size=64000, stride=1024, prune_stats=stats
+        pdf, n_docs, avgdl, k=1, range_size=64000, stride=1024, prune_stats=stats
     )
+    assert idf > 0  # sanity on the hand-computed reference idf
     assert len(out) == 1
     assert out["doc_id"].iloc[0] == 7000  # the high-tf doc
     assert stats["n_blocks_decoded"] < stats["n_blocks_total"] / 2, stats

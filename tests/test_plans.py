@@ -53,3 +53,67 @@ def test_small_dim_join_broadcasts(spark, docs):
     dim = docs.select("doc_id", "repo").limit(100)
     joined = docs.join(F.broadcast(dim), "doc_id")
     assert_broadcast_join(joined)
+
+
+def test_prefix_expansion_is_take_ordered(spark, index_dir):
+    """The max_terms cap must run INSIDE Spark (TakeOrderedAndProject) with
+    the ngram predicate pushed to parquet — never a collect-then-cap
+    (VERDICT r1 finding 1)."""
+    reader = IndexReader(spark, index_dir)
+    ranked = reader._prefix_terms_df("sc", max_terms=256)
+    assert ranked is not None
+    assert_take_ordered(ranked)
+    assert_pushed_filter(ranked, "ng")
+
+
+def test_blocks_join_global_df_broadcast(spark, index_dir):
+    """Query blocks carry global df via a broadcast join (no per-query
+    driver idf round-trip)."""
+    reader = IndexReader(spark, index_dir)
+    blocks = reader._blocks_for_terms(["merge", "join"])
+    assert_broadcast_join(blocks)
+    assert "df" in blocks.columns and "scale" in blocks.columns
+
+
+def _count_jobs(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_query_job_count_constant_in_segments(spark, docs, tmp_path):
+    """A top-k query must cost the SAME number of Spark jobs against a
+    3-segment live set as against 1 segment (VERDICT r1 finding 3): reads
+    are unioned into one file index, df is aggregated in the same plan."""
+    from ariadna_spark.sources.segments import SegmentStore, build_index
+
+    one = str(tmp_path / "one")
+    build_index(spark, docs, one, build_id="s0", n_buckets=4)
+    many = str(tmp_path / "many")
+    n = docs.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    build_index(spark, docs.filter(F.col("doc_id") < cut1), many, build_id="s0", n_buckets=4)
+    build_index(
+        spark,
+        docs.filter((F.col("doc_id") >= cut1) & (F.col("doc_id") < cut2)),
+        many,
+        build_id="s1",
+        n_buckets=4,
+        publish=False,
+    )
+    build_index(spark, docs.filter(F.col("doc_id") >= cut2), many, build_id="s2", n_buckets=4, publish=False)
+    SegmentStore(many).publish_many(["s0", "s1", "s2"])
+
+    r1 = IndexReader(spark, one)
+    r3 = IndexReader(spark, many)
+    assert len(r3.build_ids) == 3
+    # warm both paths once (file-index caches), then measure
+    r1.topk("merge join", 5).collect()
+    r3.topk("merge join", 5).collect()
+    j1 = _count_jobs(spark, "jc1", lambda: r1.topk("merge join", 5).collect())
+    j3 = _count_jobs(spark, "jc3", lambda: r3.topk("merge join", 5).collect())
+    assert j3 == j1, f"job count grew with segment count: 1-seg={j1}, 3-seg={j3}"
