@@ -126,18 +126,30 @@ def jaccard_verify(
 
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit signature; near-dups = small hamming distance.
+#
+# The 64 hash bits come from the first 16 hex nibbles of sha256(term):
+# bit_j = bit (j % 4) of nibble (j // 4). sha256's hex form is byte-
+# identical across engines, so the whole signature is reproducible in
+# DuckDB SQL (duckdb_simhash_bits_sql below) and the driver oracle can
+# hash-match it — unlike the earlier xxhash64 variant.
 # ---------------------------------------------------------------------------
+def _sha_bit_expr(h, j: int):
+    """Bit j of the 64-bit prefix of a sha256 hex column (non-negative)."""
+    nib = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+    return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+
 def simhash_signatures(tf: DataFrame) -> DataFrame:
     """(doc_id, term, tf) -> (doc_id, simhash: long).
 
-    bit_j(doc) = sign of sum over terms of tf * (+1 if bit_j(xxhash64(term))
+    bit_j(doc) = sign of sum over terms of tf * (+1 if bit_j(sha256(term))
     else -1). Stays entirely in Catalyst expressions: per-term hash once,
     then 64 conditional sums — JVM-side, no UDF.
     """
-    h = F.xxhash64("term")
+    h = F.sha2(F.col("term"), 256)
     aggs = []
     for j in range(64):
-        bit = (F.shiftrightunsigned(h, j) % 2 == 1).cast("int") * 2 - 1
+        bit = _sha_bit_expr(h, j) * 2 - 1
         aggs.append(F.sum(bit * F.col("tf")).alias(f"b{j}"))
     sums = tf.groupBy("doc_id").agg(*aggs)
     sig = F.lit(0).cast("long")
@@ -150,12 +162,41 @@ def simhash_signatures(tf: DataFrame) -> DataFrame:
     return sums.select("doc_id", sig.alias("simhash"))
 
 
+def duckdb_simhash_sql(tf_rel: str = "tf") -> str:
+    """DuckDB SQL producing (doc_id, simhash) identical to
+    simhash_signatures, over a relation with (doc_id, term, tf) columns.
+    Bit extraction, sign aggregation, and the 2^63 wraparound all mirror
+    the Spark expressions; the weight sum is computed in HUGEINT and cast
+    back (no overflow on the min-long term)."""
+    bit_sums = ", ".join(
+        "SUM(((((strpos('0123456789abcdef', substr(sha256(term), %d, 1)) - 1) >> %d) & 1) * 2 - 1) * tf) AS b%d"
+        % (j // 4 + 1, j % 4, j)
+        for j in range(64)
+    )
+    weights = []
+    for j in range(64):
+        w = str(1 << j) if j < 63 else "(-9223372036854775807 - 1)"
+        weights.append(f"CASE WHEN b{j} > 0 THEN CAST({w} AS HUGEINT) ELSE 0 END")
+    sig = " + ".join(weights)
+    return (
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash "
+        f"FROM (SELECT doc_id, {bit_sums} FROM {tf_rel} GROUP BY doc_id) "
+    )
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit chunk equality (any of 4 chunks equal ->
-    candidate; guarantees recall for hamming <= 3), verified exactly."""
+    candidate; guarantees recall for hamming <= 3), verified exactly.
+    Chunk keys are masked with & 0xFFFF so they are non-negative even for
+    the chunk containing the sign bit (a plain `%` would keep the
+    dividend's sign and split equal chunks into two buckets)."""
     chunks = []
     for c in range(4):
-        chunk = (F.shiftrightunsigned(F.col("simhash"), c * 16) % (1 << 16)).alias("chunk")
+        chunk = (
+            F.shiftrightunsigned(F.col("simhash"), c * 16)
+            .bitwiseAND(F.lit((1 << 16) - 1))
+            .alias("chunk")
+        )
         chunks.append(sigs.select("doc_id", "simhash", F.lit(c).alias("ci"), chunk))
     allc = chunks[0]
     for x in chunks[1:]:

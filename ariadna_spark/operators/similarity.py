@@ -15,8 +15,11 @@ shares this module's re-scoring machinery.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .._pickle import register_by_value
@@ -101,6 +104,45 @@ def lsh_index(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out, tables
+
+
+def lsh_index_write(
+    emb: DataFrame, path: str, n_planes: int = N_PLANES_DEFAULT, n_tables: int = 4,
+    dim: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 1234,
+) -> list[np.ndarray]:
+    """Materialize the LSH index PHYSICALLY PARTITIONED by (table, bucket)
+    — the layout that makes a query at 10^12 scale a few-directory read
+    instead of a full scan. A query's `table = t AND bucket IN (...)`
+    predicate is a partition filter: Spark's file index lists only the
+    probed directories (same pruning story as the postings buckets,
+    PLANS.md §1). Plane metadata rides along as _lsh_meta.json (underscore
+    prefix: ignored by parquet readers)."""
+    indexed, tables = lsh_index(
+        emb, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    (
+        indexed.repartition("table", "bucket")
+        .write.partitionBy("table", "bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    meta = {
+        "n_planes": n_planes, "n_tables": n_tables, "seed": seed,
+        "planes": [t.tolist() for t in tables],
+    }
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return tables
+
+
+def lsh_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, list[np.ndarray]]:
+    """Open a written LSH index: (partition-pruned DataFrame, planes)."""
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    tables = [np.asarray(p, dtype=np.float64) for p in meta["planes"]]
+    return spark.read.parquet(path), tables
 
 
 def lsh_topk(
@@ -204,6 +246,34 @@ def ivf_index(
     indexed = model.transform(e).select("vec_id", "v", "centroid")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return indexed, centroids
+
+
+def ivf_index_write(
+    emb: DataFrame, path: str, n_centroids: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF lists PHYSICALLY PARTITIONED by centroid, so an
+    n_probe query reads exactly n_probe directories (partition pruning on
+    the `centroid IN (...)` filter). Centroids are tiny driver-held
+    metadata (_ivf_meta.json)."""
+    indexed, centroids = ivf_index(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    (
+        indexed.repartition("centroid")
+        .write.partitionBy("centroid")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivf_meta.json"), "w") as f:
+        json.dump({"n_centroids": n_centroids, "seed": seed, "centroids": centroids.tolist()}, f)
+    return centroids
+
+
+def ivf_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
+    with open(os.path.join(path, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), np.asarray(meta["centroids"], dtype=np.float64)
 
 
 def ivf_topk(

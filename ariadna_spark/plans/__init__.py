@@ -32,3 +32,13 @@ def assert_take_ordered(df: DataFrame) -> None:
     """orderBy().limit(k) must compile to TakeOrderedAndProject, not a
     global sort."""
     assert "TakeOrderedAndProject" in physical_plan(df), physical_plan(df)
+
+
+def assert_partition_pruned(df: DataFrame, col: str) -> None:
+    """A filter on a physical partition column must appear as a
+    PartitionFilter on the scan (directory-level pruning), not as a data
+    filter evaluated after reading every file."""
+    plan = physical_plan(df)
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert lines, plan
+    assert any(col in ln for ln in lines), "\n".join(lines)

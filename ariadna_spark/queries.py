@@ -839,21 +839,87 @@ GROUP BY tier ORDER BY tier
 """
 
 
+_SIMHASH_CAP = 200
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
-    """SimHash signatures (rows-only: xxhash64 has no DuckDB equivalent)."""
+    """SimHash signatures over a portable sha256-derived bit family —
+    reproduced exactly by the DuckDB oracle (duckdb_simhash_sql)."""
     from .operators.dedup import simhash_signatures
 
     _, tf = _docs_tf(spark, sf_dir)
-    return simhash_signatures(tf.filter(F.col("doc_id") < 200)).orderBy("doc_id")
+    return simhash_signatures(tf.filter(F.col("doc_id") < _SIMHASH_CAP)).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    from .operators.dedup import duckdb_simhash_sql
+
+    return (
+        _SQL_PRELUDE
+        + ", sigs AS ("
+        + duckdb_simhash_sql(f"(SELECT * FROM tf WHERE doc_id < {_SIMHASH_CAP})")
+        + ") SELECT doc_id, simhash FROM sigs ORDER BY doc_id"
+    )
+
+
+SQL_SIMHASH = _sql_simhash()
+
+_SIMHASH_MAXH = 3
+
+
+def q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit chunk-collision candidates (recall
+    guaranteed for hamming <= 3), exact hamming verify — the full simhash
+    dedup pipeline, oracle-paired end to end."""
+    from .operators.dedup import simhash_near_pairs, simhash_signatures
+
+    _, tf = _docs_tf(spark, sf_dir)
+    sigs = simhash_signatures(tf.filter(F.col("doc_id") < _SIMHASH_CAP))
+    return simhash_near_pairs(sigs, max_hamming=_SIMHASH_MAXH).orderBy("da", "db")
+
+
+def _sql_simhash_pairs() -> str:
+    from .operators.dedup import duckdb_simhash_sql
+
+    return (
+        _SQL_PRELUDE
+        + ", sigs AS ("
+        + duckdb_simhash_sql(f"(SELECT * FROM tf WHERE doc_id < {_SIMHASH_CAP})")
+        + f"""),
+chunks AS (
+  SELECT doc_id, simhash, c.ci, (simhash >> (c.ci * 16)) & 65535 AS chunk
+  FROM sigs, (VALUES (0), (1), (2), (3)) c(ci)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_MAXH} ORDER BY da, db"""
+    )
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
+
+
+_ANN_CACHE: dict[str, str] = {}
 
 
 def q_embedding_lsh(spark, sf_dir) -> DataFrame:
-    """Multi-table LSH ANN (rows-only: plane generation is engine-side)."""
-    from .operators.similarity import lsh_index, lsh_topk
+    """Multi-table LSH ANN over a PHYSICALLY (table,bucket)-partitioned
+    parquet store — the query reads only probed partition dirs (rows-only
+    check: plane generation is engine-side)."""
+    import tempfile
+
+    from .operators.similarity import lsh_index_read, lsh_index_write, lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _ANN_CACHE:
+        out = tempfile.mkdtemp(prefix="ann_lsh_")
+        lsh_index_write(emb, out, n_planes=8, n_tables=4)
+        _ANN_CACHE[sf_dir] = out
+    indexed, tables = lsh_index_read(spark, _ANN_CACHE[sf_dir])
     q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
-    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4)
     return lsh_topk(indexed, tables, q, k=10, probe_hamming=1).select(
         "vec_id", F.round("cos", 4).alias("cos_r")
     )
@@ -1111,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "quality_metrics": q_quality_metrics,
@@ -1151,8 +1218,10 @@ ORACLES: dict[str, str] = {
     "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
     "near_dup_lsh": SQL_NEAR_DUP_LSH,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
-    # simhash / embedding_lsh / media_features: rows-only (engine-side
-    # hashing or stubs have no DuckDB equivalent)
+    "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    # embedding_lsh / media_features: rows-only (engine-side plane
+    # generation / decode stubs have no DuckDB equivalent)
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_metrics": SQL_QUALITY_METRICS,

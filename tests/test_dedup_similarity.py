@@ -112,6 +112,56 @@ def test_lsh_topk_recall(spark, emb):
         assert np.allclose(a, b)
 
 
+def test_lsh_store_partition_pruned(spark, emb, tmp_path):
+    """The written LSH index is physically partitioned by (table, bucket);
+    a probe query's predicate must prune at the directory level AND return
+    exactly the in-memory index's results."""
+    from ariadna_spark.operators.similarity import lsh_index_read, lsh_index_write
+    from ariadna_spark.plans import assert_partition_pruned
+
+    path = str(tmp_path / "lsh_store")
+    lsh_index_write(emb, path, n_planes=8, n_tables=4)
+    stored, tables = lsh_index_read(spark, path)
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 7].embedding.iloc[0])
+
+    probe = stored.filter((F.col("table") == 0) & F.col("bucket").isin([1, 2, 3]))
+    assert_partition_pruned(probe, "bucket")
+    assert_partition_pruned(probe, "table")
+
+    mem_indexed, mem_tables = lsh_index(emb, n_planes=8, n_tables=4)
+    for a, b in zip(tables, mem_tables):
+        assert np.allclose(a, b)
+    got = [(r["vec_id"], round(r["cos"], 6)) for r in lsh_topk(stored, tables, q, k=10).collect()]
+    want = [(r["vec_id"], round(r["cos"], 6)) for r in lsh_topk(mem_indexed, mem_tables, q, k=10).collect()]
+    assert got == want
+
+
+def test_ivf_store_partition_pruned(spark, emb, tmp_path):
+    from ariadna_spark.operators.similarity import (
+        ivf_index,
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk,
+    )
+    from ariadna_spark.plans import assert_partition_pruned
+
+    path = str(tmp_path / "ivf_store")
+    ivf_index_write(emb, path, n_centroids=8)
+    stored, centroids = ivf_index_read(spark, path)
+    assert centroids.shape[0] == 8
+    probe = stored.filter(F.col("centroid").isin([0, 1]))
+    assert_partition_pruned(probe, "centroid")
+
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 11].embedding.iloc[0])
+    mem_indexed, mem_centroids = ivf_index(emb, n_centroids=8)
+    assert np.allclose(centroids, mem_centroids)
+    got = [r["vec_id"] for r in ivf_topk(stored, centroids, q, k=10, n_probe=4).collect()]
+    want = [r["vec_id"] for r in ivf_topk(mem_indexed, mem_centroids, q, k=10, n_probe=4).collect()]
+    assert got == want
+
+
 def test_ivf_topk(spark, emb):
     from ariadna_spark.operators.similarity import ivf_index, ivf_topk
 
