@@ -73,6 +73,24 @@ def wand_kernel(
     here — no driver-side stats round-trip per query.
     """
     rid = int(pdf["rid"].iloc[0])
+    # Tombstone pseudo-rows (is_tomb=True) mark per-segment dead doc_ids
+    # (overwritten versions): build the per-build dead sets, then drop the
+    # markers before any block metadata is touched.
+    dead: dict = {}
+    if "is_tomb" in pdf.columns:
+        tm = pdf["is_tomb"].to_numpy()
+        if tm.any():
+            trows = pdf[tm]
+            dead = {
+                b: g["first_doc_id"].to_numpy().astype(np.int64)
+                for b, g in trows.groupby("bid")
+            }
+            pdf = pdf[~tm].reset_index(drop=True)
+            if pdf.empty:
+                return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+    row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
     idf_by_term = {
         t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
@@ -132,6 +150,10 @@ def wand_kernel(
                 dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
                 sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
                 m = (ids >= lo) & (ids < hi)  # mask to this range partition
+                if dead and row_bid is not None:
+                    dd = dead.get(row_bid[i])
+                    if dd is not None and dd.size:
+                        m &= ~np.isin(ids, dd)  # overwritten versions never score
                 decoded[i] = (ids[m], sc[m])
                 n_decoded += 1
             ids, sc = decoded[i]
@@ -209,15 +231,60 @@ class IndexReader:
         # half of the "distributed multi-way posting merge".
         n_total = sum(st["N"] for st in self.build_stats)
         tok_total = sum(st.get("total_tokens", int(round(st["N"] * st["avgdl"]))) for st in self.build_stats)
+        # per-doc overwrite (tombstones): dead versions leave N/avgdl
+        # immediately (markers written at ingest); per-term df stays
+        # overcounted until compaction — Lucene's deleted-docs semantics.
+        n_dead, tok_dead = 0, 0
+        for d in self.bdirs:
+            p = os.path.join(d, "_tombstones.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    tm = json.load(f)
+                n_dead += tm["n"]
+                tok_dead += tm["doc_len_sum"]
+        self.has_tombstones = n_dead > 0
         self.stats = dict(self.build_stats[-1])
-        self.stats["N"] = n_total
-        self.stats["avgdl"] = tok_total / max(n_total, 1)
+        self.stats["N"] = n_total - n_dead
+        self.stats["avgdl"] = (tok_total - tok_dead) / max(n_total - n_dead, 1)
+
+    def _tombstones_df(self) -> DataFrame | None:
+        if not self.has_tombstones:
+            return None
+        paths = [
+            p for d in self.bdirs if os.path.exists(p := os.path.join(d, "tombstones"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.schema("dead_build string, doc_id long, doc_len long").parquet(
+            *paths
+        )
+
+    def _tomb_ranged(self, range_size: int) -> DataFrame | None:
+        """Tombstones as pseudo-block rows keyed by the same rid partition
+        as the posting blocks — the dead sets travel in the SAME shuffle,
+        fully distributed (never a driver-held set)."""
+        t = self._tombstones_df()
+        if t is None:
+            return None
+        return t.select(
+            F.col("dead_build").alias("bid"),
+            F.col("doc_id").alias("first_doc_id"),
+            F.col("doc_id").alias("last_doc_id"),
+            (F.col("doc_id") / range_size).cast("long").alias("rid"),
+            F.lit(True).alias("is_tomb"),
+        )
 
     def docmap(self) -> DataFrame:
-        dm = self.spark.read.parquet(os.path.join(self.bdirs[0], "docmap"))
-        for d in self.bdirs[1:]:
-            dm = dm.unionByName(self.spark.read.parquet(os.path.join(d, "docmap")))
-        return dm
+        dm = self.spark.read.parquet(*[os.path.join(d, "docmap") for d in self.bdirs])
+        t = self._tombstones_df()
+        if t is None:
+            return dm
+        dm = dm.withColumn(
+            "bid", F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+        )
+        return dm.join(
+            t.select(F.col("dead_build").alias("bid"), "doc_id"), ["bid", "doc_id"], "left_anti"
+        ).drop("bid")
 
     def _bucket_dirs(self, terms: list[str], sub: str | None = None) -> list[str]:
         """Matching bucket=<b> leaf dirs across ALL live segments (each
@@ -269,7 +336,8 @@ class IndexReader:
         blocks = (
             self.spark.read.parquet(*dirs)
             .filter(F.col("term").isin(terms))
-            .withColumn("scale", F.element_at(mapping, bid))
+            .withColumn("bid", bid)
+            .withColumn("scale", F.element_at(mapping, F.col("bid")))
         )
         dfs = self._df_for_terms(terms)
         if dfs is None:
@@ -387,7 +455,11 @@ class IndexReader:
                 (F.col("last_doc_id") / range_size).cast("long"),
             )
         ).alias("rid")
-        ranged = tagged.select("*", rid)
+        ranged = tagged.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            qids = self.spark.createDataFrame([(q,) for q in per_q], "query_id long")
+            ranged = ranged.unionByName(tomb.crossJoin(qids), allowMissingColumns=True)
 
         def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
             qid = int(key[0])
@@ -430,7 +502,10 @@ class IndexReader:
                 (F.col("last_doc_id") / range_size).cast("long"),
             )
         ).alias("rid")
-        ranged = blocks.select("*", rid)
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return wand_kernel(pdf, n_docs, avgdl, k, range_size)

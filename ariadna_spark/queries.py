@@ -738,6 +738,72 @@ def q_wand_queryset(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_OVR_CACHE: dict[str, str] = {}
+_OVR_MOD = 7
+_OVR_SUFFIX = " zebra overwrite telemetry"
+_OVR_QUERY = "merge join zebra telemetry"
+
+
+def q_overwrite_reindex(spark, sf_dir) -> DataFrame:
+    """Per-doc overwrite end to end (the ES _id contract,
+    /root/reference/osm/addresses.go:24): build, re-ingest every 7th doc
+    with changed content under the SAME (repo, path) key (tombstoning the
+    old versions), compact, then top-k BM25. The oracle scores a corpus
+    where each doc appears exactly once, in its newest version — so any
+    leaked old posting or stats drift breaks the hash match."""
+    import tempfile
+
+    from .operators.wand import IndexReader
+    from .sources.segments import append_segment, build_index, compact
+
+    if sf_dir not in _OVR_CACHE:
+        out = tempfile.mkdtemp(prefix="ovr_gate_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, out, build_id="base", n_buckets=8)
+        updated = (
+            docs.filter(F.col("doc_id") % _OVR_MOD == 0)
+            .withColumn("content", F.concat(F.col("content"), F.lit(_OVR_SUFFIX)))
+            .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        )
+        append_segment(spark, updated, out, build_id="upd", n_buckets=8)
+        compact(spark, out, build_id="final", n_buckets=8)
+        _OVR_CACHE[sf_dir] = out
+    reader = IndexReader(spark, _OVR_CACHE[sf_dir])
+    out = reader.topk(_OVR_QUERY, _WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_overwrite_reindex() -> str:
+    terms = sorted(set(tokenize_py(_OVR_QUERY)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    tok2 = duckdb_tokenize_sql("text2")
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_OVR_MOD} = 0 THEN text || '{_OVR_SUFFIX}' ELSE text END AS text2
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest({tok2}) AS term FROM docs2),
+tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+
+
+SQL_OVERWRITE_REINDEX = _sql_overwrite_reindex()
+
+
 def q_multifield_bm25(spark, sf_dir) -> DataFrame:
     """E8 multi-field search: BM25 over content plus a boosted BM25 over
     the path field (each field with its own df/dl/avgdl statistics, the
@@ -1184,6 +1250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
     "wand_queryset": q_wand_queryset,
+    "overwrite_reindex": q_overwrite_reindex,
     "multifield_bm25": q_multifield_bm25,
     "theta_containment": q_theta_containment,
     "embedding_lsh": q_embedding_lsh,
@@ -1228,6 +1295,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
+    "overwrite_reindex": SQL_OVERWRITE_REINDEX,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,

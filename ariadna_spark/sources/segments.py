@@ -372,6 +372,94 @@ def _build_from_tf(
     return manifest
 
 
+def _tombstones_union(spark: SparkSession, store: SegmentStore, builds: list[str]) -> DataFrame | None:
+    paths = []
+    for b in builds:
+        p = os.path.join(store.build_dir(b), "tombstones")
+        if os.path.exists(p):
+            paths.append(p)
+    if not paths:
+        return None
+    return spark.read.schema("dead_build string, doc_id long, doc_len long").parquet(*paths)
+
+
+def write_tombstones(spark: SparkSession, out_dir: str, build_id: str, new_docs: DataFrame) -> dict:
+    """Per-doc overwrite contract (ES re-bulks a document with the same
+    _id and the old version disappears, /root/reference/osm/addresses.go:24):
+    before segment `build_id` goes live, every doc in an OLDER live segment
+    whose (repo, path) key is re-ingested by this batch is marked dead —
+    (dead_build, doc_id, doc_len) rows under <segment>/tombstones plus a
+    _tombstones.json stats marker. Readers mask dead ids at decode time
+    (merge-on-read); compaction drops them physically. Like Lucene's
+    deleted docs, per-term df stays overcounted until compaction; N and
+    avgdl are corrected immediately from the marker.
+
+    Versions already tombstoned by an earlier overwrite are excluded, so a
+    twice-overwritten doc is never double-subtracted from the stats.
+    Idempotent: a marker short-circuits replays (resume safety).
+    """
+    store = SegmentStore(out_dir)
+    bdir = store.build_dir(build_id)
+    marker = os.path.join(bdir, "_tombstones.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    live = [b for b in store.live_builds() if b != build_id]
+    tdir = os.path.join(bdir, "tombstones")
+    n, dl_sum = 0, 0
+    dm_paths = []
+    for b in live:
+        p = os.path.join(store.build_dir(b), "docmap")
+        if os.path.exists(p):
+            dm_paths.append(p)
+    if dm_paths:
+        keys = new_docs.select("repo", "path").distinct()
+        bid = F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+        dead = (
+            spark.read.parquet(*dm_paths)
+            .withColumn("dead_build", bid)
+            .join(keys, ["repo", "path"])
+            .select("dead_build", "doc_id", "doc_len")
+        )
+        prior = _tombstones_union(spark, store, live)
+        if prior is not None:
+            dead = dead.join(
+                prior.select("dead_build", "doc_id"), ["dead_build", "doc_id"], "left_anti"
+            )
+        dead.write.mode("overwrite").parquet(tdir)
+        agg = (
+            spark.read.schema("dead_build string, doc_id long, doc_len long")
+            .parquet(tdir)
+            .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"))
+            .collect()[0]
+        )
+        n, dl_sum = int(agg["n"]), int(agg["dl"])
+    meta = {"n": n, "doc_len_sum": dl_sum}
+    _atomic_write_json(marker, meta)
+    return meta
+
+
+def append_segment(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    build_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    **kw,
+) -> dict:
+    """Incremental append with per-doc overwrite semantics: build the
+    segment, tombstone overwritten (repo, path) keys in older live
+    segments, then atomically append to the live list. The batch is
+    assumed key-unique (one version per (repo, path) within a batch)."""
+    docs = docs.select(*DOCS_COLUMNS)
+    manifest = build_index(
+        spark, docs, out_dir, build_id=build_id, n_buckets=n_buckets, publish=False, **kw
+    )
+    write_tombstones(spark, out_dir, build_id, docs)
+    SegmentStore(out_dir).append_live(build_id)
+    return manifest
+
+
 def compact(
     spark: SparkSession,
     out_dir: str,
@@ -406,24 +494,34 @@ def compact(
     build_id = build_id or f"compact_{int(len(live))}_{live[-1]}"
     reader = IndexReader(spark, out_dir)
 
-    # all blocks of all live segments -> posting rows (Arrow kernel)
-    blocks = None
+    # all blocks of all live segments in ONE read -> posting rows (Arrow
+    # kernel); the originating segment rides along so tombstoned versions
+    # can be dropped before the rebuild
+    all_dirs = []
     for d in reader.bdirs:
         with open(os.path.join(d, "stats.json")) as f:
             nb = json.load(f)["n_buckets"]
-        dirs = [os.path.join(d, f"bucket={b}") for b in range(nb) if os.path.exists(os.path.join(d, f"bucket={b}"))]
-        if not dirs:
-            continue
-        part = spark.read.parquet(*dirs).select(
-            "term", "doc_ids_varint", "tfs_varint", "dls_varint"
+        all_dirs += [
+            os.path.join(d, f"bucket={b}")
+            for b in range(nb)
+            if os.path.exists(os.path.join(d, f"bucket={b}"))
+        ]
+    blocks = None
+    if all_dirs:
+        blocks = (
+            spark.read.parquet(*all_dirs)
+            .withColumn(
+                "bid", F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+            )
+            .select("bid", "term", "doc_ids_varint", "tfs_varint", "dls_varint")
         )
-        blocks = part if blocks is None else blocks.unionByName(part)
 
     def explode_blocks(batches):
         for rb in batches:
             tbl = pa.Table.from_batches([rb])
-            terms, ids_l, tfs_l, dls_l, reps = [], [], [], [], []
+            ids_l, tfs_l, dls_l, reps = [], [], [], []
             t_col = tbl["term"].to_pylist()
+            b_col = tbl["bid"].to_pylist()
             for i in range(tbl.num_rows):
                 ids = delta_decode_ids(tbl["doc_ids_varint"][i].as_py())
                 tfs = varint_decode(tbl["tfs_varint"][i].as_py())
@@ -436,6 +534,7 @@ def compact(
 
             yield from pa.table(
                 {
+                    "bid": pa.array(np.repeat(np.array(b_col, dtype=object), reps)),
                     "doc_id": pa.array(np.concatenate(ids_l) if ids_l else [], type=pa.int64()),
                     "term": pa.array(np.repeat(np.array(t_col, dtype=object), reps)),
                     "tf": pa.array(
@@ -450,7 +549,17 @@ def compact(
             f"compact: no posting buckets found in any live segment of {out_dir} "
             f"(live={live}) — nothing to merge"
         )
-    tf = blocks.mapInArrow(explode_blocks, "doc_id long, term string, tf int, doc_len long")
+    tf = blocks.mapInArrow(
+        explode_blocks, "bid string, doc_id long, term string, tf int, doc_len long"
+    )
+    tomb = _tombstones_union(spark, store, live)
+    if tomb is not None:
+        # drop shadowed versions physically — the merged segment carries
+        # exact stats (N, avgdl, df) and no tombstones
+        tf = tf.join(
+            tomb.select(F.col("dead_build").alias("bid"), "doc_id"), ["bid", "doc_id"], "left_anti"
+        )
+    tf = tf.drop("bid")
     scratch = spark.conf.get("spark.local.dir", "/tmp")
     tf_ckpt = os.path.join(scratch, f"compact_tf_{uuid.uuid4().hex[:8]}")
     tf.write.mode("overwrite").parquet(tf_ckpt)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import DOCS_COLUMNS
-from ..sources.segments import SegmentStore, build_index
+from ..sources.segments import SegmentStore, build_index, write_tombstones
 
 DOCS_DDL = (
     "doc_id long, repo string, path string, commit string, lang string, "
@@ -87,6 +87,9 @@ def start_incremental_index(
             complete = os.path.exists(os.path.join(bdir, "manifest.json"))
             if prev == fp:
                 if complete:  # segment done, only the live-list append was lost
+                    write_tombstones(
+                        batch_df.sparkSession, out_dir, build_id, batch_df.select(*DOCS_COLUMNS)
+                    )  # idempotent (marker short-circuits if already written)
                     store.append_live(build_id)
                     return
                 # else: crashed mid-build with identical content -> resume
@@ -110,6 +113,11 @@ def start_incremental_index(
             build_id=build_id,
             n_buckets=n_buckets,
             publish=False,
+        )
+        # per-doc overwrite: a re-delivered (repo, path) key REPLACES the
+        # version in any older live segment (the ES _id contract)
+        write_tombstones(
+            batch_df.sparkSession, out_dir, build_id, batch_df.select(*DOCS_COLUMNS)
         )
         store.append_live(build_id)
 

@@ -66,6 +66,121 @@ def test_gc_respects_live_list(spark, incremental_index, docs, tmp_path):
     assert store.live_builds() == builds
 
 
+@pytest.fixture(scope="module")
+def overwrite_corpus(spark):
+    rows = [
+        (0, "org/a", "src/a.py", "c0", "python", "alpha merge join oldtoken shared"),
+        (1, "org/a", "src/b.py", "c1", "python", "beta window scan shared"),
+        (2, "org/b", "src/c.py", "c2", "go", "gamma filter group shared"),
+    ]
+    new_content = "alpha merge join newtoken shared refreshed"
+    ddl = (
+        "doc_id long, repo string, path string, commit string, lang string, "
+        "content string, content_sha string"
+    )
+    base = spark.createDataFrame(
+        [(i, r, p, c, l, t, None) for i, r, p, c, l, t in rows], ddl
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    upd = spark.createDataFrame(
+        [(0, "org/a", "src/a.py", "c9", "python", new_content, None)], ddl
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    return base, upd, new_content
+
+
+def test_overwrite_masks_old_version(spark, overwrite_corpus, tmp_path):
+    """Re-ingesting a (repo, path) key REPLACES the old version in query
+    results (ES _id overwrite): the dead version's unique token no longer
+    matches, the new token does, the doc count stays constant, and the
+    docmap exposes exactly one row for the key."""
+    from ariadna_spark.sources.segments import append_segment, compact
+
+    base, upd, _ = overwrite_corpus
+    out = str(tmp_path / "ovr")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd", n_buckets=2)
+
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 3  # 4 versions live-1 dead
+    assert reader.has_tombstones
+    # the dead version is never scored
+    assert reader.topk("oldtoken", 5).count() == 0
+    hits = reader.topk("newtoken", 5).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    # doc 0 scores exactly once for a term both versions contain
+    both = reader.topk("merge", 5).collect()
+    assert [r["doc_id"] for r in both].count(0) == 1
+    # docmap: one row per live key
+    dm = reader.docmap().filter((F.col("repo") == "org/a") & (F.col("path") == "src/a.py"))
+    assert dm.count() == 1
+    assert dm.first()["commit"] == "c9"
+
+
+def test_overwrite_compaction_equals_fresh_build(spark, overwrite_corpus, tmp_path):
+    """After compaction the shadowed postings are physically gone: results
+    equal a monolithic build over (unchanged docs + newest versions),
+    score-exact, and no tombstones remain."""
+    from ariadna_spark.sources.segments import append_segment, compact
+
+    base, upd, new_content = overwrite_corpus
+    out = str(tmp_path / "ovr2")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd", n_buckets=2)
+    compact(spark, out, build_id="merged", n_buckets=2)
+
+    fresh_docs = base.filter(F.col("doc_id") != 0).unionByName(upd)
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, fresh_docs, fresh, build_id="mono", n_buckets=2)
+
+    ra, rb = IndexReader(spark, out), IndexReader(spark, fresh)
+    assert not ra.has_tombstones
+    assert ra.stats["N"] == rb.stats["N"] == 3
+    assert ra.stats["avgdl"] == pytest.approx(rb.stats["avgdl"], abs=1e-12)
+    for q in ("merge join", "shared", "newtoken", "scan"):
+        a = ra.topk(q, 5).collect()
+        b = rb.topk(q, 5).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], q
+        for x, y in zip(a, b):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+
+def test_chained_overwrite_single_accounting(spark, overwrite_corpus, tmp_path):
+    """A doc overwritten twice: each dead VERSION is tombstoned exactly
+    once (no double stats subtraction), and only the newest scores."""
+    from ariadna_spark.sources.segments import append_segment
+
+    base, upd, _ = overwrite_corpus
+    out = str(tmp_path / "ovr3")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd1", n_buckets=2)
+    upd2 = upd.withColumn("content", F.lit("alpha merge finaltoken")).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    append_segment(spark, upd2, out, build_id="upd2", n_buckets=2)
+
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 3
+    assert reader.topk("newtoken", 5).count() == 0  # middle version dead too
+    assert [r["doc_id"] for r in reader.topk("finaltoken", 5).collect()] == [0]
+    assert reader.topk("merge", 5).collect()  # still queryable
+
+
+def test_streaming_redelivery_overwrites(spark, overwrite_corpus, tmp_path):
+    """The streaming path applies the overwrite contract: a later batch
+    re-delivering a changed doc under the same key shadows the old one."""
+    base, upd, _ = overwrite_corpus
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "i"), str(tmp_path / "c")
+    base.coalesce(1).write.mode("append").parquet(src)
+    builds = ingest_available(spark, src, out, ckpt, n_buckets=2)
+    assert len(builds) == 1
+    upd.coalesce(1).write.mode("append").parquet(src)
+    builds = ingest_available(spark, src, out, ckpt, n_buckets=2)
+    assert len(builds) == 2
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 3
+    assert reader.topk("oldtoken", 5).count() == 0
+    assert [r["doc_id"] for r in reader.topk("newtoken", 5).collect()] == [0]
+
+
 def test_compaction_preserves_results(spark, docs, tmp_path):
     """Compacting many small segments into one leaves query results
     rank+score identical and shrinks the live set to one build."""
