@@ -1,0 +1,157 @@
+"""Geo k-NN: grid-cell-bucketed haversine top-k (SURVEY.md E7).
+
+The reference's second query endpoint is a reverse geocode — Elasticsearch
+sorts by `_geo_distance` from a (lat, lon) and returns the nearest rows
+(/root/reference/osm/osm.go:182, client contract public/static/js/map.js:54-71;
+the geo_point mapping /root/reference/elastic/elastic.go:41 is the one
+explicit index mapping the reference declares). Our native analog:
+
+ 1. every point is assigned a grid cell: cell_x = floor(lon / d),
+    cell_y = floor(lat / d) — pure Catalyst arithmetic, and the partition
+    key for the written index (geo_index_write), so a probe reads only
+    the probed cell directories at scale;
+ 2. a query probes the Chebyshev ring of cells around its own cell,
+    expanding r = 0, 1, 2, ... Each probe is one cell-pruned filter +
+    exact haversine top-k (TakeOrdered);
+ 3. the ring stops when the current k-th distance is strictly below a
+    PROVABLE lower bound on any point outside the ring: a point outside
+    Chebyshev radius r differs by >= r*d degrees in latitude (bound
+    R * radians(r*d)) or in longitude while its latitude stays within
+    r*d of the query's (bound 2R asin(cos(band) sin(radians(r*d)/2)));
+    the minimum of the two bounds is valid, so the returned top-k equals
+    the global brute-force answer exactly.
+
+The haversine expression is written with the same primitive ops
+(radians/sin/cos/asin/sqrt/pow, clamped with least(1, .)) in Spark and in
+the DuckDB oracle fragment, so scores hash-match after rounding.
+
+Longitude domain note: the sin() monotonicity the ring bound relies on
+holds for |delta_lon| <= 180; the synthetic coordinate generator therefore
+keeps lon in [-90, 90). A production deployment near the antimeridian
+wraps cell_x modulo 360/d and probes both sides (S2/geohash coverings are
+the general answer); out of scope for this corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R_KM = 6371.0088
+
+
+def with_synth_coords(df: DataFrame, key_col: str = "c_custkey") -> DataFrame:
+    """Deterministic (lat, lon) from an integer key — exact integer
+    arithmetic, reproducible verbatim in any SQL engine (the oracle uses
+    the identical expression). lat in [-90, 90), lon in [-90, 90)."""
+    k = F.col(key_col).cast("long")
+    return df.select(
+        k.alias("id"),
+        ((k * 7919) % 18000 / 100.0 - 90.0).alias("lat"),
+        ((k * 104729) % 18000 / 100.0 - 90.0).alias("lon"),
+    )
+
+
+def duckdb_synth_coords_sql(key_sql: str) -> str:
+    return (
+        f"SELECT CAST({key_sql} AS BIGINT) AS id, "
+        f"(({key_sql} * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+        f"(({key_sql} * 104729) % 18000) / 100.0 - 90.0 AS lon"
+    )
+
+
+def haversine_km_expr(lat: Column, lon: Column, qlat: float, qlon: float) -> Column:
+    h = (
+        F.pow(F.sin(F.radians(lat - F.lit(qlat)) / 2), 2)
+        + F.cos(F.radians(F.lit(qlat)))
+        * F.cos(F.radians(lat))
+        * F.pow(F.sin(F.radians(lon - F.lit(qlon)) / 2), 2)
+    )
+    return 2 * EARTH_R_KM * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+
+
+def duckdb_haversine_sql(lat: str, lon: str, qlat: float, qlon: float) -> str:
+    return (
+        f"2 * {EARTH_R_KM} * asin(sqrt(least(1.0, "
+        f"pow(sin(radians({lat} - ({qlat})) / 2), 2) + "
+        f"cos(radians({qlat})) * cos(radians({lat})) * "
+        f"pow(sin(radians({lon} - ({qlon})) / 2), 2))))"
+    )
+
+
+def with_cells(pts: DataFrame, cell_deg: float) -> DataFrame:
+    return pts.withColumn("cell_x", F.floor(F.col("lon") / cell_deg).cast("int")).withColumn(
+        "cell_y", F.floor(F.col("lat") / cell_deg).cast("int")
+    )
+
+
+def _ring_lower_bound_km(qlat: float, r: int, cell_deg: float) -> float:
+    """Smallest possible haversine distance from the query to any point
+    OUTSIDE Chebyshev cell radius r (see module docstring for the proof
+    sketch)."""
+    if r <= 0:
+        return 0.0
+    sep = min(r * cell_deg, 180.0)
+    lat_bound = EARTH_R_KM * math.radians(sep)
+    band = min(abs(qlat) + sep, 90.0)
+    lon_bound = (
+        2
+        * EARTH_R_KM
+        * math.asin(min(1.0, math.cos(math.radians(band)) * math.sin(math.radians(sep) / 2)))
+    )
+    return min(lat_bound, lon_bound)
+
+
+def geo_knn(
+    pts: DataFrame, qlat: float, qlon: float, k: int = 10, cell_deg: float = 20.0
+) -> DataFrame:
+    """Exact k nearest points to (qlat, qlon) by haversine, found by
+    expanding cell rings; returns (id, lat, lon, dist_km) ordered by
+    (dist_km asc, id asc). Each ring probe is a cell filter — partition
+    pruning when pts is a written geo index — plus a TakeOrdered top-k;
+    the loop runs O(1) rings on any non-degenerate density.
+
+    pts: (id, lat, lon) (+ cell_x/cell_y if already cell-assigned)."""
+    if "cell_x" not in pts.columns:
+        pts = with_cells(pts, cell_deg)
+    qx, qy = math.floor(qlon / cell_deg), math.floor(qlat / cell_deg)
+    max_r = int(360.0 / cell_deg) + 1
+    dist = haversine_km_expr(F.col("lat"), F.col("lon"), qlat, qlon).alias("dist_km")
+
+    r = 0
+    while True:
+        cand = pts.filter(
+            F.col("cell_x").between(qx - r, qx + r) & F.col("cell_y").between(qy - r, qy + r)
+        )
+        top = (
+            cand.select("id", "lat", "lon", dist)
+            .orderBy(F.asc("dist_km"), F.asc("id"))
+            .limit(k)
+        )
+        if r >= max_r:
+            return top  # ring covers the globe: nothing outside
+        rows = top.collect()
+        if len(rows) == k and rows[-1]["dist_km"] < _ring_lower_bound_km(qlat, r, cell_deg):
+            return top
+        r += 1
+
+
+def geo_index_write(pts: DataFrame, path: str, cell_deg: float = 20.0) -> None:
+    """Materialize the point set physically partitioned by (cell_y,
+    cell_x): a ring probe's BETWEEN predicates become PartitionFilters, so
+    a query reads only the probed cell directories (the same pruning story
+    as the postings buckets and the ANN stores)."""
+    (
+        with_cells(pts, cell_deg)
+        .repartition("cell_y", "cell_x")
+        .write.partitionBy("cell_y", "cell_x")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+from .._pickle import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

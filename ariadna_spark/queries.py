@@ -908,6 +908,37 @@ GROUP BY tier ORDER BY tier
 _SIMHASH_CAP = 200
 
 
+_GEO_K = 10
+_GEO_QLAT, _GEO_QLON = 17.25, 42.5
+_GEO_CELL = 20.0
+
+
+def q_geo_knn(spark, sf_dir) -> DataFrame:
+    """E7 reverse-geocode analog: exact haversine k-NN found via grid-cell
+    ring probing (osm.go:182 / elastic.go:41 geo_point); the oracle is a
+    plain full-scan haversine ORDER BY LIMIT k."""
+    from .operators.geo import geo_knn, with_synth_coords
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = with_synth_coords(c)
+    out = geo_knn(pts, _GEO_QLAT, _GEO_QLON, k=_GEO_K, cell_deg=_GEO_CELL)
+    return out.select("id", F.round("dist_km", 4).alias("dist_km_r"))
+
+
+def _sql_geo_knn() -> str:
+    from .operators.geo import duckdb_haversine_sql, duckdb_synth_coords_sql
+
+    return f"""
+WITH pts AS ({duckdb_synth_coords_sql("c_custkey")} FROM customer),
+d AS (SELECT id, {duckdb_haversine_sql("lat", "lon", _GEO_QLAT, _GEO_QLON)} AS dist
+      FROM pts)
+SELECT id, round(dist, 4) AS dist_km_r FROM d ORDER BY dist ASC, id ASC LIMIT {_GEO_K}
+"""
+
+
+SQL_GEO_KNN = _sql_geo_knn()
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     """SimHash signatures over a portable sha256-derived bit family —
     reproduced exactly by the DuckDB oracle (duckdb_simhash_sql)."""
@@ -1253,6 +1284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overwrite_reindex": q_overwrite_reindex,
     "multifield_bm25": q_multifield_bm25,
     "theta_containment": q_theta_containment,
+    "geo_knn": q_geo_knn,
     "embedding_lsh": q_embedding_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1299,6 +1331,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,
+    "geo_knn": SQL_GEO_KNN,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,

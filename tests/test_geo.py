@@ -1,0 +1,100 @@
+"""Geo k-NN (E7): ring-probed grid k-NN must equal brute-force haversine
+top-k exactly, for any query point; the written index must partition-prune."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadna_spark.operators.geo import (
+    EARTH_R_KM,
+    _ring_lower_bound_km,
+    geo_index_write,
+    geo_knn,
+    haversine_km_expr,
+    with_cells,
+    with_synth_coords,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    p = with_synth_coords(c)
+    p.persist()
+    p.count()
+    return p
+
+
+def _brute(pdf, qlat, qlon, k):
+    lat = np.radians(pdf["lat"].to_numpy())
+    lon = np.radians(pdf["lon"].to_numpy())
+    ql, qo = math.radians(qlat), math.radians(qlon)
+    h = np.sin((lat - ql) / 2) ** 2 + math.cos(ql) * np.cos(lat) * np.sin((lon - qo) / 2) ** 2
+    d = 2 * EARTH_R_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    order = sorted(zip(pdf["id"].to_numpy(), d), key=lambda t: (t[1], t[0]))[:k]
+    return [int(i) for i, _ in order]
+
+
+@pytest.mark.parametrize(
+    "qlat,qlon",
+    [
+        (17.25, 42.5),   # mid-latitude
+        (0.0, 0.0),      # cell corner exactly
+        (-71.3, -88.0),  # near the domain edge / high latitude
+        (39.999, 20.001),  # just inside a cell boundary
+    ],
+)
+def test_geo_knn_equals_bruteforce(spark, pts, qlat, qlon):
+    pdf = pts.toPandas()
+    for k in (1, 10):
+        want = _brute(pdf, qlat, qlon, k)
+        got = [r["id"] for r in geo_knn(pts, qlat, qlon, k=k, cell_deg=20.0).collect()]
+        assert got == want, (qlat, qlon, k)
+
+
+def test_geo_knn_small_cells_force_ring_expansion(spark, pts):
+    """Tiny cells make the first rings empty — the expansion loop must
+    still converge to the exact answer."""
+    pdf = pts.toPandas()
+    want = _brute(pdf, 17.25, 42.5, 5)
+    got = [r["id"] for r in geo_knn(pts, 17.25, 42.5, k=5, cell_deg=2.0).collect()]
+    assert got == want
+
+
+def test_ring_bound_is_valid(spark, pts):
+    """No point outside Chebyshev radius r may be closer than the bound."""
+    pdf = with_cells(pts, 20.0).toPandas()
+    qlat, qlon = 17.25, 42.5
+    qx, qy = math.floor(qlon / 20.0), math.floor(qlat / 20.0)
+    lat = np.radians(pdf["lat"].to_numpy())
+    lon = np.radians(pdf["lon"].to_numpy())
+    ql, qo = math.radians(qlat), math.radians(qlon)
+    h = np.sin((lat - ql) / 2) ** 2 + math.cos(ql) * np.cos(lat) * np.sin((lon - qo) / 2) ** 2
+    d = 2 * EARTH_R_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    cheb = np.maximum(
+        np.abs(pdf["cell_x"].to_numpy() - qx), np.abs(pdf["cell_y"].to_numpy() - qy)
+    )
+    for r in (1, 2, 3):
+        outside = d[cheb > r]
+        if outside.size:
+            assert outside.min() >= _ring_lower_bound_km(qlat, r, 20.0) - 1e-9, r
+
+
+def test_geo_index_partition_pruned(spark, pts, tmp_path):
+    from ariadna_spark.plans import assert_partition_pruned
+
+    path = str(tmp_path / "geo_idx")
+    geo_index_write(pts, path, cell_deg=20.0)
+    stored = spark.read.parquet(path)
+    probe = stored.filter(F.col("cell_x").between(1, 2) & F.col("cell_y").between(0, 1))
+    assert_partition_pruned(probe, "cell_x")
+    assert_partition_pruned(probe, "cell_y")
+    # the stored index answers identically
+    want = [r["id"] for r in geo_knn(pts, 17.25, 42.5, k=10, cell_deg=20.0).collect()]
+    got = [r["id"] for r in geo_knn(stored, 17.25, 42.5, k=10, cell_deg=20.0).collect()]
+    assert got == want
