@@ -2,11 +2,13 @@
 
 Images/audio/video are carried as opaque `binary` columns plus typed
 metadata; the decode/feature steps run as Arrow-batched kernels over
-mapInPandas. The actual media codecs are NOT available in this container,
-so the decode step is STUBBED behind a deterministic fake (or
-NotImplementedError for the real-codec path) — but everything Spark-side
-is real and tested: schema, batch iteration, partition sizing, UDF
-signatures, and the metadata fan-out.
+mapInPandas. Two formats decode FOR REAL with pure-numpy codecs that need
+no external libs — RIFF/WAVE PCM16 and binary PPM (P6) — and their
+features are grounded in the decoded signal (rate/rms/zero-crossings,
+dimensions/channel means). Formats whose codecs are absent in this
+container (jpeg/png/mp4) fall back to a deterministic fake embedder, so
+the Spark plumbing (schema, batch iteration, partition sizing, UDF
+signatures, metadata fan-out) is exercised for every modality.
 
 Design notes for 100 TB:
 * media bytes never pass through a shuffle — all per-asset work is
@@ -39,13 +41,153 @@ FEATURE_DIM = 16
 
 
 class MediaDecodeUnavailable(NotImplementedError):
-    """Raised by the real-codec path: image/audio libs absent here."""
+    """Raised by the real-codec path for formats whose codecs are absent
+    here (jpeg/png/mp4 need external libs); WAV and PPM decode for real."""
+
+
+# ---------------------------------------------------------------------------
+# Real codecs, pure numpy/stdlib (no external media libs needed):
+# RIFF/WAVE PCM16 and binary PPM (P6).
+# ---------------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono PCM16 RIFF/WAVE encoder (test fixtures + round-trip golden)."""
+    import struct
+
+    data = np.asarray(samples).astype("<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM16 -> (rate, channels, samples[int16, interleaved])."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate = channels = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return int(rate), int(channels), np.frombuffer(data, dtype="<i2")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> HxWx3 uint8. Handles comments and
+    arbitrary whitespace in the header."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
 
 
 def decode_real(payload: bytes, mime: str):
-    raise MediaDecodeUnavailable(
-        f"no codec for {mime} in this container; use fake_features (deterministic stub)"
-    )
+    """Dispatch to a real decoder by mime. Returns a decoder-specific
+    object; raises MediaDecodeUnavailable for formats whose codecs are not
+    in this container (the Spark plumbing treats that as 'fall back to the
+    deterministic fake')."""
+    if mime in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return decode_ppm(payload)
+    raise MediaDecodeUnavailable(f"no codec for {mime} in this container")
+
+
+def _wav_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real audio features: rate, length, amplitude stats, zero-crossing
+    rate — deterministic, codec-grounded."""
+    rate, channels, samples = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    out = np.zeros(dim, dtype=np.float64)
+    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    vals = [
+        1.0,  # modality tag: audio
+        rate / 48000.0,
+        channels,
+        x.size / 1e6,
+        float(x.mean()) if x.size else 0.0,
+        float(np.sqrt(np.mean(x * x))) if x.size else 0.0,  # rms
+        float(np.abs(x).max()) if x.size else 0.0,  # peak
+        zc,
+    ]
+    out[: len(vals)] = vals[:dim]
+    return out
+
+
+def _ppm_features(payload: bytes, dim: int) -> np.ndarray:
+    """Real image features: dimensions, per-channel means, global std."""
+    img = decode_ppm(payload)
+    h, w, _ = img.shape
+    x = img.astype(np.float64) / 255.0
+    out = np.zeros(dim, dtype=np.float64)
+    vals = [
+        2.0,  # modality tag: image
+        w / 1024.0,
+        h / 1024.0,
+        w / max(h, 1),
+        float(x[..., 0].mean()),
+        float(x[..., 1].mean()),
+        float(x[..., 2].mean()),
+        float(x.std()),
+    ]
+    out[: len(vals)] = vals[:dim]
+    return out
+
+
+def real_or_fake_features(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """The per-asset feature path: REAL decode for wav/ppm, deterministic
+    fake for formats without an in-container codec."""
+    try:
+        if mime in ("audio/wav", "audio/x-wav"):
+            return _wav_features(payload, dim)
+        if mime in ("image/x-portable-pixmap", "image/ppm"):
+            return _ppm_features(payload, dim)
+        raise MediaDecodeUnavailable(mime)
+    except MediaDecodeUnavailable:
+        return _fake_feature_matrix(pd.Series([payload]), dim)[0]
 
 
 def _fake_feature_matrix(payloads: pd.Series, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -61,16 +203,22 @@ def _fake_feature_matrix(payloads: pd.Series, dim: int = FEATURE_DIM) -> np.ndar
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """(asset rows) -> (asset_id, kind, feature: array<double>) via an
-    Arrow-batched kernel. Bytes stay map-side; only features flow on."""
+    Arrow-batched kernel. Bytes stay map-side; only features flow on.
+    WAV and PPM payloads are REALLY decoded (pure-numpy codecs above);
+    formats without an in-container codec fall back to the deterministic
+    fake embedder."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_feature_matrix(pdf["payload"], dim)
+            feats = [
+                real_or_fake_features(p, m, dim)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].astype("int64"),
                     "kind": pdf["kind"],
-                    "feature": list(feats),
+                    "feature": feats,
                 }
             )
 
@@ -108,20 +256,35 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: REAL encoded payloads for the
+    formats we can decode (PCM16 WAV audio, P6 PPM images), opaque seeded
+    bytes for video (codec absent -> fake-feature path)."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}|{i}".encode()).digest() * 8
         kind = kinds[i % 3]
+        rng = np.random.default_rng(seed * 100003 + i)
+        if kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 4, dtype=np.float64)  # 250 ms
+            freq = 110.0 * (1 + i % 8)
+            samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            payload, mime, w, h, dur = encode_wav(samples, rate), "audio/wav", 0, 0, 250
+        elif kind == "image":
+            w, h = 8 + i % 24, 8 + (i * 7) % 24
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, mime, dur = encode_ppm(img), "image/x-portable-pixmap", 0
+        else:
+            payload = hashlib.sha256(f"{seed}|{i}".encode()).digest() * 8
+            mime, w, h, dur = "video/mp4", 64 + i % 512, 64 + (i * 7) % 512, (i % 10) * 1000
         rows.append(
             {
                 "asset_id": i,
                 "kind": kind,
-                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": 64 + i % 512 if kind != "audio" else 0,
-                "height": 64 + (i * 7) % 512 if kind != "audio" else 0,
-                "duration_ms": (i % 10) * 1000 if kind != "image" else 0,
+                "mime": mime,
+                "width": w,
+                "height": h,
+                "duration_ms": dur,
                 "payload": payload,
             }
         )

@@ -19,13 +19,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--config", default=None, help="YAML config (A8); ARIADNA_* env vars override it")
+    ap.add_argument("--index", default=None)
     ap.add_argument("--q", required=True)
-    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--build-id", default=None)
     ap.add_argument("--prefix", action="store_true", help="edge-ngram prefix query")
     ap.add_argument("--docmap", action="store_true", help="join repo/path onto results")
     args = ap.parse_args()
+
+    from ariadna_spark.config import load_config, resolve
+
+    cfg = load_config(args.config)
+    index_dir = resolve(args.index, cfg, "out_dir")
+    k = resolve(args.k, cfg, "k")
+    if not index_dir:
+        ap.error("--index required (flag, config file, or ARIADNA_OUT_DIR)")
 
     from pyspark.sql import SparkSession
 
@@ -34,11 +43,11 @@ def main() -> None:
 
     from ariadna_spark.operators.wand import IndexReader
 
-    reader = IndexReader(spark, args.index, build_id=args.build_id)
+    reader = IndexReader(spark, index_dir, build_id=args.build_id)
     if args.prefix:
-        df = reader.prefix_topk(args.q, args.k, with_docmap=args.docmap)
+        df = reader.prefix_topk(args.q, k, with_docmap=args.docmap)
     else:
-        df = reader.topk(args.q, args.k, with_docmap=args.docmap)
+        df = reader.topk(args.q, k, with_docmap=args.docmap)
     for row in df.collect():
         print(json.dumps(row.asDict()))
     spark.stop()

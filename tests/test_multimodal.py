@@ -1,5 +1,5 @@
-"""Multimodal plumbing: schema, Arrow batch shape, determinism — decode is
-a documented stub (no codecs in this container), the Spark side is real."""
+"""Multimodal: WAV/PPM decode for real (pure-numpy codecs), fake fallback
+for absent codecs, Arrow batch shape and partition-independence."""
 
 import numpy as np
 import pytest
@@ -7,19 +7,58 @@ import pytest
 from ariadna_spark.operators.multimodal import (
     FEATURE_DIM,
     MediaDecodeUnavailable,
+    decode_ppm,
     decode_real,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     sample_frames,
     synth_media,
 )
 
 
-def test_real_decode_is_explicit_stub():
+def test_absent_codecs_raise_explicitly():
     with pytest.raises(MediaDecodeUnavailable):
         decode_real(b"\x89PNG", "image/png")
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_real(b"\x00\x00\x00 ftypmp42", "video/mp4")
 
 
-def test_extract_features_schema_and_determinism(spark):
+def test_wav_roundtrip_and_golden():
+    samples = (np.sin(np.linspace(0, 20, 800)) * 10000).astype(np.int16)
+    payload = encode_wav(samples, rate=8000)
+    rate, channels, got = decode_wav(payload)
+    assert (rate, channels) == (8000, 1)
+    assert np.array_equal(got, samples)
+    # golden: hand-assembled minimal file, 2 samples [1, -2] @ 4 Hz
+    golden = (
+        b"RIFF\x28\x00\x00\x00WAVE"
+        b"fmt \x10\x00\x00\x00\x01\x00\x01\x00\x04\x00\x00\x00\x08\x00\x00\x00\x02\x00\x10\x00"
+        b"data\x04\x00\x00\x00\x01\x00\xfe\xff"
+    )
+    rate, channels, got = decode_wav(golden)
+    assert rate == 4 and channels == 1
+    assert got.tolist() == [1, -2]
+    assert decode_real(golden, "audio/wav")[0] == 4
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_ppm_roundtrip_and_comment_header():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # golden with a comment and odd whitespace: 1x2, red then green
+    golden = b"P6 # a comment\n2\t1\n# more\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    got = decode_ppm(golden)
+    assert got.shape == (1, 2, 3)
+    assert got[0, 0].tolist() == [255, 0, 0] and got[0, 1].tolist() == [0, 255, 0]
+    assert decode_real(golden, "image/x-portable-pixmap").shape == (1, 2, 3)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")
+
+
+def test_extract_features_real_and_fake(spark):
     media = synth_media(spark, n=30)
     f1 = extract_features(media).orderBy("asset_id").collect()
     f2 = extract_features(media.repartition(7)).orderBy("asset_id").collect()
@@ -28,8 +67,17 @@ def test_extract_features_schema_and_determinism(spark):
     for a, b in zip(f1, f2):
         assert a["asset_id"] == b["asset_id"]
         assert np.allclose(a["feature"], b["feature"])  # partition-independent
-    vals = np.array([r["feature"] for r in f1])
-    assert (vals >= -1).all() and (vals < 1).all()
+    by_kind = {}
+    for r in f1:
+        by_kind.setdefault(r["kind"], []).append(r["feature"])
+    # real paths carry their modality tag in feature[0]
+    assert all(f[0] == 1.0 for f in by_kind["audio"])
+    assert all(f[0] == 2.0 for f in by_kind["image"])
+    # audio rms of a 12000-amplitude sine ~ 12000/32768/sqrt(2)
+    assert by_kind["audio"][0][5] == pytest.approx(12000 / 32768 / np.sqrt(2), rel=0.01)
+    # video has no codec -> deterministic fake in [-1, 1)
+    vid = np.array(by_kind["video"])
+    assert (vid >= -1).all() and (vid < 1).all()
 
 
 def test_sample_frames_explode_shape(spark):
