@@ -55,10 +55,15 @@ def with_synth_coords(df: DataFrame, key_col: str = "c_custkey") -> DataFrame:
 
 
 def duckdb_synth_coords_sql(key_sql: str) -> str:
+    # CAST the integer numerator to DOUBLE so the whole expression is IEEE
+    # double arithmetic in the same order as the Spark expression — decimal
+    # intermediate math would single-round and can differ by 1 ulp, which
+    # the containment join's hard threshold (unlike rounded distances)
+    # would expose.
     return (
         f"SELECT CAST({key_sql} AS BIGINT) AS id, "
-        f"(({key_sql} * 7919) % 18000) / 100.0 - 90.0 AS lat, "
-        f"(({key_sql} * 104729) % 18000) / 100.0 - 90.0 AS lon"
+        f"CAST((({key_sql} * 7919) % 18000) AS DOUBLE) / 100.0 - 90.0 AS lat, "
+        f"CAST((({key_sql} * 104729) % 18000) AS DOUBLE) / 100.0 - 90.0 AS lon"
     )
 
 
@@ -136,6 +141,61 @@ def geo_knn(
         if len(rows) == k and rows[-1]["dist_km"] < _ring_lower_bound_km(qlat, r, cell_deg):
             return top
         r += 1
+
+
+# ---------------------------------------------------------------------------
+# True point-in-polygon containment (SURVEY.md D5): the reference tests
+# every address point against every country/town/district polygon with a
+# broadcast nested loop (/root/reference/osm/utils.go:60-88, duplicated at
+# xroads.go:55-84). Ray casting, DIVISION-FREE form (Spark 4 is ANSI by
+# default, so the textbook x-intersection division would throw on
+# horizontal edges; the cross-product sign test is equivalent, never
+# divides, and is float-exact across engines):
+#
+#   edge (i -> i+1 mod n) crosses the rightward ray from (px, py) iff
+#     (yi > py) != (yj > py)                      [straddles the ray]
+#     AND ((xj-xi)(py-yi) - (px-xi)(yj-yi) > 0) == (yj > yi)
+#   point inside iff the crossing count is odd.
+#
+# Boundary points are deliberately undefined (same as the reference's
+# geom.Contains); test/oracle data keeps points off edges.
+# ---------------------------------------------------------------------------
+def point_in_polygon_expr(px, py, xs, ys) -> Column:
+    """Pure-Catalyst ray cast: px/py scalar columns, xs/ys array<double>
+    vertex columns (open ring). No UDF, no division."""
+    n = F.size(xs)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def crossing(i):
+        xi, yi = F.element_at(xs, i + 1), F.element_at(ys, i + 1)
+        j = F.pmod(i + 1, n) + 1
+        xj, yj = F.element_at(xs, j), F.element_at(ys, j)
+        straddle = (yi > py) != (yj > py)
+        cross = (xj - xi) * (py - yi) - (px - xi) * (yj - yi)
+        return F.when(straddle & ((cross > 0) == (yj > yi)), 1).otherwise(0)
+
+    return F.pmod(F.aggregate(idx, F.lit(0), lambda acc, i: acc + crossing(i)), F.lit(2)) == 1
+
+
+def duckdb_point_in_polygon_sql(px: str, py: str, xs: str, ys: str) -> str:
+    """The identical ray cast as a DuckDB expression (1-based list access)."""
+    xi, yi = f"{xs}[i + 1]", f"{ys}[i + 1]"
+    xj, yj = f"{xs}[((i + 1) % len({xs})) + 1]", f"{ys}[((i + 1) % len({ys})) + 1]"
+    straddle = f"(({yi} > {py}) <> ({yj} > {py}))"
+    cross = f"(({xj} - {xi}) * ({py} - {yi}) - ({px} - {xi}) * ({yj} - {yi}))"
+    term = f"CASE WHEN {straddle} AND (({cross} > 0) = ({yj} > {yi})) THEN 1 ELSE 0 END"
+    return (
+        f"(list_sum(list_transform(range(0, len({xs})), i -> {term})) % 2 = 1)"
+    )
+
+
+def polygon_containment_join(pts: DataFrame, polys: DataFrame) -> DataFrame:
+    """The D5 broadcast nested-loop shape: every point against every
+    polygon; polygons are tiny dimension rows (name, xs, ys) and broadcast,
+    exactly like the reference holding all country polygons in memory."""
+    return pts.crossJoin(F.broadcast(polys)).filter(
+        point_in_polygon_expr(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys"))
+    )
 
 
 def geo_index_write(pts: DataFrame, path: str, cell_deg: float = 20.0) -> None:

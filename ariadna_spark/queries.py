@@ -908,6 +908,52 @@ GROUP BY tier ORDER BY tier
 _SIMHASH_CAP = 200
 
 
+# (name, xs, ys) open rings; vertices end in .005 so no synthetic point
+# (a .01 grid) lies exactly on an edge endpoint, and the pentagon is
+# concave to exercise the parity logic.
+_POLYS = [
+    ("quad", [-80.005, -20.005, -10.005, -70.005], [10.005, 5.005, 70.005, 80.005]),
+    ("pent", [10.005, 70.005, 80.005, 40.005, 5.005], [-80.005, -70.005, -10.005, 20.005, -20.005]),
+    ("tri", [-60.005, 40.005, 0.005], [-50.005, -40.005, 60.005]),
+]
+
+
+def q_polygon_contains(spark, sf_dir) -> DataFrame:
+    """D5 for real: point-in-polygon broadcast nested-loop join
+    (utils.go:60-88) via a division-free ray cast in pure Catalyst;
+    the oracle runs the identical expression as DuckDB list SQL."""
+    from .operators.geo import polygon_containment_join, with_synth_coords
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = with_synth_coords(c)
+    polys = spark.createDataFrame(_POLYS, "name string, xs array<double>, ys array<double>")
+    j = polygon_containment_join(pts, polys)
+    return (
+        j.groupBy("name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"), F.round(F.avg("lat"), 4).alias("avg_lat"))
+        .orderBy("name")
+    )
+
+
+def _sql_polygon_contains() -> str:
+    from .operators.geo import duckdb_point_in_polygon_sql, duckdb_synth_coords_sql
+
+    vals = ", ".join(
+        f"('{name}', CAST({xs} AS DOUBLE[]), CAST({ys} AS DOUBLE[]))" for name, xs, ys in _POLYS
+    )
+    pip = duckdb_point_in_polygon_sql("lon", "lat", "xs", "ys")
+    return f"""
+WITH pts AS ({duckdb_synth_coords_sql("c_custkey")} FROM customer),
+polys(name, xs, ys) AS (VALUES {vals})
+SELECT name, CAST(count(*) AS BIGINT) AS n_pts, round(avg(lat), 4) AS avg_lat
+FROM pts CROSS JOIN polys
+WHERE {pip}
+GROUP BY name ORDER BY name
+"""
+
+
+SQL_POLYGON_CONTAINS = _sql_polygon_contains()
+
 _GEO_K = 10
 _GEO_QLAT, _GEO_QLON = 17.25, 42.5
 _GEO_CELL = 20.0
@@ -1285,6 +1331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multifield_bm25": q_multifield_bm25,
     "theta_containment": q_theta_containment,
     "geo_knn": q_geo_knn,
+    "polygon_contains": q_polygon_contains,
     "embedding_lsh": q_embedding_lsh,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1332,6 +1379,7 @@ ORACLES: dict[str, str] = {
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,
     "geo_knn": SQL_GEO_KNN,
+    "polygon_contains": SQL_POLYGON_CONTAINS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,

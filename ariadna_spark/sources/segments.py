@@ -126,7 +126,7 @@ def build_index(
     n_buckets: int = DEFAULT_BUCKETS,
     block_size: int = BLOCK_SIZE,
     n_salts: int = 16,
-    bucket_batch: int = 8,
+    bucket_batch: int = 16,
     publish: bool = True,
     fail_after_buckets: int | None = None,
 ) -> dict:
@@ -142,10 +142,13 @@ def build_index(
 
     docs = docs.select(*DOCS_COLUMNS)
     # ensure enough input splits that the tokenize kernel uses the whole
-    # cluster even when the source packed into few files (real 100TB inputs
-    # have plenty of splits; this branch only fires on small/test data)
+    # cluster with BALANCED tasks even when the source packed into few
+    # files (file-split packing targets max(defaultParallelism, size/128MB),
+    # which at low core counts yields e.g. 3 heavy splits on 2 cores — a
+    # 33% straggler tax). Real 100TB inputs have plenty of splits; this
+    # branch only fires on small/test data.
     parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
+    if docs.rdd.getNumPartitions() < parallelism * 2:
         docs = docs.repartition(parallelism * 2)
     # tf is reused by three downstream passes (scalars, dfreq, postings).
     # It is checkpointed to parquet on fast local storage instead of the
@@ -190,7 +193,7 @@ def _build_from_tf(
     n_buckets: int = DEFAULT_BUCKETS,
     block_size: int = BLOCK_SIZE,
     n_salts: int = 16,
-    bucket_batch: int = 8,
+    bucket_batch: int = 16,
     publish: bool = False,
     fail_after_buckets: int | None = None,
 ) -> dict:
@@ -205,10 +208,11 @@ def _build_from_tf(
     n_docs, avgdl, total_tokens = corpus_scalars_full(dl)
 
     # term dictionary (df per term) — bucketed like postings so query-time
-    # idf lookups prune to one bucket dir + pushed-down term predicate
+    # idf lookups prune to one bucket dir + pushed-down term predicate.
+    # persist() is lazy on purpose: the terms-table write materializes it,
+    # a separate count() would be one more fixed-cost job per build.
     t0 = time.monotonic()
     dfreq = doc_freqs(tf.select("doc_id", "term", "tf")).persist()
-    dfreq.count()
     _trace("dfreq", t0)
     terms_dir = os.path.join(bdir, "terms")
     if not os.path.exists(os.path.join(bdir, "_terms.json")):

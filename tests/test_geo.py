@@ -85,6 +85,67 @@ def test_ring_bound_is_valid(spark, pts):
             assert outside.min() >= _ring_lower_bound_km(qlat, r, 20.0) - 1e-9, r
 
 
+def _pip_reference(px, py, xs, ys):
+    """Independent textbook ray cast (with the division) as the oracle for
+    the division-free Catalyst form."""
+    inside = False
+    n = len(xs)
+    for i in range(n):
+        xi, yi = xs[i], ys[i]
+        xj, yj = xs[(i + 1) % n], ys[(i + 1) % n]
+        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+            inside = not inside
+    return inside
+
+
+def test_point_in_polygon_matches_reference(spark, pts):
+    from ariadna_spark.operators.geo import polygon_containment_join
+
+    polys = [
+        ("square", [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),
+        # concave "arrow": the notch makes parity matter
+        ("arrow", [-40.0, 0.0, -40.0, -10.0], [-40.0, -20.0, 0.0, -20.0]),
+    ]
+    pdf = pts.toPandas()
+    pol = spark.createDataFrame(polys, "name string, xs array<double>, ys array<double>")
+    got = {
+        (r["name"], r["id"])
+        for r in polygon_containment_join(pts, pol).select("name", "id").collect()
+    }
+    want = set()
+    for name, xs, ys in polys:
+        for _, row in pdf.iterrows():
+            if _pip_reference(row["lon"], row["lat"], xs, ys):
+                want.add((name, int(row["id"])))
+    assert got == want
+    assert want, "fixture polygons should contain some points"
+
+
+def test_point_in_polygon_hand_cases(spark):
+    from ariadna_spark.operators.geo import point_in_polygon_expr
+
+    sq = ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 4.0, 4.0])
+    concave = ([0.0, 6.0, 6.0, 3.0, 0.0], [0.0, 0.0, 6.0, 2.5, 6.0])  # notch at top
+    cases = [
+        (2.0, 2.0, sq, True),
+        (5.0, 2.0, sq, False),
+        (-1.0, -1.0, sq, False),
+        (3.0, 3.5, concave, False),  # inside the notch = outside polygon
+        (1.0, 1.0, concave, True),
+        (5.5, 4.0, concave, True),
+    ]
+    rows = [(px, py, xs, ys, want) for px, py, (xs, ys), want in cases]
+    df = spark.createDataFrame(
+        rows, "px double, py double, xs array<double>, ys array<double>, want boolean"
+    )
+    got = df.select(
+        "want",
+        point_in_polygon_expr(F.col("px"), F.col("py"), F.col("xs"), F.col("ys")).alias("got"),
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
 def test_geo_index_partition_pruned(spark, pts, tmp_path):
     from ariadna_spark.plans import assert_partition_pruned
 
