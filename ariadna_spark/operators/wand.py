@@ -478,6 +478,36 @@ class IndexReader:
             cond = c if cond is None else (cond | c)
         return ranked.filter(cond).select("query_id", "rank", "doc_id", "score")
 
+    def scores(self, terms: list[str], range_size: int = RANGE_SIZE_DEFAULT) -> DataFrame:
+        """ALL docs matching >= 1 term, with their full BM25 scores —
+        exhaustive disjunctive mode (no top-k pruning), the building block
+        for cross-field composition where the global cut can only happen
+        AFTER field scores merge. Same kernel as topk with k = range_size:
+        a range holds at most range_size docs, so nothing is cut."""
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not terms:
+            return empty
+        blocks = self._blocks_for_terms(terms)
+        if blocks is None:
+            return empty
+        n_docs = self.stats["N"]
+        avgdl = self.stats["avgdl"]
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return wand_kernel(pdf, n_docs, avgdl, range_size, range_size)
+
+        return ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+
     def _topk_terms(
         self,
         terms: list[str],
@@ -517,6 +547,36 @@ class IndexReader:
                 F.desc("score"), F.asc("doc_id")
             )
         return out
+
+
+def multifield_topk(
+    fields: list[tuple["IndexReader", float]],
+    query: str,
+    k: int = 10,
+    range_size: int = RANGE_SIZE_DEFAULT,
+) -> DataFrame:
+    """E8 multi-field search THROUGH the index: one physical index per
+    field (the Lucene per-field inverted-index model — each field has its
+    own df/dl/avgdl statistics), score = sum over fields of
+    boost_f * BM25_f(doc). Per-field scoring is exhaustive (scores()),
+    because a doc's combined rank isn't knowable from any single field's
+    top-k; the global cut is a TakeOrdered after the field merge."""
+    terms = sorted(set(tokenize_py(query)))
+    parts = []
+    for reader, boost in fields:
+        s = reader.scores(terms, range_size=range_size)
+        parts.append(s.withColumn("score", F.col("score") * F.lit(float(boost))))
+    if not parts:
+        raise ValueError("no fields")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 register_by_value(__name__)

@@ -878,6 +878,34 @@ ORDER BY sum(s) DESC, doc_id ASC LIMIT 10
 SQL_MULTIFIELD_BM25 = _sql_multifield()
 
 
+_MF_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def q_multifield_indexed(spark, sf_dir) -> DataFrame:
+    """E8 through the INDEX (not brute force): one physical segment store
+    per field (content, path) — Lucene's per-field inverted-index model —
+    composed by multifield_topk (exhaustive per-field scores, boost-
+    weighted sum, global TakeOrdered). Same oracle as multifield_bm25."""
+    import tempfile
+
+    from .operators.wand import IndexReader, multifield_topk
+    from .sources.segments import build_index
+
+    if sf_dir not in _MF_CACHE:
+        dir_c = tempfile.mkdtemp(prefix="mf_content_")
+        dir_p = tempfile.mkdtemp(prefix="mf_path_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, dir_c, build_id="c", n_buckets=8)
+        build_index(
+            spark, docs.withColumn("content", F.col("path")), dir_p, build_id="p", n_buckets=8
+        )
+        _MF_CACHE[sf_dir] = (dir_c, dir_p)
+    dir_c, dir_p = _MF_CACHE[sf_dir]
+    rc, rp = IndexReader(spark, dir_c), IndexReader(spark, dir_p)
+    out = multifield_topk([(rc, 1.0), (rp, 2.0)], "doc en merge join", 10)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
 _TIERS = [(0.0, 2000.0, "low"), (2000.0, 6000.0, "mid"), (6000.0, 1e18, "high")]
 
 
@@ -1329,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
     "multifield_bm25": q_multifield_bm25,
+    "multifield_indexed": q_multifield_indexed,
     "theta_containment": q_theta_containment,
     "geo_knn": q_geo_knn,
     "polygon_contains": q_polygon_contains,
@@ -1377,6 +1406,7 @@ ORACLES: dict[str, str] = {
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
+    "multifield_indexed": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,
     "geo_knn": SQL_GEO_KNN,
     "polygon_contains": SQL_POLYGON_CONTAINS,

@@ -183,6 +183,38 @@ def test_salting_splits_hot_terms(spark, synth_docs):
         assert (fd[1:] > ld[:-1]).all(), f"blocks of {t} overlap across salts"
 
 
+def test_scores_exhaustive_matches_bruteforce(spark, docs, index_dir):
+    """scores() (disjunctive exhaustive mode) returns EVERY matching doc
+    with its exact BM25 score — the cross-field composition contract."""
+    from ariadna_spark.operators.topk import bm25_topk
+
+    reader = IndexReader(spark, index_dir)
+    terms = ["merge", "join"]
+    got = {r["doc_id"]: r["score"] for r in reader.scores(terms).collect()}
+    want = {r["doc_id"]: r["score"] for r in bm25_topk(docs, "merge join", 10**6).collect()}
+    assert set(got) == set(want)
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_multifield_through_index_matches_bruteforce(spark, docs, tmp_path):
+    """Per-field indexes + boost-weighted merge == the brute-force
+    multifield scorer (same per-field stats model)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ariadna_spark import queries as Q
+    from ariadna_spark.operators.wand import multifield_topk
+
+    sf = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    expected = Q.q_multifield_bm25(spark, sf).collect()
+    got = Q.q_multifield_indexed(spark, sf).collect()
+    assert [(r["doc_id"], r["score_r"]) for r in got] == [
+        (r["doc_id"], r["score_r"]) for r in expected
+    ]
+
+
 def test_prefix_topk_expansion(spark, docs, index_dir):
     """Prefix query through the ngram table == brute-force OR over the
     LIKE-matched vocabulary."""
