@@ -1311,6 +1311,51 @@ FROM documents WHERE regexp_extract(text, '^(the|a|spark) ', 1) <> '' ORDER BY d
 """
 
 
+def q_window_agg(spark, sf_dir) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch face of the
+    streaming windowed-agg operator; F.window aligns to epoch, so 1-hour
+    tumbling == date_trunc('hour'))."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_v")
+        .orderBy("w_start", "event_type")
+    )
+
+
+SQL_WINDOW_AGG = """
+SELECT date_trunc('hour', ts) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_json_extract(spark, sf_dir) -> DataFrame:
+    """JSON property extraction (B7's inverse: parse, not serialize):
+    props is a JSON string column; group by a derived key."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy(F.pmod(k, F.lit(10)).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
+       CAST(count(*) AS BIGINT) AS n, round(avg(value), 4) AS avg_v
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_window_rank(spark, sf_dir) -> DataFrame:
     """Window function: top-balance customer per nation."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1378,6 +1423,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_fanout": q_union_fanout,
     "prefix_norm": q_prefix_norm,
     "window_rank": q_window_rank,
+    "window_agg": q_window_agg,
+    "json_extract": q_json_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -1423,4 +1470,6 @@ ORACLES: dict[str, str] = {
     "union_fanout": SQL_UNION_FANOUT,
     "prefix_norm": SQL_PREFIX_NORM,
     "window_rank": SQL_WINDOW_RANK,
+    "window_agg": SQL_WINDOW_AGG,
+    "json_extract": SQL_JSON_EXTRACT,
 }

@@ -179,8 +179,15 @@ def scaling_run(n_docs: int = 300_000, core_levels: tuple = (2, 8, 32), trials: 
                 argv = [sys.executable, "-c", cmd]
                 if shutil.which("taskset"):
                     argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
+                # GC worker threads sized to the emulated executor, like a
+                # real c-core executor JVM (default = host cores = 32,
+                # which thrashes when pinned to 2 CPUs)
+                env = dict(os.environ)
+                env["SPARK_GC_OPTS"] = (
+                    f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cores, 2)}"
+                )
                 proc = subprocess.run(
-                    argv, check=True, capture_output=True, text=True
+                    argv, check=True, capture_output=True, text=True, env=env
                 )
                 line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
                 r = json.loads(line[len("RESULT "):])

@@ -181,6 +181,49 @@ def test_streaming_redelivery_overwrites(spark, overwrite_corpus, tmp_path):
     assert [r["doc_id"] for r in reader.topk("newtoken", 5).collect()] == [0]
 
 
+def test_watermark_window_agg_drops_late_rows(spark, tmp_path):
+    """Append-mode watermarked windows: a window is emitted exactly once
+    when the watermark passes its end; rows later than the watermark are
+    dropped (bounded state — the at-scale contract)."""
+    import datetime as dt
+
+    from ariadna_spark.streaming.windowed import run_to_parquet, windowed_counts_stream
+
+    src, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ck"), str(tmp_path / "out")
+    T = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        df = spark.createDataFrame(
+            [(i, T + dt.timedelta(minutes=m), 1, et, 1.0) for i, (m, et) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        run_to_parquet(windowed_counts_stream(spark, src, watermark="2 hours"), out, ckpt)
+        return (
+            spark.read.schema("w_start timestamp, event_type string, n long")
+            .parquet(out)
+            .collect()
+        )
+
+    # batch 1: events in [10:00, 12:00); max ts 11:50 -> watermark 09:50,
+    # no window closed yet -> append emits nothing
+    batch([(600, "click"), (610, "click"), (700, "view"), (710, "click")])
+    assert len(drain()) == 0
+
+    # batch 2: an event at 14:30 -> watermark 12:30 -> the 10:00 and 11:00
+    # windows finalize with the batch-1 counts
+    batch([(870, "view")])
+    got = {(r["w_start"].hour, r["event_type"]): r["n"] for r in drain()}
+    assert got == {(10, "click"): 2, (11, "view"): 1, (11, "click"): 1}
+
+    # batch 3: a LATE click at 10:30 (behind the 12:30 watermark) is
+    # dropped — its (already emitted) window must not re-emit or grow
+    batch([(630, "click")])
+    assert len(drain()) == 3  # unchanged: late row contributed nothing
+
+
 def test_compaction_preserves_results(spark, docs, tmp_path):
     """Compacting many small segments into one leaves query results
     rank+score identical and shrinks the live set to one build."""
