@@ -328,6 +328,58 @@ SQL_MINHASH_SIGNATURES = (
 )
 
 
+_SHINGLE_W = 3
+_SHINGLE_CAP = 200
+
+
+def q_minhash_shingles(spark, sf_dir) -> DataFrame:
+    """MinHash over w=3 token shingles (the canonical near-dup feature for
+    text: contiguous token windows, not unigram sets). Shingles are built
+    JVM-side from the analyzer's token array; hash family is the same
+    portable sha256(i || '|' || shingle)."""
+    docs = load_docs(spark, sf_dir)
+    from .analyze import tokenize_udf
+
+    toks = docs.filter(F.col("doc_id") < _SHINGLE_CAP).select(
+        "doc_id", tokenize_udf(F.col("content")).alias("t")
+    )
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - _SHINGLE_W)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(_SHINGLE_W)]
+        ),
+    )
+    shingles = (
+        toks.filter(n >= _SHINGLE_W)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("shingle")), 256)).alias(f"mh{i}")
+        for i in _MINHASH_SEEDS
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _sql_minhash_shingles() -> str:
+    mh = ", ".join(f"min(sha256('{i}' || '|' || shingle)) AS mh{i}" for i in _MINHASH_SEEDS)
+    return f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < {_SHINGLE_CAP}),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(t) - {_SHINGLE_W} + 1),
+                i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS shingle
+  FROM d WHERE len(t) >= {_SHINGLE_W}
+)
+SELECT doc_id, {mh} FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SQL_MINHASH_SHINGLES = _sql_minhash_shingles()
+
+
 _JACC_CAP = 150
 _JACC_T = 0.7
 
@@ -1392,6 +1444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_first": q_dedup_keep_first,
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
+    "minhash_shingles": q_minhash_shingles,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
@@ -1440,6 +1493,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
     "near_dup_lsh": SQL_NEAR_DUP_LSH,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_shingles": SQL_MINHASH_SHINGLES,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     # embedding_lsh / media_features: rows-only (engine-side plane
