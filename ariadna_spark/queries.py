@@ -1126,12 +1126,17 @@ SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
 _ANN_CACHE: dict[str, str] = {}
+_LSH_QVEC = 3
+_LSH_PLANES = 8
+_LSH_TABLES = 4
 
 
 def q_embedding_lsh(spark, sf_dir) -> DataFrame:
     """Multi-table LSH ANN over a PHYSICALLY (table,bucket)-partitioned
-    parquet store — the query reads only probed partition dirs (rows-only
-    check: plane generation is engine-side)."""
+    parquet store — the query reads only probed partition dirs. Oracle-
+    paired: the hyperplanes are deterministic constants (splitmix64), so
+    the oracle SQL inlines them and replays the exact bucket assignment,
+    multi-probe candidate generation, and cosine re-score."""
     import tempfile
 
     from .operators.similarity import lsh_index_read, lsh_index_write, lsh_topk
@@ -1139,13 +1144,73 @@ def q_embedding_lsh(spark, sf_dir) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if sf_dir not in _ANN_CACHE:
         out = tempfile.mkdtemp(prefix="ann_lsh_")
-        lsh_index_write(emb, out, n_planes=8, n_tables=4)
+        lsh_index_write(emb, out, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
         _ANN_CACHE[sf_dir] = out
     indexed, tables = lsh_index_read(spark, _ANN_CACHE[sf_dir])
-    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    q = list(emb.filter(F.col("vec_id") == _LSH_QVEC).select("embedding").first()[0])
     return lsh_topk(indexed, tables, q, k=10, probe_hamming=1).select(
         "vec_id", F.round("cos", 4).alias("cos_r")
     )
+
+
+def _sql_embedding_lsh(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Replays the engine's LSH end to end in SQL: per-table bucket id from
+    the inlined deterministic planes (left-fold dot via list_dot_product —
+    the 4-decimal rounding and the fixed driver dataset make the hard sign
+    threshold reproducible), query bucket + 1-bit multi-probe ring,
+    candidate union across tables, exact cosine top-k."""
+    import numpy as np
+
+    from .operators.similarity import _planes
+
+    dim = 64  # driver embeddings are 64-dim at every sf
+    tables = [_planes(dim, _LSH_PLANES, 1234 + 7919 * t) for t in range(_LSH_TABLES)]
+
+    def plane_lit(p: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    bucket_exprs = []
+    for planes in tables:
+        bits = [
+            f"CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        ]
+        bucket_exprs.append("(" + " + ".join(bits) + ")")
+
+    probe_conds = []
+    for t, be in enumerate(bucket_exprs):
+        # query bucket + all 1-bit flips, as literals (computed at q time)
+        probe_conds.append(
+            f"({be} IN (SELECT qb FROM qbuckets WHERE t = {t}))"
+        )
+    qb_rows = []
+    for t, be in enumerate(bucket_exprs):
+        qbe = be.replace("list_dot_product(v,", "list_dot_product(qv,")
+        qb_rows.append(f"SELECT {t} AS t, {qbe} AS qb0 FROM q")
+    flips = ", ".join(str(1 << i) for i in range(_LSH_PLANES))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_LSH_QVEC}),
+qb0s AS ({' UNION ALL '.join(qb_rows)}),
+qbuckets AS (
+  SELECT t, qb0 AS qb FROM qb0s
+  UNION ALL
+  SELECT t, xor(qb0, f.f) AS qb FROM qb0s, (SELECT unnest([{flips}]) AS f) f
+),
+cand AS (
+  SELECT DISTINCT vec_id, v FROM e WHERE {' OR '.join(probe_conds)}
+),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(v, (SELECT qv FROM q))
+         / (sqrt(list_dot_product(v, v)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cos
+  FROM cand
+)
+SELECT vec_id, round(cos, 4) AS cos_r FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+SQL_EMBEDDING_LSH = _sql_embedding_lsh()
 
 
 _EMB_DUP_T = 0.45  # random 64-dim embeddings: top pair similarities ~0.5
@@ -1178,7 +1243,9 @@ ORDER BY va, vb
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir) -> DataFrame:
-    """LSH-accelerated near-dup pairs (rows-only: approximate recall)."""
+    """LSH-accelerated near-dup pairs; the oracle replays the identical
+    deterministic bucket assignment (inlined planes) and candidate
+    self-join, so the approximate result is checked EXACTLY."""
     from .operators.similarity import lsh_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
@@ -1187,6 +1254,45 @@ def q_embedding_near_dup_lsh(spark, sf_dir) -> DataFrame:
         .select("va", "vb", F.round("cos", 4).alias("cos_r"))
         .orderBy("va", "vb")
     )
+
+
+def _sql_embedding_near_dup_lsh() -> str:
+    import numpy as np
+
+    from .operators.similarity import _planes
+
+    tables = [_planes(64, 6, 1234 + 7919 * t) for t in range(6)]
+
+    def plane_lit(p: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    buckets = []
+    for t, planes in enumerate(tables):
+        bits = [
+            f"CASE WHEN list_dot_product(v, {plane_lit(p)}) > 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        ]
+        buckets.append(f"SELECT {t} AS tbl, (" + " + ".join(bits) + ") AS bucket, vec_id, v FROM e")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300
+),
+idx AS ({' UNION ALL '.join(buckets)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb, a.v AS xa, b.v AS xb
+  FROM idx a JOIN idx b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT va, vb,
+         list_dot_product(xa, xb)
+         / (sqrt(list_dot_product(xa, xa)) * sqrt(list_dot_product(xb, xb))) AS cos
+  FROM cand
+)
+SELECT va, vb, round(cos, 4) AS cos_r FROM scored WHERE cos >= {_EMB_DUP_T} ORDER BY va, vb
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _sql_embedding_near_dup_lsh()
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:
@@ -1496,8 +1602,10 @@ ORACLES: dict[str, str] = {
     "minhash_shingles": SQL_MINHASH_SHINGLES,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
-    # embedding_lsh / media_features: rows-only (engine-side plane
-    # generation / decode stubs have no DuckDB equivalent)
+    "embedding_lsh": SQL_EMBEDDING_LSH,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
+    # media_features: rows-only (real WAV/PPM decode has no SQL analog;
+    # video features are a documented deterministic fake)
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_metrics": SQL_QUALITY_METRICS,
