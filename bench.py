@@ -209,9 +209,110 @@ def scaling_run(n_docs: int = 300_000, core_levels: tuple = (2, 8, 32), trials: 
     return out
 
 
+def _build_shard(corpus_dir: str, cores: int, shard: int, n_shards: int, out: str) -> dict:
+    """One emulated executor: a pinned 8-core JVM building its shard of the
+    corpus as an independent segment (the production segment model — the
+    reader merges segments with results rank-identical to a monolithic
+    build, proven in tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.sources.segments import build_index
+
+    spark = _mk_spark(cores, f"ariadna-exec-{shard}")
+    try:
+        docs = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+        if n_shards > 1:
+            docs = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_shards)) == shard)
+        t0 = time.monotonic()
+        manifest = build_index(spark, docs, out, build_id=f"shard{shard}", n_buckets=16)
+        return {"shard": shard, "build_sec": time.monotonic() - t0, "docs": manifest["stats"]["N"]}
+    finally:
+        spark.stop()
+
+
+def executor_scaling_run(n_docs: int = 800_000, exec_cores: int = 8, trials: int = 2) -> dict:
+    """N vs 4N EXECUTORS, emulated faithfully: 1 pinned 8-core JVM builds
+    the whole corpus as one segment vs 4 concurrently-running pinned
+    8-core JVMs each building a quarter as its own segment (separate JVM
+    heaps, GCs and python workers — exactly what distinguishes executors
+    from threads; only the box's memory bandwidth stays shared, which a
+    real cluster would also multiply). Efficiency = T(1 exec)/(4 * T(4 exec)).
+    """
+    import subprocess
+
+    corpus_dir = _fast_tmp("exec_scale_")
+    try:
+        gen_cmd = (
+            "import sys; sys.path.insert(0, %r); "
+            "from ariadna_spark.session import get_spark; "
+            "from ariadna_spark.corpus import synth_code_corpus_distributed; "
+            "s = get_spark('exec-gen', cores=32); "
+            "synth_code_corpus_distributed(s, %d).write.mode('overwrite').parquet(%r); "
+            "s.stop()"
+        ) % (os.path.dirname(os.path.abspath(__file__)), n_docs, os.path.join(corpus_dir, "docs"))
+        subprocess.run([sys.executable, "-c", gen_cmd], check=True, capture_output=True)
+
+        def shard_cmd(cpu_lo: int, shard: int, n_shards: int, out: str) -> list[str]:
+            code = (
+                "import sys, json; sys.path.insert(0, %r); import bench; "
+                "print('RESULT ' + json.dumps(bench._build_shard(%r, %d, %d, %d, %r)))"
+            ) % (
+                os.path.dirname(os.path.abspath(__file__)),
+                corpus_dir, exec_cores, shard, n_shards, out,
+            )
+            argv = [sys.executable, "-c", code]
+            if shutil.which("taskset"):
+                argv = ["taskset", "-c", f"{cpu_lo}-{cpu_lo + exec_cores - 1}"] + argv
+            env = dict(os.environ)
+            env["SPARK_GC_OPTS"] = f"-XX:+UseParallelGC -XX:ParallelGCThreads={exec_cores}"
+            return argv, env
+
+        best1 = best4 = None
+        for _ in range(trials):
+            # 1 executor: whole corpus, one segment
+            out1 = _fast_tmp("exec1_")
+            argv, env = shard_cmd(0, 0, 1, out1)
+            t0 = time.monotonic()
+            subprocess.run(argv, check=True, capture_output=True, env=env)
+            t1 = time.monotonic() - t0
+            shutil.rmtree(out1, ignore_errors=True)
+            best1 = t1 if best1 is None else min(best1, t1)
+
+            # 4 executors: four shards, four concurrent pinned JVMs
+            outs = [_fast_tmp(f"exec4_{i}_") for i in range(4)]
+            procs = []
+            t0 = time.monotonic()
+            for i in range(4):
+                argv, env = shard_cmd(i * exec_cores, i, 4, outs[i])
+                procs.append(subprocess.Popen(argv, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env))
+            for p in procs:
+                rc = p.wait()
+                if rc != 0:
+                    raise RuntimeError(f"shard build failed rc={rc}")
+            t4 = time.monotonic() - t0
+            for o in outs:
+                shutil.rmtree(o, ignore_errors=True)
+            best4 = t4 if best4 is None else min(best4, t4)
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    return {
+        "n_docs": n_docs,
+        "exec_cores": exec_cores,
+        "trials": trials,
+        "build_sec_1exec": round(best1, 2),
+        "build_sec_4exec": round(best4, 2),
+        "throughput_1exec_docs_sec": round(n_docs / best1, 1),
+        "throughput_4exec_docs_sec": round(n_docs / best4, 1),
+        "executor_scaling_efficiency": round(best1 / (4.0 * best4), 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="also run the core-scaling ladder")
+    ap.add_argument("--executor-scaling", action="store_true",
+                    help="also run the 1-vs-4 pinned-executor-JVM comparison")
     ap.add_argument("--scaling-docs", type=int, default=300_000, help="synthetic corpus size for --scaling")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
@@ -244,6 +345,8 @@ def main():
     }
     if args.scaling:
         result["scaling"] = scaling_run(n_docs=args.scaling_docs)
+    if args.executor_scaling:
+        result["executor_scaling"] = executor_scaling_run(n_docs=args.scaling_docs)
     print(json.dumps(result))
 
 
