@@ -113,6 +113,12 @@ def test_overwrite_masks_old_version(spark, overwrite_corpus, tmp_path):
     dm = reader.docmap().filter((F.col("repo") == "org/a") & (F.col("path") == "src/a.py"))
     assert dm.count() == 1
     assert dm.first()["commit"] == "c9"
+    # the batch scorer and the exhaustive scorer mask the dead version too
+    rows = reader.topk_many([(0, "oldtoken", 5), (1, "newtoken", 5)]).collect()
+    assert not [r for r in rows if r["query_id"] == 0]
+    assert [r["doc_id"] for r in rows if r["query_id"] == 1] == [0]
+    assert reader.scores(["oldtoken"]).count() == 0
+    assert [r["doc_id"] for r in reader.scores(["newtoken"]).collect()] == [0]
 
 
 def test_overwrite_compaction_equals_fresh_build(spark, overwrite_corpus, tmp_path):
