@@ -55,6 +55,57 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonicalize(df: DataFrame) -> DataFrame:
+    """Any source with the input_hint columns -> canonical docs frame with
+    the E4 ingest invariant recomputed (sha2(content, 256) per row)."""
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("repo").cast("string"),
+        F.col("path").cast("string"),
+        F.col("commit").cast("string"),
+        F.col("lang").cast("string"),
+        F.col("content").cast("string"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+DOCS_READ_DDL = (
+    "doc_id long, repo string, path string, commit string, lang string, content string"
+)
+
+
+def load_docs_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog-table source (the north rule's input is an Iceberg TABLE of
+    source-code repositories): `spark.table(name)` resolves through the
+    session catalog, so with an Iceberg catalog configured
+    (spark.sql.catalog.* + iceberg-spark-runtime on the cluster) the same
+    call reads the Iceberg table with snapshot isolation and partition
+    pruning; in this container it is exercised against the built-in
+    catalog. No format-specific code anywhere downstream."""
+    return _canonicalize(spark.table(table))
+
+
+def load_docs_json(spark: SparkSession, path: str) -> DataFrame:
+    """NDJSON source (A4's inverse): one JSON doc per line. Explicit
+    schema — never schema inference on a 100 TB input."""
+    return _canonicalize(spark.read.schema(DOCS_READ_DDL).json(path))
+
+
+def load_docs_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV source with explicit schema + header; multiline quoting on so
+    embedded newlines survive. KNOWN LIMITATION (tested, documented): the
+    CSV layer cannot round-trip a value that ENDS with a line separator —
+    one trailing newline inside a quoted field is consumed as part of the
+    record terminator — so the sha256 ingest invariant only holds for
+    newline-trimmed content. Prefer parquet/JSON/table sources for source
+    code; this connector exists for newline-free tabular corpora."""
+    return _canonicalize(
+        spark.read.schema(DOCS_READ_DDL)
+        .options(header=True, multiLine=True, escape='"')
+        .csv(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Synthetic source-code corpus (tests only; FIXTURES.md §1)
 # ---------------------------------------------------------------------------

@@ -146,6 +146,43 @@ def test_point_in_polygon_hand_cases(spark):
         assert r["got"] == r["want"]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        qlat=st.floats(-89.99, 89.99),
+        qlon=st.floats(-89.99, 89.99),
+        cell=st.sampled_from([2.0, 5.0, 10.0, 20.0, 45.0]),
+        r=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_ring_bound_property(qlat, qlon, cell, r, seed):
+        """PROPERTY: no point outside Chebyshev cell radius r is ever
+        closer than _ring_lower_bound_km — over random queries, cell sizes
+        and point clouds (pure numpy; the correctness of geo_knn's early
+        stop reduces to exactly this)."""
+        rng = np.random.default_rng(seed)
+        lat = rng.uniform(-90, 90, 400)
+        lon = rng.uniform(-90, 90, 400)
+        cx, cy = np.floor(lon / cell), np.floor(lat / cell)
+        qx, qy = math.floor(qlon / cell), math.floor(qlat / cell)
+        outside = np.maximum(np.abs(cx - qx), np.abs(cy - qy)) > r
+        if not outside.any():
+            return
+        la, lo_ = np.radians(lat[outside]), np.radians(lon[outside])
+        ql, qo = math.radians(qlat), math.radians(qlon)
+        h = (
+            np.sin((la - ql) / 2) ** 2
+            + math.cos(ql) * np.cos(la) * np.sin((lo_ - qo) / 2) ** 2
+        )
+        d = 2 * EARTH_R_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+        assert d.min() >= _ring_lower_bound_km(qlat, r, cell) - 1e-6
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass
+
+
 def test_geo_index_partition_pruned(spark, pts, tmp_path):
     from ariadna_spark.plans import assert_partition_pruned
 
