@@ -21,7 +21,18 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import os as _os
+import tempfile as _tempfile
+
 from .analyze import duckdb_tokenize_sql, edge_ngrams_expr, tokenize_py
+
+
+def _gate_tmp(prefix: str) -> str:
+    """Driver-gate scratch dirs on tmpfs when available: the sandbox's
+    ext4 virtual disk serializes concurrent writers (see session._local_dir);
+    these caches live for the process only."""
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    return _tempfile.mkdtemp(prefix=prefix, dir=base)
 from .corpus import load_docs
 from .functions.bm25 import bm25_expr, duckdb_bm25_sql, idf_expr
 from .operators.topk import bm25_topk_from_stats
@@ -702,13 +713,11 @@ def q_wand_topk(spark, sf_dir) -> DataFrame:
     """THE indexed path under the correctness gate: full segment build
     (compressed postings + manifest) then block-max WAND top-k; the oracle
     is the brute-force BM25 SQL — rank AND score identity end-to-end."""
-    import tempfile
-
     from .operators.wand import IndexReader
     from .sources.segments import build_index
 
     if sf_dir not in _WAND_CACHE:
-        out = tempfile.mkdtemp(prefix="wand_gate_")
+        out = _gate_tmp("wand_gate_")
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, out, build_id="gate", n_buckets=8)
         _WAND_CACHE[sf_dir] = out
@@ -726,13 +735,11 @@ _PREFIX_Q = "sc"
 def q_prefix_topk(spark, sf_dir) -> DataFrame:
     """E1 prefix fallback end-to-end: edge-ngram expansion through the
     segment index, BM25 OR-scored; oracle expands via LIKE."""
-    import tempfile
-
     from .operators.wand import IndexReader
     from .sources.segments import build_index
 
     if sf_dir not in _WAND_CACHE:
-        out = tempfile.mkdtemp(prefix="wand_gate_")
+        out = _gate_tmp("wand_gate_")
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, out, build_id="gate", n_buckets=8)
         _WAND_CACHE[sf_dir] = out
@@ -773,13 +780,11 @@ def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
     queryset oracle exactly."""
-    import tempfile
-
     from .operators.wand import IndexReader
     from .sources.segments import build_index
 
     if sf_dir not in _WAND_CACHE:
-        out = tempfile.mkdtemp(prefix="wand_gate_")
+        out = _gate_tmp("wand_gate_")
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, out, build_id="gate", n_buckets=8)
         _WAND_CACHE[sf_dir] = out
@@ -803,13 +808,11 @@ def q_overwrite_reindex(spark, sf_dir) -> DataFrame:
     old versions), compact, then top-k BM25. The oracle scores a corpus
     where each doc appears exactly once, in its newest version — so any
     leaked old posting or stats drift breaks the hash match."""
-    import tempfile
-
     from .operators.wand import IndexReader
     from .sources.segments import append_segment, build_index, compact
 
     if sf_dir not in _OVR_CACHE:
-        out = tempfile.mkdtemp(prefix="ovr_gate_")
+        out = _gate_tmp("ovr_gate_")
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, out, build_id="base", n_buckets=8)
         updated = (
@@ -938,14 +941,12 @@ def q_multifield_indexed(spark, sf_dir) -> DataFrame:
     per field (content, path) — Lucene's per-field inverted-index model —
     composed by multifield_topk (exhaustive per-field scores, boost-
     weighted sum, global TakeOrdered). Same oracle as multifield_bm25."""
-    import tempfile
-
     from .operators.wand import IndexReader, multifield_topk
     from .sources.segments import build_index
 
     if sf_dir not in _MF_CACHE:
-        dir_c = tempfile.mkdtemp(prefix="mf_content_")
-        dir_p = tempfile.mkdtemp(prefix="mf_path_")
+        dir_c = _gate_tmp("mf_content_")
+        dir_p = _gate_tmp("mf_path_")
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, dir_c, build_id="c", n_buckets=8)
         build_index(
@@ -1137,13 +1138,11 @@ def q_embedding_lsh(spark, sf_dir) -> DataFrame:
     paired: the hyperplanes are deterministic constants (splitmix64), so
     the oracle SQL inlines them and replays the exact bucket assignment,
     multi-probe candidate generation, and cosine re-score."""
-    import tempfile
-
     from .operators.similarity import lsh_index_read, lsh_index_write, lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if sf_dir not in _ANN_CACHE:
-        out = tempfile.mkdtemp(prefix="ann_lsh_")
+        out = _gate_tmp("ann_lsh_")
         lsh_index_write(emb, out, n_planes=_LSH_PLANES, n_tables=_LSH_TABLES)
         _ANN_CACHE[sf_dir] = out
     indexed, tables = lsh_index_read(spark, _ANN_CACHE[sf_dir])
@@ -1214,6 +1213,27 @@ SQL_EMBEDDING_LSH = _sql_embedding_lsh()
 
 
 _EMB_DUP_T = 0.45  # random 64-dim embeddings: top pair similarities ~0.5
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_embedding_ivf(spark, sf_dir) -> DataFrame:
+    """IVF ANN through the centroid-partitioned store (rows-only: the
+    k-means coarse quantizer is data-fitted, so no static SQL can replay
+    it; probe-all == brute-force exactness is pinned in pytest instead)."""
+    from .operators.similarity import ivf_index_read, ivf_index_write, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _IVF_CACHE:
+        out = _gate_tmp("ann_ivf_")
+        ivf_index_write(emb, out, n_centroids=16)
+        _IVF_CACHE[sf_dir] = out
+    indexed, centroids = ivf_index_read(spark, _IVF_CACHE[sf_dir])
+    q = list(emb.filter(F.col("vec_id") == 11).select("embedding").first()[0])
+    return ivf_topk(indexed, centroids, q, k=10, n_probe=4).select(
+        "vec_id", F.round("cos", 4).alias("cos_r")
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:
@@ -1566,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn": q_geo_knn,
     "polygon_contains": q_polygon_contains,
     "embedding_lsh": q_embedding_lsh,
+    "embedding_ivf": q_embedding_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "media_features": q_media_features,
