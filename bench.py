@@ -101,6 +101,11 @@ def run_queries(spark, out_dir: str) -> dict:
         reader.topk("merge join", 10).collect()
         warm.append(time.monotonic() - t0)
     timings["_warm_min"] = round(min(warm), 4)
+    # edge-ngram prefix path (TakeOrdered expansion + OR-scored top-k) —
+    # informational for the same total-comparability reason
+    t0 = time.monotonic()
+    reader.prefix_topk("sc", 10).collect()
+    timings["_prefix"] = round(time.monotonic() - t0, 4)
     return timings
 
 
@@ -337,6 +342,7 @@ def main():
         spark.stop()
 
     warm_min = qt.pop("_warm_min", None)
+    prefix_sec = qt.pop("_prefix", None)
     queries = {"index_build": round(build["build_sec"], 4), **qt, **aux}
     query_p50 = statistics.median(qt.values())
     total = sum(queries.values())
@@ -351,6 +357,7 @@ def main():
         "bytes_compressed": build["bytes_compressed"],
         "query_p50_sec": round(query_p50, 4),
         "query_warm_min_sec": warm_min,
+        "query_prefix_sec": prefix_sec,
         "cpus": CPUS,
     }
     if args.scaling:
