@@ -211,6 +211,7 @@ class IndexReader:
 
         self._term_bucket_py = term_bucket_py
         self.spark = spark
+        self.out_dir = out_dir
         store = SegmentStore(out_dir)
         if build_ids is None:
             build_ids = [build_id] if build_id else store.live_builds()
@@ -263,14 +264,12 @@ class IndexReader:
     def _tombstones_df(self) -> DataFrame | None:
         if not self.has_tombstones:
             return None
-        paths = [
-            p for d in self.bdirs if os.path.exists(p := os.path.join(d, "tombstones"))
-        ]
-        if not paths:
+        from ..sources.segments import SegmentStore, TOMB_SCHEMA, tombstone_dirs
+
+        dirs = tombstone_dirs(SegmentStore(self.out_dir), self.build_ids)
+        if not dirs:
             return None
-        return self.spark.read.schema("dead_build string, doc_id long, doc_len long").parquet(
-            *paths
-        )
+        return self.spark.read.schema(TOMB_SCHEMA).parquet(*dirs)
 
     def _tomb_ranged(self, range_size: int) -> DataFrame | None:
         """Tombstones as pseudo-block rows keyed by the same rid partition
@@ -288,12 +287,18 @@ class IndexReader:
         )
 
     def docmap(self) -> DataFrame:
-        dm = self._read_parquet([os.path.join(d, "docmap") for d in self.bdirs], "docmap")
+        from ..sources.segments import BID_PATTERN, SegmentStore, docmap_dirs
+
+        # kb=<b> leaf dirs enumerated driver-side (one multi-root read of
+        # partitioned dirs is rejected by Spark's partition discovery)
+        dm = self._read_parquet(
+            docmap_dirs(SegmentStore(self.out_dir), self.build_ids), "docmap"
+        )
         t = self._tombstones_df()
         if t is None:
             return dm
         dm = dm.withColumn(
-            "bid", F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+            "bid", F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
         )
         return dm.join(
             t.select(F.col("dead_build").alias("bid"), "doc_id"), ["bid", "doc_id"], "left_anti"
@@ -342,10 +347,12 @@ class IndexReader:
             bid: max(1.0, avgdl_q / st["avgdl"])
             for bid, st in zip(self.build_ids, self.build_stats)
         }
+        from ..sources.segments import BID_PATTERN
+
         mapping = F.create_map(
             *[F.lit(x) for kv in scale_by_build.items() for x in kv]
         )
-        bid = F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+        bid = F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
         blocks = (
             self._read_parquet(dirs, "blocks")
             .filter(F.col("term").isin(terms))

@@ -44,6 +44,14 @@ from ..operators.postings import BLOCK_SIZE, build_postings, hot_terms
 from ..stats import corpus_scalars_full, doc_freqs, doc_lengths, term_freqs_dl
 
 DEFAULT_BUCKETS = 16
+DOCMAP_BUCKETS = 8  # key-hash buckets for the docmap (and tombstones)
+
+# Build-id extraction from _metadata.file_path: the GREEDY leading .* anchors
+# the match to the LAST '/builds/' component, so a store rooted under a path
+# that itself contains 'builds' (e.g. /data/builds/2026/idx) still maps every
+# file to its own build dir (ADVICE r2: a first-match regex mis-bucketed all
+# files in that layout, silently defeating the tombstone anti-joins).
+BID_PATTERN = "^.*/builds/([^/]+)/"
 
 
 def term_bucket_py(term: str, n_buckets: int) -> int:
@@ -52,6 +60,20 @@ def term_bucket_py(term: str, n_buckets: int) -> int:
 
 def term_bucket_expr(col, n_buckets: int):
     return F.pmod(F.crc32(F.col(col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def key_bucket_expr(n_buckets: int = DOCMAP_BUCKETS):
+    """Bucket of a document's (repo, path) identity key — the partition key
+    of the docmap and tombstone stores. crc32 over 'repo\\x00path' so Spark
+    and plain Python agree (same discipline as term_bucket_expr)."""
+    return F.pmod(
+        F.crc32(F.concat_ws("\x00", F.col("repo"), F.col("path")).cast("binary")),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def key_bucket_py(repo: str, path: str, n_buckets: int = DOCMAP_BUCKETS) -> int:
+    return zlib.crc32(f"{repo}\x00{path}".encode("utf-8")) % n_buckets
 
 
 def _atomic_write_json(path: str, obj) -> None:
@@ -257,14 +279,19 @@ def _build_from_tf(
         )
         _trace("ngrams_write", t0)
 
-    # docmap (D3-analog dimension table) — written once, idempotently
+    # docmap (D3-analog dimension table) — written once, idempotently,
+    # PHYSICALLY PARTITIONED by the (repo, path) key-hash bucket so the
+    # streaming-overwrite tombstone join reads only the buckets of a
+    # batch's keys (cost proportional to batch size, not corpus size).
     docmap_dir = os.path.join(bdir, "docmap")
     if not os.path.exists(os.path.join(bdir, "_docmap.json")):
         t0 = time.monotonic()
+        files_per_bucket = max(1, min(n_docs // 250_000 + 1, 64))
         (
-            docmap_df
-            .repartition(max(1, min(n_docs // 250_000 + 1, 64)))
-            .write.mode("overwrite")
+            docmap_df.withColumn("kb", key_bucket_expr())
+            .repartition(F.col("kb"), F.pmod(F.col("doc_id"), F.lit(files_per_bucket)))
+            .write.partitionBy("kb")
+            .mode("overwrite")
             .parquet(docmap_dir)
         )
         _atomic_write_json(
@@ -376,15 +403,52 @@ def _build_from_tf(
     return manifest
 
 
-def _tombstones_union(spark: SparkSession, store: SegmentStore, builds: list[str]) -> DataFrame | None:
-    paths = []
+TOMB_SCHEMA = "dead_build string, doc_id long, doc_len long"
+
+
+def tombstone_dirs(store: SegmentStore, builds: list[str], buckets: list[int] | None = None) -> list[str]:
+    """Tombstone kb=<b> leaf dirs across builds; `buckets` prunes to the
+    key-hash buckets of interest (None = all present)."""
+    dirs = []
     for b in builds:
-        p = os.path.join(store.build_dir(b), "tombstones")
-        if os.path.exists(p):
-            paths.append(p)
-    if not paths:
+        root = os.path.join(store.build_dir(b), "tombstones")
+        if not os.path.isdir(root):
+            continue
+        kbs = sorted(d for d in os.listdir(root) if d.startswith("kb="))
+        if buckets is not None:
+            want = {f"kb={kb}" for kb in buckets}
+            kbs = [d for d in kbs if d in want]
+        dirs += [os.path.join(root, d) for d in kbs]
+    return dirs
+
+
+def docmap_dirs(store: SegmentStore, builds: list[str], buckets: list[int] | None = None) -> list[str]:
+    """Docmap kb=<b> leaf dirs across builds, pruned to `buckets` — the
+    read set of the tombstone join (batch-key buckets only, never the
+    whole corpus docmap)."""
+    dirs = []
+    for b in builds:
+        root = os.path.join(store.build_dir(b), "docmap")
+        if not os.path.isdir(root):
+            continue
+        kbs = sorted(d for d in os.listdir(root) if d.startswith("kb="))
+        if buckets is not None:
+            want = {f"kb={kb}" for kb in buckets}
+            kbs = [d for d in kbs if d in want]
+        dirs += [os.path.join(root, d) for d in kbs]
+    return dirs
+
+
+def _tombstones_union(
+    spark: SparkSession,
+    store: SegmentStore,
+    builds: list[str],
+    buckets: list[int] | None = None,
+) -> DataFrame | None:
+    dirs = tombstone_dirs(store, builds, buckets)
+    if not dirs:
         return None
-    return spark.read.schema("dead_build string, doc_id long, doc_len long").parquet(*paths)
+    return spark.read.schema(TOMB_SCHEMA).parquet(*dirs)
 
 
 def write_tombstones(spark: SparkSession, out_dir: str, build_id: str, new_docs: DataFrame) -> dict:
@@ -401,6 +465,13 @@ def write_tombstones(spark: SparkSession, out_dir: str, build_id: str, new_docs:
     Versions already tombstoned by an earlier overwrite are excluded, so a
     twice-overwritten doc is never double-subtracted from the stats.
     Idempotent: a marker short-circuits replays (resume safety).
+
+    Scale shape: the docmap (and the tombstones themselves) are physically
+    partitioned by pmod(crc32(repo || path), DOCMAP_BUCKETS), so this join
+    reads ONLY the kb=<b> directories of the batch's own key buckets — the
+    per-batch overwrite cost is proportional to the batch, not the corpus
+    (round-2 verdict finding 1). The bucket set is found with one tiny
+    distinct-collect over the batch keys (<= DOCMAP_BUCKETS ints).
     """
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
@@ -411,33 +482,32 @@ def write_tombstones(spark: SparkSession, out_dir: str, build_id: str, new_docs:
     live = [b for b in store.live_builds() if b != build_id]
     tdir = os.path.join(bdir, "tombstones")
     n, dl_sum = 0, 0
-    dm_paths = []
-    for b in live:
-        p = os.path.join(store.build_dir(b), "docmap")
-        if os.path.exists(p):
-            dm_paths.append(p)
-    if dm_paths:
-        keys = new_docs.select("repo", "path").distinct()
-        bid = F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+    keys = new_docs.select("repo", "path").distinct()
+    batch_buckets = sorted(
+        int(r["kb"]) for r in keys.select(key_bucket_expr().alias("kb")).distinct().collect()
+    )
+    dm_dirs = docmap_dirs(store, live, batch_buckets)
+    if dm_dirs:
+        bid = F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
         dead = (
-            spark.read.parquet(*dm_paths)
+            spark.read.parquet(*dm_dirs)
             .withColumn("dead_build", bid)
             .join(keys, ["repo", "path"])
-            .select("dead_build", "doc_id", "doc_len")
+            .select("dead_build", "doc_id", "doc_len", key_bucket_expr().alias("kb"))
         )
-        prior = _tombstones_union(spark, store, live)
+        prior = _tombstones_union(spark, store, live, buckets=batch_buckets)
         if prior is not None:
             dead = dead.join(
                 prior.select("dead_build", "doc_id"), ["dead_build", "doc_id"], "left_anti"
             )
-        dead.write.mode("overwrite").parquet(tdir)
-        agg = (
-            spark.read.schema("dead_build string, doc_id long, doc_len long")
-            .parquet(tdir)
-            .agg(F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"))
-            .collect()[0]
-        )
-        n, dl_sum = int(agg["n"]), int(agg["dl"])
+        dead.write.partitionBy("kb").mode("overwrite").parquet(tdir)
+        written = _tombstones_union(spark, store, [build_id])
+        if written is not None:
+            agg = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+            ).collect()[0]
+            n, dl_sum = int(agg["n"]), int(agg["dl"])
     meta = {"n": n, "doc_len_sum": dl_sum}
     _atomic_write_json(marker, meta)
     return meta
@@ -515,7 +585,7 @@ def compact(
         blocks = (
             spark.read.parquet(*all_dirs)
             .withColumn(
-                "bid", F.regexp_extract(F.col("_metadata.file_path"), "/builds/([^/]+)/", 1)
+                "bid", F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
             )
             .select("bid", "term", "doc_ids_varint", "tfs_varint", "dls_varint")
         )
