@@ -87,6 +87,27 @@ def delta_decode_ids(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps.astype(np.int64))
 
 
+def positions_decode(buf: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Flattened per-posting positions stream -> absolute positions.
+
+    The stream stores, per doc, its ascending token positions delta-encoded
+    (first absolute, then gaps); per-doc boundaries come from the tfs array
+    (tf == number of positions). Vectorized reset-at-boundary cumsum:
+    within doc k starting at element s_k, pos[j] = C[j] - C[s_k - 1] where
+    C is the global cumsum (C[-1] = 0).
+    """
+    g = varint_decode(buf).astype(np.int64)
+    if g.size == 0:
+        return g
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(tfs)))
+    if int(cs[-1]) != g.size:
+        raise ValueError(f"positions stream length {g.size} != sum(tf) {int(cs[-1])}")
+    c = np.cumsum(g)
+    base = np.repeat(np.concatenate(([0], c[cs[1:-1] - 1])), tfs)
+    return c - base
+
+
 # Referenced from inside worker-side kernels; must pickle by value (see
 # _pickle.py).
 from .._pickle import register_by_value as _rbv  # noqa: E402

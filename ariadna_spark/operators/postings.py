@@ -48,7 +48,7 @@ POSTINGS_SCHEMA = (
     "term string, block_id long, n_docs int, "
     "first_doc_id long, last_doc_id long, block_max_tf int, "
     "block_max_tfnorm double, doc_ids_varint binary, tfs_varint binary, "
-    "dls_varint binary"
+    "dls_varint binary, pos_varint binary"
 )
 
 
@@ -123,6 +123,38 @@ def _encode_sorted_partition(batches, avgdl: float, block_size: int):
         np.cumsum(nb, out=off[1:])
         return [buf[off[s] : off[e]] for s, e in zip(b_starts, b_ends)]
 
+    # Positions stream (phrase/proximity queries, the match_phrase half of
+    # the delegated ES contract — ES dynamic text mapping indexes positions
+    # by default, /root/reference/elastic/elastic.go:37-44). Layout: per
+    # posting, the doc's ascending token positions delta-encoded (first
+    # absolute, then gaps), flattened across the block; per-doc boundaries
+    # at decode time come from the tfs stream (tf == len(positions)).
+    if "positions" in tbl.column_names:
+        posarr = tbl["positions"].combine_chunks()
+        eo = np.asarray(posarr.offsets, dtype=np.int64)
+        fp = np.asarray(posarr.values, dtype=np.int64)[eo[0] : eo[-1]]
+        eo = eo - eo[0]
+        if fp.size:
+            d = np.empty(fp.size, dtype=np.int64)
+            d[0] = fp[0]
+            d[1:] = fp[1:] - fp[:-1]
+            isstart = np.zeros(fp.size + 1, dtype=bool)
+            isstart[eo[:-1]] = True
+            isstart = isstart[: fp.size]
+            d[isstart] = fp[isstart]
+            if (d[~isstart] <= 0).any():
+                raise ValueError("positions not strictly increasing within a posting")
+            pbuf, pnb = varint_encode_ex(d.astype(np.uint64))
+            ebyte = np.zeros(fp.size + 1, dtype=np.int64)
+            np.cumsum(pnb, out=ebyte[1:])
+            pos_slices = [
+                pbuf[ebyte[eo[s]] : ebyte[eo[e]]] for s, e in zip(b_starts, b_ends)
+            ]
+        else:
+            pos_slices = [b""] * len(b_starts)
+    else:
+        pos_slices = [b""] * len(b_starts)
+
     out = {
         "term": terms[b_starts],
         "block_id": (salts[b_starts] << 32) | b_seq,
@@ -134,6 +166,7 @@ def _encode_sorted_partition(batches, avgdl: float, block_size: int):
         "doc_ids_varint": _sliced(varint_encode_ex(gaps)),
         "tfs_varint": _sliced(varint_encode_ex(tfs.astype(np.uint64))),
         "dls_varint": _sliced(varint_encode_ex(dls.astype(np.uint64))),
+        "pos_varint": pos_slices,
     }
     yield from pa.table(
         {
@@ -147,6 +180,7 @@ def _encode_sorted_partition(batches, avgdl: float, block_size: int):
             "doc_ids_varint": pa.array(out["doc_ids_varint"], type=pa.binary()),
             "tfs_varint": pa.array(out["tfs_varint"], type=pa.binary()),
             "dls_varint": pa.array(out["dls_varint"], type=pa.binary()),
+            "pos_varint": pa.array(out["pos_varint"], type=pa.binary()),
         }
     ).to_batches()
 
@@ -185,7 +219,10 @@ def build_postings(
         F.col("term").isin(hot) if hot else F.lit(False),
         F.floor(F.col("doc_id") * n_salts / F.lit(max(n_docs, 1))).cast("int"),
     ).otherwise(F.lit(0))
-    salted = tf.select("term", "doc_id", "tf", "doc_len").withColumn("salt", salt)
+    carry = ["term", "doc_id", "tf", "doc_len"] + (
+        ["positions"] if "positions" in tf.columns else []
+    )
+    salted = tf.select(*carry).withColumn("salt", salt)
 
     # THE build shuffle: hash-partition by (term, salt) then sort within
     # partitions — sort-based grouping lets one Arrow kernel per partition

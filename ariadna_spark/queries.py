@@ -709,10 +709,8 @@ _WAND_QUERY = "table scan filter group"
 _WAND_K = 10
 
 
-def q_wand_topk(spark, sf_dir) -> DataFrame:
-    """THE indexed path under the correctness gate: full segment build
-    (compressed postings + manifest) then block-max WAND top-k; the oracle
-    is the brute-force BM25 SQL — rank AND score identity end-to-end."""
+def _wand_gate_reader(spark, sf_dir):
+    """Shared per-sf gate index (built once per process, on tmpfs)."""
     from .operators.wand import IndexReader
     from .sources.segments import build_index
 
@@ -721,7 +719,14 @@ def q_wand_topk(spark, sf_dir) -> DataFrame:
         docs = load_docs(spark, sf_dir)
         build_index(spark, docs, out, build_id="gate", n_buckets=8)
         _WAND_CACHE[sf_dir] = out
-    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    return IndexReader(spark, _WAND_CACHE[sf_dir])
+
+
+def q_wand_topk(spark, sf_dir) -> DataFrame:
+    """THE indexed path under the correctness gate: full segment build
+    (compressed postings + manifest) then block-max WAND top-k; the oracle
+    is the brute-force BM25 SQL — rank AND score identity end-to-end."""
+    reader = _wand_gate_reader(spark, sf_dir)
     out = reader.topk(_WAND_QUERY, _WAND_K)
     return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
@@ -735,15 +740,7 @@ _PREFIX_Q = "sc"
 def q_prefix_topk(spark, sf_dir) -> DataFrame:
     """E1 prefix fallback end-to-end: edge-ngram expansion through the
     segment index, BM25 OR-scored; oracle expands via LIKE."""
-    from .operators.wand import IndexReader
-    from .sources.segments import build_index
-
-    if sf_dir not in _WAND_CACHE:
-        out = _gate_tmp("wand_gate_")
-        docs = load_docs(spark, sf_dir)
-        build_index(spark, docs, out, build_id="gate", n_buckets=8)
-        _WAND_CACHE[sf_dir] = out
-    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    reader = _wand_gate_reader(spark, sf_dir)
     out = reader.prefix_topk(_PREFIX_Q, _WAND_K)
     return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
@@ -780,19 +777,56 @@ def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
     queryset oracle exactly."""
-    from .operators.wand import IndexReader
-    from .sources.segments import build_index
-
-    if sf_dir not in _WAND_CACHE:
-        out = _gate_tmp("wand_gate_")
-        docs = load_docs(spark, sf_dir)
-        build_index(spark, docs, out, build_id="gate", n_buckets=8)
-        _WAND_CACHE[sf_dir] = out
-    reader = IndexReader(spark, _WAND_CACHE[sf_dir])
+    reader = _wand_gate_reader(spark, sf_dir)
     out = reader.topk_many([(qid, q, k) for qid, q, k in REFERENCE_QUERIES])
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score_r")
     ).orderBy("query_id", "rank")
+
+
+_PHRASE_Q = "merge join"
+
+
+def q_phrase_topk(spark, sf_dir) -> DataFrame:
+    """E5 match_phrase half (the delegated ES surface indexes positions by
+    default, /root/reference/elastic/elastic.go:37-44): exact-phrase top-k
+    through the positional index (adjacency verified on decoded position
+    streams inside the kernel); the oracle verifies adjacency with list
+    ops over the tokenized documents and scores the same BM25."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.phrase_topk(_PHRASE_Q, _WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_phrase_topk() -> str:
+    terms = list(tokenize_py(_PHRASE_Q))
+    m = len(terms)
+    uniq = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    conds = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(terms))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+matched AS (
+  SELECT doc_id FROM tl WHERE len(t) >= {m} AND
+  list_contains(list_transform(range(1, len(t) - {m} + 2), i -> {conds}), true)
+),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({uniq}) AND tf.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_PHRASE_TOPK = _sql_phrase_topk()
 
 
 _OVR_CACHE: dict[str, str] = {}
@@ -1064,6 +1098,50 @@ SELECT id, round(dist, 4) AS dist_km_r FROM d ORDER BY dist ASC, id ASC LIMIT {_
 
 
 SQL_GEO_KNN = _sql_geo_knn()
+
+_GEO_BATCH_K = 5
+
+
+def q_geo_knn_batch(spark, sf_dir) -> DataFrame:
+    """E7 at pipeline shape (VERDICT r2 missing-item 4): a SET of query
+    points k-NN-enriched in one cell-join per ring round (geo_knn_many),
+    not a per-query driver loop. Query points are the 25 nation keys run
+    through the same synth-coords expression, so the DuckDB oracle replays
+    them exactly; the oracle is the brute-force per-query top-k."""
+    from .operators.geo import geo_knn_many, with_synth_coords
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = with_synth_coords(c)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    qs = with_synth_coords(n, "n_nationkey").select(
+        F.col("id").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+    )
+    out = geo_knn_many(pts, qs, k=_GEO_BATCH_K, cell_deg=_GEO_CELL)
+    return out.select(
+        "qid", "rank", "id", F.round("dist_km", 4).alias("dist_km_r")
+    ).orderBy("qid", "rank")
+
+
+def _sql_geo_knn_batch() -> str:
+    from .operators.geo import duckdb_haversine_sql, duckdb_synth_coords_sql
+
+    hav = duckdb_haversine_sql("pts.lat", "pts.lon", "qs.qlat", "qs.qlon")
+    return f"""
+WITH pts AS ({duckdb_synth_coords_sql("c_custkey")} FROM customer),
+qs AS (SELECT id AS qid, lat AS qlat, lon AS qlon
+       FROM ({duckdb_synth_coords_sql("n_nationkey")} FROM nation)),
+d AS (SELECT qs.qid, pts.id, {hav} AS dist FROM qs CROSS JOIN pts),
+r AS (SELECT qid, id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS rank
+      FROM d)
+SELECT qid, rank, id, round(dist, 4) AS dist_km_r
+FROM r WHERE rank <= {_GEO_BATCH_K} ORDER BY qid, rank
+"""
+
+
+SQL_GEO_KNN_BATCH = _sql_geo_knn_batch()
 
 
 def q_simhash(spark, sf_dir) -> DataFrame:
@@ -1578,12 +1656,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_metrics": q_quality_metrics,
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
+    "phrase_topk": q_phrase_topk,
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
     "multifield_bm25": q_multifield_bm25,
     "multifield_indexed": q_multifield_indexed,
     "theta_containment": q_theta_containment,
     "geo_knn": q_geo_knn,
+    "geo_knn_batch": q_geo_knn_batch,
     "polygon_contains": q_polygon_contains,
     "embedding_lsh": q_embedding_lsh,
     "embedding_ivf": q_embedding_ivf,
@@ -1632,6 +1712,7 @@ ORACLES: dict[str, str] = {
     "quality_metrics": SQL_QUALITY_METRICS,
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
+    "phrase_topk": SQL_PHRASE_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
@@ -1639,6 +1720,7 @@ ORACLES: dict[str, str] = {
     "multifield_indexed": SQL_MULTIFIELD_BM25,
     "theta_containment": SQL_THETA_CONTAINMENT,
     "geo_knn": SQL_GEO_KNN,
+    "geo_knn_batch": SQL_GEO_KNN_BATCH,
     "polygon_contains": SQL_POLYGON_CONTAINS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,

@@ -151,12 +151,17 @@ def build_index(
     bucket_batch: int = 16,
     publish: bool = True,
     fail_after_buckets: int | None = None,
+    with_positions: bool = True,
 ) -> dict:
     """Full index build with per-bucket idempotent commits.
 
     fail_after_buckets: test hook — raise after committing that many
     buckets in this invocation (simulates a mid-build kill for the resume
     test, SURVEY.md §5.4).
+
+    with_positions: index token positions (default on, matching ES's
+    dynamic text mapping) — required for phrase queries; turn off to
+    shrink the index when phrase search isn't needed.
     """
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
@@ -181,7 +186,7 @@ def build_index(
     t0 = time.monotonic()
     scratch = spark.conf.get("spark.local.dir", "/tmp")
     tf_ckpt = os.path.join(scratch, f"tf_ckpt_{build_id}_{uuid.uuid4().hex[:8]}")
-    term_freqs_dl(docs).write.mode("overwrite").parquet(tf_ckpt)
+    term_freqs_dl(docs, with_positions=with_positions).write.mode("overwrite").parquet(tf_ckpt)
     tf = spark.read.parquet(tf_ckpt)
     _trace("tf+scalars", t0)
     dl = doc_lengths(tf)
@@ -324,6 +329,7 @@ def _build_from_tf(
                     F.length("doc_ids_varint")
                     + F.length("tfs_varint")
                     + F.length("dls_varint")
+                    + F.length("pos_varint")
                 ).alias("bytes_compressed"),
             )
             .collect()
@@ -380,6 +386,7 @@ def _build_from_tf(
         "build_id": build_id,
         "n_buckets": n_buckets,
         "block_size": block_size,
+        "positions": "positions" in tf.columns,
     }
     _atomic_write_json(os.path.join(bdir, "stats.json"), stats)
 
@@ -558,7 +565,7 @@ def compact(
     """
     import pyarrow as pa
 
-    from ..functions.varint import delta_decode_ids, varint_decode
+    from ..functions.varint import delta_decode_ids, positions_decode, varint_decode
     from ..operators.wand import IndexReader
 
     store = SegmentStore(out_dir)
@@ -580,6 +587,11 @@ def compact(
             for b in range(nb)
             if os.path.exists(os.path.join(d, f"bucket={b}"))
         ]
+    # positions survive compaction iff every live segment indexed them
+    has_pos = all(st.get("positions") for st in reader.build_stats)
+    block_cols = ["bid", "term", "doc_ids_varint", "tfs_varint", "dls_varint"] + (
+        ["pos_varint"] if has_pos else []
+    )
     blocks = None
     if all_dirs:
         blocks = (
@@ -587,13 +599,16 @@ def compact(
             .withColumn(
                 "bid", F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
             )
-            .select("bid", "term", "doc_ids_varint", "tfs_varint", "dls_varint")
+            .select(*block_cols)
         )
 
     def explode_blocks(batches):
+        import numpy as np
+
         for rb in batches:
             tbl = pa.Table.from_batches([rb])
             ids_l, tfs_l, dls_l, reps = [], [], [], []
+            pos_vals_l = []
             t_col = tbl["term"].to_pylist()
             b_col = tbl["bid"].to_pylist()
             for i in range(tbl.num_rows):
@@ -604,28 +619,44 @@ def compact(
                 tfs_l.append(tfs.astype("int64"))
                 dls_l.append(dls.astype("int64"))
                 reps.append(len(ids))
-            import numpy as np
-
-            yield from pa.table(
-                {
-                    "bid": pa.array(np.repeat(np.array(b_col, dtype=object), reps)),
-                    "doc_id": pa.array(np.concatenate(ids_l) if ids_l else [], type=pa.int64()),
-                    "term": pa.array(np.repeat(np.array(t_col, dtype=object), reps)),
-                    "tf": pa.array(
-                        (np.concatenate(tfs_l) if tfs_l else np.array([], dtype="int64")).astype("int32")
-                    ),
-                    "doc_len": pa.array(np.concatenate(dls_l) if dls_l else [], type=pa.int64()),
-                }
-            ).to_batches()
+                if has_pos:
+                    pos_vals_l.append(
+                        positions_decode(
+                            tbl["pos_varint"][i].as_py(), tfs.astype("int64")
+                        )
+                    )
+            tfs_flat = (
+                np.concatenate(tfs_l) if tfs_l else np.array([], dtype="int64")
+            )
+            cols = {
+                "bid": pa.array(np.repeat(np.array(b_col, dtype=object), reps)),
+                "doc_id": pa.array(np.concatenate(ids_l) if ids_l else [], type=pa.int64()),
+                "term": pa.array(np.repeat(np.array(t_col, dtype=object), reps)),
+                "tf": pa.array(tfs_flat.astype("int32")),
+                "doc_len": pa.array(np.concatenate(dls_l) if dls_l else [], type=pa.int64()),
+            }
+            if has_pos:
+                vals = (
+                    np.concatenate(pos_vals_l)
+                    if pos_vals_l
+                    else np.array([], dtype="int64")
+                )
+                offs = np.concatenate(([0], np.cumsum(tfs_flat))).astype(np.int32)
+                cols["positions"] = pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(vals.astype("int32"), type=pa.int32()),
+                )
+            yield from pa.table(cols).to_batches()
 
     if blocks is None:
         raise FileNotFoundError(
             f"compact: no posting buckets found in any live segment of {out_dir} "
             f"(live={live}) — nothing to merge"
         )
-    tf = blocks.mapInArrow(
-        explode_blocks, "bid string, doc_id long, term string, tf int, doc_len long"
-    )
+    tf_schema = "bid string, doc_id long, term string, tf int, doc_len long"
+    if has_pos:
+        tf_schema += ", positions array<int>"
+    tf = blocks.mapInArrow(explode_blocks, tf_schema)
     tomb = _tombstones_union(spark, store, live)
     if tomb is not None:
         # drop shadowed versions physically — the merged segment carries

@@ -26,7 +26,7 @@ from ._pickle import register_by_value
 from .analyze import CAMEL_1, CAMEL_2, NON_ASCII, TOKEN_SPLIT, tokenize_expr
 
 
-def _tf_arrow_kernel(batches, with_dl: bool):
+def _tf_arrow_kernel(batches, with_dl: bool, with_positions: bool = False):
     """Tokenize AND count per doc inside one pure-Arrow kernel.
 
     Two scale decisions live here:
@@ -66,9 +66,31 @@ def _tf_arrow_kernel(batches, with_dl: bool):
         keep = pc.not_equal(flat, "")
         flat = flat.filter(keep)
         parents = parents.filter(keep)
-        grouped = pa.TableGroupBy(pa.table({"pi": parents, "term": flat}), ["pi", "term"]).aggregate(
-            [([], "count_all")]
-        )
+        if with_positions:
+            # token position within its doc's filtered token stream (the
+            # tokenize_py index): rank within each parent run. Arrow's
+            # hash `list` aggregation accumulates in scan order, so the
+            # per-(doc, term) position lists come out ascending — the
+            # invariant the positions delta-codec asserts at encode time.
+            par_np = parents.to_numpy(zero_copy_only=False)
+            npos = par_np.shape[0]
+            pos = np.arange(npos, dtype=np.int64)
+            if npos:
+                starts = np.flatnonzero(
+                    np.concatenate(([True], par_np[1:] != par_np[:-1]))
+                )
+                runlen = np.diff(np.concatenate((starts, [npos])))
+                pos -= np.repeat(pos[starts], runlen)
+            grouped = pa.TableGroupBy(
+                pa.table(
+                    {"pi": parents, "term": flat, "pos": pa.array(pos, type=pa.int32())}
+                ),
+                ["pi", "term"],
+            ).aggregate([("pos", "list"), ([], "count_all")])
+        else:
+            grouped = pa.TableGroupBy(
+                pa.table({"pi": parents, "term": flat}), ["pi", "term"]
+            ).aggregate([([], "count_all")])
         pi = grouped["pi"].to_numpy(zero_copy_only=False)
         ids_np = doc_ids.to_numpy(zero_copy_only=False)
         cols = {
@@ -81,6 +103,8 @@ def _tf_arrow_kernel(batches, with_dl: bool):
                 parents.to_numpy(zero_copy_only=False), minlength=rb.num_rows
             )
             cols["doc_len"] = pa.array(dl[pi], type=pa.int64())
+        if with_positions:  # keep schema order: ..., doc_len, positions
+            cols["positions"] = grouped["pos_list"].combine_chunks()
         yield from pa.table(cols).to_batches()
 
 
@@ -104,12 +128,17 @@ def term_freqs(docs: DataFrame, use_udf: bool = True) -> DataFrame:
     )
 
 
-def term_freqs_dl(docs: DataFrame) -> DataFrame:
-    """docs -> (doc_id, term, tf, doc_len) — doc_len computed in-kernel so
-    the posting builder needs no doc_len side-join."""
+def term_freqs_dl(docs: DataFrame, with_positions: bool = False) -> DataFrame:
+    """docs -> (doc_id, term, tf, doc_len[, positions]) — doc_len computed
+    in-kernel so the posting builder needs no doc_len side-join; positions
+    (token offsets in the analyzed stream, for phrase queries) ride along
+    when requested."""
+    schema = "doc_id long, term string, tf int, doc_len long"
+    if with_positions:
+        schema += ", positions array<int>"
     return docs.select("doc_id", "content").mapInArrow(
-        lambda it: _tf_arrow_kernel(it, with_dl=True),
-        "doc_id long, term string, tf int, doc_len long",
+        lambda it: _tf_arrow_kernel(it, with_dl=True, with_positions=with_positions),
+        schema,
     )
 
 

@@ -36,17 +36,44 @@ class SearchService:
     a lock keeps the serving loop simple — throughput scaling comes from
     batching via topk_many, not from racing jobs)."""
 
-    def __init__(self, spark, index_dir: str, build_id: str | None = None):
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        build_id: str | None = None,
+        geo_dir: str | None = None,
+        geo_cell_deg: float = 20.0,
+    ):
         from ariadna_spark.operators.wand import IndexReader
 
         self.spark = spark
         self.reader = IndexReader(spark, index_dir, build_id=build_id)
         self._lock = threading.Lock()
+        self._geo = spark.read.parquet(geo_dir) if geo_dir else None
+        self._geo_cell = geo_cell_deg
 
-    def search(self, q: str, k: int = 10, prefix: bool = False, docmap: bool = False) -> list[dict]:
+    def search(self, q: str, k: int = 10, mode: str = "match", docmap: bool = False) -> list[dict]:
         with self._lock:
-            fn = self.reader.prefix_topk if prefix else self.reader.topk
+            fn = {
+                "match": self.reader.topk,
+                "prefix": self.reader.prefix_topk,
+                "phrase": self.reader.phrase_topk,
+            }[mode]
             rows = fn(q, k, with_docmap=docmap).collect()
+        return [r.asDict() for r in rows]
+
+    def reverse(self, lat: float, lon: float, k: int = 2) -> list[dict]:
+        """Reverse geocode: exact haversine k-NN over the cell-partitioned
+        geo store (the /api/reverse/:lat/:lon route the reference declares,
+        /root/reference/osm/osm.go:182; its handler is a stub — the top-2
+        client contract is public/static/js/map.js:54-71). Each ring probe
+        partition-prunes to the probed cell directories."""
+        if self._geo is None:
+            raise ValueError("no geo index configured (--geo-index)")
+        from ariadna_spark.operators.geo import geo_knn
+
+        with self._lock:
+            rows = geo_knn(self._geo, lat, lon, k=k, cell_deg=self._geo_cell).collect()
         return [r.asDict() for r in rows]
 
     def stats(self) -> dict:
@@ -74,16 +101,32 @@ def make_handler(service: SearchService):
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
-                if u.path in ("/api/search", "/api/prefix"):
+                if u.path in ("/api/search", "/api/prefix", "/api/phrase"):
                     q = (qs.get("q") or [""])[0]
                     if not q:
                         return self._json(400, {"error": "missing q"})
                     k = int((qs.get("k") or ["10"])[0])
                     docmap = (qs.get("docmap") or ["0"])[0] in ("1", "true")
-                    rows = service.search(
-                        q, k, prefix=(u.path == "/api/prefix"), docmap=docmap
-                    )
+                    mode = {
+                        "/api/search": "match",
+                        "/api/prefix": "prefix",
+                        "/api/phrase": "phrase",
+                    }[u.path]
+                    rows = service.search(q, k, mode=mode, docmap=docmap)
                     return self._json(200, {"query": q, "k": k, "hits": rows})
+                if u.path.startswith("/api/reverse"):
+                    # reference route style /api/reverse/:lat/:lon
+                    # (osm.go:182); ?lat=&lon= also accepted
+                    parts = [p for p in u.path.split("/") if p][2:]
+                    if len(parts) == 2:
+                        lat, lon = float(parts[0]), float(parts[1])
+                    elif "lat" in qs and "lon" in qs:
+                        lat, lon = float(qs["lat"][0]), float(qs["lon"][0])
+                    else:
+                        return self._json(400, {"error": "missing lat/lon"})
+                    k = int((qs.get("k") or ["2"])[0])
+                    rows = service.reverse(lat, lon, k=k)
+                    return self._json(200, {"lat": lat, "lon": lon, "hits": rows})
                 if u.path == "/api/stats":
                     return self._json(200, service.stats())
                 return self._json(404, {"error": "unknown endpoint"})
@@ -103,6 +146,8 @@ def main() -> None:
     ap.add_argument("--config", default=None)
     ap.add_argument("--index", default=None)
     ap.add_argument("--build-id", default=None)
+    ap.add_argument("--geo-index", default=None, help="geo_index_write store for /api/reverse")
+    ap.add_argument("--geo-cell-deg", type=float, default=20.0)
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()
 
@@ -117,7 +162,13 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("ariadna-serve").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    service = SearchService(spark, index_dir, build_id=args.build_id)
+    service = SearchService(
+        spark,
+        index_dir,
+        build_id=args.build_id,
+        geo_dir=args.geo_index,
+        geo_cell_deg=args.geo_cell_deg,
+    )
     httpd = serve(service, args.port)
     print(json.dumps({"serving": True, "port": args.port, **service.stats()}), flush=True)
     try:

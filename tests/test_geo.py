@@ -196,3 +196,46 @@ def test_geo_index_partition_pruned(spark, pts, tmp_path):
     want = [r["id"] for r in geo_knn(pts, 17.25, 42.5, k=10, cell_deg=20.0).collect()]
     got = [r["id"] for r in geo_knn(stored, 17.25, 42.5, k=10, cell_deg=20.0).collect()]
     assert got == want
+
+
+def test_geo_knn_many_matches_per_query(spark, pts):
+    """Batch cell-join k-NN (geo_knn_many) == the per-query ring loop,
+    for every query point, including rank order and distances."""
+    from ariadna_spark.operators.geo import geo_knn_many
+
+    queries = [(0, 17.25, 42.5), (1, -88.0, -89.9), (2, 0.0, 0.0), (3, 65.5, -20.0)]
+    qdf = spark.createDataFrame(queries, "qid long, qlat double, qlon double")
+    got = geo_knn_many(pts, qdf, k=7, cell_deg=20.0).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["dist_km"]))
+    for qid, qlat, qlon in queries:
+        want = geo_knn(pts, qlat, qlon, k=7, cell_deg=20.0).collect()
+        assert [i for _, i, _ in sorted(by_q[qid])] == [w["id"] for w in want], qid
+        for (_, _, gd), w in zip(sorted(by_q[qid]), want):
+            assert abs(gd - w["dist_km"]) < 1e-9
+
+
+def test_geo_knn_many_multi_round(spark, pts):
+    """A tiny cell size forces several doubling rounds (sparse rings), and
+    k larger than some ring populations exercises the not-done path."""
+    from ariadna_spark.operators.geo import geo_knn_many
+
+    queries = [(7, 17.25, 42.5), (8, -45.0, 60.0)]
+    qdf = spark.createDataFrame(queries, "qid long, qlat double, qlon double")
+    got = geo_knn_many(pts, qdf, k=5, cell_deg=2.0).collect()
+    for qid, qlat, qlon in queries:
+        want = [r["id"] for r in geo_knn(pts, qlat, qlon, k=5, cell_deg=2.0).collect()]
+        mine = [r["id"] for r in sorted(got, key=lambda r: r["rank"]) if r["qid"] == qid]
+        assert mine == want, qid
+
+
+def test_geo_knn_many_fewer_than_k(spark):
+    """A point set smaller than k: every query must still return ALL
+    points (globe-covering final round), never hang or drop rows."""
+    from ariadna_spark.operators.geo import geo_knn_many, with_synth_coords
+
+    pts = with_synth_coords(spark.range(1, 4).selectExpr("id AS c_custkey"))
+    qdf = spark.createDataFrame([(0, 10.0, 10.0)], "qid long, qlat double, qlon double")
+    rows = geo_knn_many(pts, qdf, k=10, cell_deg=20.0).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]

@@ -18,9 +18,16 @@ from ariadna_spark.sources.segments import build_index
 def service(spark, docs, tmp_path_factory):
     from serve import SearchService
 
+    from ariadna_spark.operators.geo import geo_index_write, with_synth_coords
+
     out = str(tmp_path_factory.mktemp("serve_idx"))
     build_index(spark, docs, out, build_id="srv", n_buckets=4)
-    return SearchService(spark, out)
+    geo = str(tmp_path_factory.mktemp("serve_geo"))
+    pts = with_synth_coords(
+        spark.range(1, 401).selectExpr("id AS c_custkey")
+    )
+    geo_index_write(pts, geo)
+    return SearchService(spark, out, geo_dir=geo)
 
 
 def test_warm_service_answers_repeatedly(spark, docs, service):
@@ -30,8 +37,11 @@ def test_warm_service_answers_repeatedly(spark, docs, service):
         hits = service.search(q, k=5)
         want = bm25_topk(docs, q, 5).collect()
         assert [h["doc_id"] for h in hits] == [r["doc_id"] for r in want]
-    pref = service.search("sc", k=5, prefix=True)
+    pref = service.search("sc", k=5, mode="prefix")
     assert len(pref) == 5
+    ph = service.search("merge join", k=5, mode="phrase")
+    assert 1 <= len(ph) <= 5  # phrase results are a subset of the match query
+    assert {h["doc_id"] for h in ph} <= {h["doc_id"] for h in service.search("merge join", k=500)}
     st = service.stats()
     assert st["N"] == docs.count() and st["builds"] == ["srv"]
 
@@ -50,12 +60,44 @@ def test_http_roundtrip(service):
             body = json.loads(r.read())
         assert body["k"] == 3 and len(body["hits"]) == 3
         assert all("repo" in h and "path" in h and "score" in h for h in body["hits"])
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/phrase?q=merge+join&k=3"
+        ) as r:
+            ph = json.loads(r.read())
+        assert len(ph["hits"]) >= 1
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/stats") as r:
             assert json.loads(r.read())["builds"] == ["srv"]
-        # error contract
-        with urllib.request.urlopen(f"http://127.0.0.1:{port}/api/search") as r:
-            pass
-    except urllib.error.HTTPError as e:
-        assert e.code == 400
+        # /api/reverse/:lat/:lon (reference route osm.go:182; its handler
+        # is a stub upstream — here it really answers): top-2 nearest with
+        # exact haversine distances, verified against a driver-side
+        # brute-force over the same synth point set
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/reverse/17.25/42.5"
+        ) as r:
+            rv = json.loads(r.read())
+        assert len(rv["hits"]) == 2
+        import math
+
+        def hav(lat, lon):
+            h = (
+                math.sin(math.radians(lat - 17.25) / 2) ** 2
+                + math.cos(math.radians(17.25))
+                * math.cos(math.radians(lat))
+                * math.sin(math.radians(lon - 42.5) / 2) ** 2
+            )
+            return 2 * 6371.0088 * math.asin(math.sqrt(min(1.0, h)))
+
+        want = sorted(
+            (hav((k * 7919) % 18000 / 100.0 - 90.0, (k * 104729) % 18000 / 100.0 - 90.0), k)
+            for k in range(1, 401)
+        )[:2]
+        got = [(h["dist_km"], h["id"]) for h in rv["hits"]]
+        for (wd, wi), (gd, gi) in zip(want, got):
+            assert wi == gi and abs(wd - gd) < 1e-9
+        # error contract: missing q MUST 400 (its own raises block — a 200
+        # here must fail the test, ADVICE r2)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/search")
+        assert exc.value.code == 400
     finally:
         httpd.shutdown()
