@@ -91,14 +91,28 @@ def load_docs_json(spark: SparkSession, path: str) -> DataFrame:
     return _canonicalize(spark.read.schema(DOCS_READ_DDL).json(path))
 
 
-def load_docs_csv(spark: SparkSession, path: str) -> DataFrame:
+def load_docs_csv(
+    spark: SparkSession, path: str, trailing_newline_unsafe: bool = False
+) -> DataFrame:
     """CSV source with explicit schema + header; multiline quoting on so
     embedded newlines survive. KNOWN LIMITATION (tested, documented): the
     CSV layer cannot round-trip a value that ENDS with a line separator —
     one trailing newline inside a quoted field is consumed as part of the
     record terminator — so the sha256 ingest invariant only holds for
-    newline-trimmed content. Prefer parquet/JSON/table sources for source
-    code; this connector exists for newline-free tabular corpora."""
+    newline-trimmed content. Because most source files end in '\\n', this
+    connector REFUSES such corpora unless the caller opts in with
+    trailing_newline_unsafe=True (ADVICE r2: fail fast rather than
+    silently re-hash truncated content). Prefer parquet/JSON/table
+    sources for source code; this connector exists for newline-free
+    tabular corpora."""
+    if not trailing_newline_unsafe:
+        raise ValueError(
+            "load_docs_csv silently drops one trailing newline from quoted "
+            "content (most source files end in one), then recomputes "
+            "content_sha over the truncated text. Use parquet/JSON/table "
+            "sources for source-code corpora, or pass "
+            "trailing_newline_unsafe=True for newline-free tabular data."
+        )
     return _canonicalize(
         spark.read.schema(DOCS_READ_DDL)
         .options(header=True, multiLine=True, escape='"')

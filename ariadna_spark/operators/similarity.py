@@ -226,10 +226,16 @@ def lsh_near_dup_pairs(
 
 def ivf_index(
     emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
-    vec_col: str = "embedding", seed: int = 42,
+    vec_col: str = "embedding", seed: int = 42, fit_sample: int = 100_000,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: k-means (MLlib) assigns every vector to a
     centroid list; queries probe only the nearest n_probe lists.
+
+    The quantizer is FIT ON A SAMPLE (at most fit_sample rows, seeded and
+    deterministic) and then assigns ALL vectors via transform — standard
+    IVF practice: at 10^12 vectors a full-corpus fit dominates the build
+    for no recall benefit (VERDICT r2 #3). Corpora at or below fit_sample
+    fit on everything, so test-scale behavior is unchanged.
 
     -> ((vec_id, v, centroid) rows, centroid matrix). At scale, write the
     result partitioned by `centroid` (same pruning story as the postings
@@ -241,8 +247,15 @@ def ivf_index(
     e = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("fv", array_to_vector(F.col("v")))
+    n = e.count()
+    fit_on = e
+    if n > fit_sample:
+        # slight oversample so the post-filter limit() keeps ~fit_sample
+        fit_on = e.sample(False, min(1.0, 1.25 * fit_sample / n), seed=seed).limit(
+            fit_sample
+        )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", predictionCol="centroid")
-    model = km.fit(e)
+    model = km.fit(fit_on)
     indexed = model.transform(e).select("vec_id", "v", "centroid")
     centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
     return indexed, centroids
@@ -250,14 +263,15 @@ def ivf_index(
 
 def ivf_index_write(
     emb: DataFrame, path: str, n_centroids: int = 16, id_col: str = "vec_id",
-    vec_col: str = "embedding", seed: int = 42,
+    vec_col: str = "embedding", seed: int = 42, fit_sample: int = 100_000,
 ) -> np.ndarray:
     """Materialize the IVF lists PHYSICALLY PARTITIONED by centroid, so an
     n_probe query reads exactly n_probe directories (partition pruning on
     the `centroid IN (...)` filter). Centroids are tiny driver-held
     metadata (_ivf_meta.json)."""
     indexed, centroids = ivf_index(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+        fit_sample=fit_sample,
     )
     (
         indexed.repartition("centroid")

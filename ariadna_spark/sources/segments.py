@@ -541,6 +541,55 @@ def append_segment(
     return manifest
 
 
+def compaction_due(
+    out_dir: str, max_segments: int = 8, max_tomb_ratio: float = 0.25
+) -> dict | None:
+    """Auto-compaction policy check (metadata-only, no Spark job): fire
+    when the live segment count reaches max_segments, or when the
+    tombstoned-doc ratio reaches max_tomb_ratio. The ratio bound is what
+    keeps the documented Lucene-style df overcount (wand.py merge-on-read)
+    BOUNDED in a long-running stream: df drift is at most the dead-doc
+    fraction, so compacting at 25% caps it there forever.
+
+    Returns {"reason", "live", "n_total", "n_dead"} when due, else None."""
+    store = SegmentStore(out_dir)
+    live = store.live_builds()
+    if len(live) <= 1:
+        return None
+    n_total, n_dead = 0, 0
+    for b in live:
+        bdir = store.build_dir(b)
+        with open(os.path.join(bdir, "stats.json")) as f:
+            n_total += int(json.load(f)["N"])
+        marker = os.path.join(bdir, "_tombstones.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                n_dead += int(json.load(f)["n"])
+    out = {"live": len(live), "n_total": n_total, "n_dead": n_dead}
+    if len(live) >= max_segments:
+        return {"reason": "max_segments", **out}
+    if n_total > 0 and n_dead / n_total >= max_tomb_ratio:
+        return {"reason": "tomb_ratio", **out}
+    return None
+
+
+def maybe_compact(
+    spark: SparkSession,
+    out_dir: str,
+    max_segments: int = 8,
+    max_tomb_ratio: float = 0.25,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> dict | None:
+    """Run compact() iff compaction_due says so; returns the merged
+    manifest (with the firing reason attached) or None."""
+    due = compaction_due(out_dir, max_segments=max_segments, max_tomb_ratio=max_tomb_ratio)
+    if due is None:
+        return None
+    manifest = compact(spark, out_dir, n_buckets=n_buckets)
+    manifest["compaction_trigger"] = due
+    return manifest
+
+
 def compact(
     spark: SparkSession,
     out_dir: str,

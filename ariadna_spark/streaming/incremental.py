@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..corpus import DOCS_COLUMNS
-from ..sources.segments import SegmentStore, build_index, write_tombstones
+from ..sources.segments import SegmentStore, build_index, maybe_compact, write_tombstones
 
 DOCS_DDL = (
     "doc_id long, repo string, path string, commit string, lang string, "
@@ -45,12 +45,22 @@ def start_incremental_index(
     n_buckets: int = 8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    auto_compact: bool = False,
+    max_segments: int = 8,
+    max_tomb_ratio: float = 0.25,
 ):
     """Stream parquet files from source_dir into per-batch segments.
 
     available_now=True drains the current backlog then stops (test/batch
     catch-up mode); False runs continuously.
-    """
+
+    auto_compact=True runs the compaction policy after each batch goes
+    live: merge all live segments into one when the segment count reaches
+    max_segments or the tombstoned-doc ratio reaches max_tomb_ratio — the
+    Lucene/ES background-merge analog, keeping both per-query segment
+    fan-in and the merge-on-read df overcount bounded in a long-running
+    stream. Compaction is itself crash-safe (publish_many swap + GC), and
+    a compacted index re-tombstones correctly on later overwrites."""
     reader = spark.readStream.schema(DOCS_DDL)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -120,6 +130,14 @@ def start_incremental_index(
             batch_df.sparkSession, out_dir, build_id, batch_df.select(*DOCS_COLUMNS)
         )
         store.append_live(build_id)
+        if auto_compact:
+            maybe_compact(
+                batch_df.sparkSession,
+                out_dir,
+                max_segments=max_segments,
+                max_tomb_ratio=max_tomb_ratio,
+                n_buckets=n_buckets,
+            )
 
     writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     if available_now:

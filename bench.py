@@ -327,6 +327,9 @@ def main():
     ap.add_argument("--executor-scaling", action="store_true",
                     help="also run the 1-vs-4 pinned-executor-JVM comparison")
     ap.add_argument("--scaling-docs", type=int, default=300_000, help="synthetic corpus size for --scaling")
+    ap.add_argument("--executor-scaling-docs", type=int, default=800_000,
+                    help="corpus size for --executor-scaling (own flag so the "
+                    "--scaling-docs default never silently shrinks this run)")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -363,7 +366,7 @@ def main():
     if args.scaling:
         result["scaling"] = scaling_run(n_docs=args.scaling_docs)
     if args.executor_scaling:
-        result["executor_scaling"] = executor_scaling_run(n_docs=args.scaling_docs)
+        result["executor_scaling"] = executor_scaling_run(n_docs=args.executor_scaling_docs)
     print(json.dumps(result))
 
 

@@ -179,3 +179,54 @@ def test_ivf_topk(spark, emb):
     # probing ALL lists is exact
     full = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=8).collect()]
     assert full == exact
+
+
+def test_ivf_sample_fit(spark, emb):
+    """Sample-fit quantizer (VERDICT r2 #3): fitting k-means on a small
+    seeded sample must still partition ALL vectors (every vector assigned
+    exactly one centroid) and keep probe-all == brute-force exact."""
+    from ariadna_spark.operators.similarity import ivf_index, ivf_topk
+
+    n = emb.count()
+    indexed, centroids = ivf_index(emb, n_centroids=4, fit_sample=max(8, n // 4))
+    indexed.persist()
+    assert indexed.count() == n  # assignment covers the full corpus
+    assert indexed.select("vec_id").distinct().count() == n
+    assert centroids.shape[0] == 4
+    pdf = emb.toPandas()
+    q = list(pdf[pdf.vec_id == 11].embedding.iloc[0])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    full = [r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=4).collect()]
+    assert full == exact
+    indexed.unpersist()
+
+
+def test_lsh_plane_dot_margin_at_gated_sfs():
+    """ADVICE r2: the DuckDB LSH oracles replay bucket assignment with
+    list_dot_product (left-fold summation) while the engine uses numpy dot
+    (pairwise/SIMD). A (vector, plane) dot near zero could round to
+    opposite signs and flip a bucket. Guard: at every oracle-gated sf, the
+    minimum |dot| across ALL (vector, plane) pairs of BOTH driver LSH
+    configurations exceeds a safety margin far above fp summation noise."""
+    import os
+
+    import duckdb
+
+    from ariadna_spark.operators.similarity import _planes
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            continue
+        vecs = (
+            duckdb.sql(f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')")
+            .fetchnumpy()["embedding"]
+        )
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = x.shape[1]
+        # embedding_lsh: n_planes=8, n_tables=4; embedding_near_dup_lsh: 6/6
+        for n_planes, n_tables in ((8, 4), (6, 6)):
+            planes = np.vstack(
+                [_planes(dim, n_planes, 1234 + 7919 * t) for t in range(n_tables)]
+            )
+            m = float(np.abs(x @ planes.T).min())
+            assert m > 1e-9, (sf_dir, n_planes, n_tables, m)

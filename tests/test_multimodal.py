@@ -7,9 +7,11 @@ import pytest
 from ariadna_spark.operators.multimodal import (
     FEATURE_DIM,
     MediaDecodeUnavailable,
+    decode_png,
     decode_ppm,
     decode_real,
     decode_wav,
+    encode_png,
     encode_ppm,
     encode_wav,
     extract_features,
@@ -20,7 +22,7 @@ from ariadna_spark.operators.multimodal import (
 
 def test_absent_codecs_raise_explicitly():
     with pytest.raises(MediaDecodeUnavailable):
-        decode_real(b"\x89PNG", "image/png")
+        decode_real(b"\xff\xd8\xff\xe0", "image/jpeg")
     with pytest.raises(MediaDecodeUnavailable):
         decode_real(b"\x00\x00\x00 ftypmp42", "video/mp4")
 
@@ -91,3 +93,41 @@ def test_sample_frames_explode_shape(spark):
     for aid, fnos in got.items():
         expect = max(1, vids[aid] // 1000)
         assert sorted(fnos) == list(range(expect))
+
+
+def test_png_roundtrip_all_filters():
+    """encode->decode identity for every PNG filter type and channel
+    count (gray, gray+alpha, RGB, RGBA) — the unfilter math is exact."""
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft))
+            assert got.shape == (13, 9, ch), (ch, ft)
+            assert np.array_equal(got, img), (ch, ft)
+
+
+def test_png_golden_and_errors():
+    # 2x2 RGB golden: fixed pixels survive the full chunk/zlib path
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    got = decode_real(encode_png(img, filter_type=4), "image/png")
+    assert np.array_equal(got, img)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a")
+
+
+def test_png_features_match_ppm_features(spark):
+    """The same raster through either codec yields identical real image
+    features — so media_features' png rows are codec-grounded, not fake."""
+    from ariadna_spark.operators.multimodal import real_or_fake_features
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    f_png = real_or_fake_features(encode_png(img, filter_type=2), "image/png")
+    f_ppm = real_or_fake_features(encode_ppm(img), "image/x-portable-pixmap")
+    assert np.allclose(f_png, f_ppm)
+    assert f_png[0] == 2.0  # image modality tag, not the fake fallback

@@ -53,7 +53,9 @@ def test_csv_source_roundtrip(spark, src_docs, tmp_path):
         .write.options(header=True, escape='"')
         .csv(p)
     )
-    got = load_docs_csv(spark, p)
+    with pytest.raises(ValueError, match="trailing newline"):
+        load_docs_csv(spark, p)  # fail-fast default (ADVICE r2)
+    got = load_docs_csv(spark, p, trailing_newline_unsafe=True)
     want = trimmed.withColumn("content_sha", F.sha2(F.col("content"), 256))
     assert _fingerprint(got) == _fingerprint(want)
     # the documented boundary: a value ending in '\n' loses exactly that
@@ -63,7 +65,7 @@ def test_csv_source_roundtrip(spark, src_docs, tmp_path):
     )
     p2 = str(tmp_path / "docs_csv2")
     one.write.options(header=True, escape='"').csv(p2)
-    back = load_docs_csv(spark, p2).first()["content"]
+    back = load_docs_csv(spark, p2, trailing_newline_unsafe=True).first()["content"]
     assert back == "line1\nline2"  # interior newline survives, trailing one does not
 
 
