@@ -66,13 +66,24 @@ def test_prefix_expansion_is_take_ordered(spark, index_dir):
     assert_pushed_filter(ranked, "ng")
 
 
-def test_blocks_join_global_df_broadcast(spark, index_dir):
-    """Query blocks carry global df via a broadcast join (no per-query
-    driver idf round-trip)."""
+def test_blocks_carry_fused_global_df(spark, index_dir):
+    """Query blocks derive global df from their OWN n_docs via a window
+    sum (VERDICT r2 #9): the plan must touch no terms table at all — one
+    parquet source, no join, no driver idf round-trip — and the fused df
+    must equal the terms-table aggregate exactly."""
     reader = IndexReader(spark, index_dir)
     blocks = reader._blocks_for_terms(["merge", "join"])
-    assert_broadcast_join(blocks)
     assert "df" in blocks.columns and "scale" in blocks.columns
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "/terms/" not in plan, "query path still reads the terms table"
+    assert plan.count("Scan parquet") == 1, plan
+    got = {
+        (r["term"], r["df"]) for r in blocks.select("term", "df").distinct().collect()
+    }
+    want = {
+        (r["term"], r["df"]) for r in reader._df_for_terms(["merge", "join"]).collect()
+    }
+    assert got == want
 
 
 def _count_jobs(spark, group, fn):
@@ -158,3 +169,8 @@ def test_query_job_count_constant_in_segments(spark, docs, tmp_path):
     j1 = _count_jobs(spark, "jc1", lambda: r1.topk("merge join", 5).collect())
     j3 = _count_jobs(spark, "jc3", lambda: r3.topk("merge join", 5).collect())
     assert j3 == j1, f"job count grew with segment count: 1-seg={j1}, 3-seg={j3}"
+    # absolute budget (VERDICT r2 #9): fusing df into the blocks read makes
+    # a warm top-k ONE action over ONE parquet source — 3 AQE stage
+    # materializations (term-window exchange, rid exchange, final limit),
+    # down from 4 with the separate terms-table read + broadcast build
+    assert j1 <= 3, f"warm top-k now costs {j1} jobs"
