@@ -106,6 +106,11 @@ def run_queries(spark, out_dir: str) -> dict:
     t0 = time.monotonic()
     reader.prefix_topk("sc", 10).collect()
     timings["_prefix"] = round(time.monotonic() - t0, 4)
+    # exact-phrase path (positions decode + adjacency in-kernel) —
+    # informational, outside the summed total like warm/prefix
+    t0 = time.monotonic()
+    reader.phrase_topk("merge join", 10).collect()
+    timings["_phrase"] = round(time.monotonic() - t0, 4)
     return timings
 
 
@@ -346,6 +351,7 @@ def main():
 
     warm_min = qt.pop("_warm_min", None)
     prefix_sec = qt.pop("_prefix", None)
+    phrase_sec = qt.pop("_phrase", None)
     queries = {"index_build": round(build["build_sec"], 4), **qt, **aux}
     query_p50 = statistics.median(qt.values())
     total = sum(queries.values())
@@ -361,6 +367,7 @@ def main():
         "query_p50_sec": round(query_p50, 4),
         "query_warm_min_sec": warm_min,
         "query_prefix_sec": prefix_sec,
+        "query_phrase_sec": phrase_sec,
         "cpus": CPUS,
     }
     if args.scaling:

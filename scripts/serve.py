@@ -84,10 +84,37 @@ class SearchService:
         }
 
 
-def make_handler(service: SearchService):
+def make_handler(service: SearchService, public_dir: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _static(self, path: str) -> None:
+            """Static demo UI (the reference serves public/ via
+            http.FileServer as the router fallback, osm.go:183).
+            Resolution is confined to public_dir (no traversal)."""
+            rel = path.lstrip("/") or "index.html"
+            root = os.path.realpath(public_dir)
+            full = os.path.realpath(os.path.join(root, rel))
+            if not full.startswith(root + os.sep) and full != root:
+                return self._json(404, {"error": "not found"})
+            if os.path.isdir(full):
+                full = os.path.join(full, "index.html")
+            if not os.path.isfile(full):
+                return self._json(404, {"error": "not found"})
+            ctype = {
+                ".html": "text/html; charset=utf-8",
+                ".js": "text/javascript",
+                ".css": "text/css",
+                ".json": "application/json",
+            }.get(os.path.splitext(full)[1], "application/octet-stream")
+            with open(full, "rb") as f:
+                body = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
@@ -129,6 +156,8 @@ def make_handler(service: SearchService):
                     return self._json(200, {"lat": lat, "lon": lon, "hits": rows})
                 if u.path == "/api/stats":
                     return self._json(200, service.stats())
+                if public_dir and not u.path.startswith("/api/"):
+                    return self._static(u.path)
                 return self._json(404, {"error": "unknown endpoint"})
             except Exception as e:  # surface errors as JSON, keep serving
                 return self._json(500, {"error": str(e)})
@@ -136,8 +165,12 @@ def make_handler(service: SearchService):
     return Handler
 
 
-def serve(service: SearchService, port: int = 8080) -> ThreadingHTTPServer:
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+def serve(
+    service: SearchService, port: int = 8080, public_dir: str | None = None
+) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(service, public_dir=public_dir)
+    )
     return httpd
 
 
@@ -148,6 +181,11 @@ def main() -> None:
     ap.add_argument("--build-id", default=None)
     ap.add_argument("--geo-index", default=None, help="geo_index_write store for /api/reverse")
     ap.add_argument("--geo-cell-deg", type=float, default=20.0)
+    ap.add_argument(
+        "--public",
+        default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "public"),
+        help="static demo UI dir (empty string disables)",
+    )
     ap.add_argument("--port", type=int, default=8080)
     args = ap.parse_args()
 
@@ -169,7 +207,7 @@ def main() -> None:
         geo_dir=args.geo_index,
         geo_cell_deg=args.geo_cell_deg,
     )
-    httpd = serve(service, args.port)
+    httpd = serve(service, args.port, public_dir=args.public or None)
     print(json.dumps({"serving": True, "port": args.port, **service.stats()}), flush=True)
     try:
         httpd.serve_forever()

@@ -101,3 +101,34 @@ def test_http_roundtrip(service):
         assert exc.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_static_demo_ui(service):
+    """The public/ fallback (reference: http.FileServer(public/),
+    osm.go:183): / serves the self-contained demo page; path traversal is
+    rejected; /api/* never falls through to static."""
+    from serve import serve as mk_server
+
+    public = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "public"
+    )
+    httpd = mk_server(service, port=0, public_dir=public)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            body = r.read().decode()
+        assert "ariadna-spark" in body and "/api/reverse" in body
+        assert r.headers["Content-Type"].startswith("text/html")
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/index.html") as r:
+            assert "ariadna-spark" in r.read().decode()
+        for bad in ("/../scripts/serve.py", "/%2e%2e/scripts/serve.py", "/nope.html"):
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}")
+            assert exc.value.code == 404, bad
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/unknown")
+        assert exc.value.code == 404
+    finally:
+        httpd.shutdown()
