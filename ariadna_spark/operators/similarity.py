@@ -176,6 +176,117 @@ def lsh_topk(
     )
 
 
+def _cos_cols(v: F.Column | str, q: F.Column | str) -> F.Column:
+    """Cosine between two ARRAY COLUMNS (batch mode — the query vector is
+    a column, not a literal). Same primitive ops as _cos_expr so scores
+    are bit-identical to the single-query path."""
+    v = F.col(v) if isinstance(v, str) else v
+    q = F.col(q) if isinstance(q, str) else q
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (nv * nq)
+
+
+def ivf_topk_many(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Batch IVF: a SET of query vectors (qid, qv: array<double>) answered
+    with ONE Spark job — the pipeline shape for enriching 10^9 rows, not a
+    per-query driver loop (same upgrade as geo_knn_many).
+
+    Probe assignment is a broadcast join against the tiny centroid table
+    (euclidean, matching the k-means objective) + a rank window; the
+    candidate fetch is one equi-join on `centroid` (partition-prunable /
+    DPP against an ivf_index_write store); exact cosine re-score and a
+    per-qid top-k window finish it. n_probe == n_centroids makes the
+    result the exact brute-force top-k per query (the driver-gate oracle
+    uses that mode; pruned-probe parity with the per-query ivf_topk is
+    pinned in pytest)."""
+    from pyspark.sql import Window
+
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cdf = queries.sparkSession.createDataFrame(
+        cent_rows, "centroid int, cv array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("centroid"))
+    probes = (
+        queries.join(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", "centroid")
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        probes.join(indexed, "centroid")
+        .select("qid", "vec_id", _cos_cols("v", "qv").alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
+def lsh_topk_many(
+    indexed: DataFrame,
+    tables: list[np.ndarray],
+    queries: DataFrame,
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Batch multi-table multi-probe LSH: every query's bucket (and its
+    Hamming-<=probe_hamming probes) computed as Catalyst expressions over
+    the query-vector COLUMN, exploded to (qid, table, bucket) probe rows,
+    then ONE equi-join on (table, bucket) against the index — no per-query
+    driver loop, no plane dot products on the driver. Candidates dedup per
+    (qid, vec_id), exact cosine re-score, per-qid top-k window. Matches
+    lsh_topk exactly for every query (pinned in pytest)."""
+    from pyspark.sql import Window
+
+    parts = []
+    for t, planes in enumerate(tables):
+        qb = lsh_bucket_expr("qv", planes)
+        probe_cols = [qb]
+        n = len(planes)
+        if probe_hamming >= 1:
+            probe_cols += [qb.bitwiseXOR(F.lit(1 << i)) for i in range(n)]
+        if probe_hamming >= 2:
+            probe_cols += [
+                qb.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(n)
+                for j in range(i + 1, n)
+            ]
+        parts.append(
+            queries.select(
+                "qid",
+                "qv",
+                F.lit(t).alias("table"),
+                F.explode(F.array_distinct(F.array(*probe_cols))).alias("bucket"),
+            )
+        )
+    probes = parts[0]
+    for p in parts[1:]:
+        probes = probes.unionByName(p)
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        probes.join(indexed, ["table", "bucket"])
+        .dropDuplicates(["qid", "vec_id"])
+        .select("qid", "vec_id", _cos_cols("v", "qv").alias("cos"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

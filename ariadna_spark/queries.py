@@ -560,6 +560,55 @@ SELECT vec_id, round(cos, 4) AS cos_r FROM s ORDER BY cos DESC, vec_id ASC LIMIT
 """
 
 
+_ANNB_K = 5
+_ANNB_QIDS = (0, 5, 11)
+_ANNB_CENTROIDS = 8
+
+
+def q_embedding_ann_batch(spark, sf_dir) -> DataFrame:
+    """Batch ANN at pipeline shape: a SET of query vectors through the IVF
+    index in ONE Spark job (ivf_topk_many — probe assignment via broadcast
+    centroid join, candidates via one equi-join, per-qid top-k window).
+    Run with n_probe == n_centroids the result is the exact brute-force
+    top-k per query regardless of the data-fitted quantizer, so the DuckDB
+    oracle is a plain per-query cosine rank; the PRUNED-probe behavior is
+    pinned in pytest (batch == per-query ivf_topk for every query)."""
+    from .operators.similarity import ivf_index, ivf_topk_many
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    indexed, centroids = ivf_index(emb, n_centroids=_ANNB_CENTROIDS)
+    queries = emb.filter(F.col("vec_id").isin(list(_ANNB_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk_many(
+        indexed, centroids, queries, k=_ANNB_K, n_probe=_ANNB_CENTROIDS
+    )
+    return out.select(
+        "qid", "rank", "vec_id", F.round("cos", 4).alias("cos_r")
+    ).orderBy("qid", "rank")
+
+
+SQL_EMBEDDING_ANN_BATCH = f"""
+WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id IN {_ANNB_QIDS}),
+s AS (
+  SELECT qs.qid, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qs.qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(qs.qv AS DOUBLE[]), CAST(qs.qv AS DOUBLE[])))) AS cos
+  FROM qs CROSS JOIN embeddings e
+),
+r AS (SELECT qid, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+      FROM s)
+SELECT qid, rank, vec_id, round(cos, 4) AS cos_r
+FROM r WHERE rank <= {_ANNB_K} ORDER BY qid, rank
+"""
+
+
 _LSH_CAP = 300
 _LSH_BANDS = 4
 _LSH_T = 0.7
@@ -1664,6 +1713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theta_containment": q_theta_containment,
     "geo_knn": q_geo_knn,
     "geo_knn_batch": q_geo_knn_batch,
+    "embedding_ann_batch": q_embedding_ann_batch,
     "polygon_contains": q_polygon_contains,
     "embedding_lsh": q_embedding_lsh,
     "embedding_ivf": q_embedding_ivf,
@@ -1721,6 +1771,7 @@ ORACLES: dict[str, str] = {
     "theta_containment": SQL_THETA_CONTAINMENT,
     "geo_knn": SQL_GEO_KNN,
     "geo_knn_batch": SQL_GEO_KNN_BATCH,
+    "embedding_ann_batch": SQL_EMBEDDING_ANN_BATCH,
     "polygon_contains": SQL_POLYGON_CONTAINS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,

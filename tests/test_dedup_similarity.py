@@ -230,3 +230,51 @@ def test_lsh_plane_dot_margin_at_gated_sfs():
             )
             m = float(np.abs(x @ planes.T).min())
             assert m > 1e-9, (sf_dir, n_planes, n_tables, m)
+
+
+def test_ivf_topk_many_matches_per_query(spark, emb):
+    """Batch IVF (one job for the query set) == the per-query ivf_topk for
+    every query, at PRUNED n_probe — candidates, ranks and scores."""
+    from ariadna_spark.operators.similarity import ivf_index, ivf_topk, ivf_topk_many
+
+    indexed, centroids = ivf_index(emb, n_centroids=8)
+    indexed.persist()
+    pdf = emb.toPandas()
+    qids = [3, 11, 27]
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]) for q in qids],
+        "qid long, qv array<double>",
+    )
+    got = ivf_topk_many(indexed, centroids, qdf, k=8, n_probe=3).collect()
+    for q in qids:
+        qv = [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]
+        want = ivf_topk(indexed, centroids, qv, k=8, n_probe=3).collect()
+        mine = sorted((r for r in got if r["qid"] == q), key=lambda r: r["rank"])
+        assert [m["vec_id"] for m in mine] == [w["vec_id"] for w in want], q
+        for m, w in zip(mine, want):
+            assert abs(m["cos"] - w["cos"]) < 1e-12
+    indexed.unpersist()
+
+
+def test_lsh_topk_many_matches_per_query(spark, emb):
+    """Batch LSH probes (bucket + Hamming ring computed as Catalyst
+    expressions over the query-vector column) == per-query lsh_topk."""
+    from ariadna_spark.operators.similarity import lsh_index, lsh_topk, lsh_topk_many
+
+    indexed, tables = lsh_index(emb, n_planes=8, n_tables=4)
+    indexed.persist()
+    pdf = emb.toPandas()
+    qids = [7, 19]
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]) for q in qids],
+        "qid long, qv array<double>",
+    )
+    got = lsh_topk_many(indexed, tables, qdf, k=10, probe_hamming=1).collect()
+    for q in qids:
+        qv = [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]
+        want = lsh_topk(indexed, tables, qv, k=10, probe_hamming=1).collect()
+        mine = sorted((r for r in got if r["qid"] == q), key=lambda r: r["rank"])
+        assert [m["vec_id"] for m in mine] == [w["vec_id"] for w in want], q
+        for m, w in zip(mine, want):
+            assert abs(m["cos"] - w["cos"]) < 1e-12
+    indexed.unpersist()
