@@ -293,6 +293,133 @@ def phrase_kernel(
     )
 
 
+def near_kernel(
+    pdf: pd.DataFrame,
+    terms: list[str],
+    window: int,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    range_size: int,
+) -> pd.DataFrame:
+    """Blocks (with positions) of one doc_id range -> local top-k docs
+    whose analyzed token stream contains ALL query terms within a WINDOW
+    of `window` consecutive positions (any order) — proximity search, the
+    unordered cousin of match_phrase. Candidate docs are the intersection
+    of the terms' posting lists; the window test is the classic minimal-
+    cover two-pointer sweep over each candidate's merged occurrence
+    stream (O(occurrences), only for docs already known to contain every
+    term). Matched docs score as the summed BM25 of the distinct query
+    terms (same rank semantics as phrase_topk; the DuckDB oracle mirrors
+    the window test with list slices)."""
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    rid = int(pdf["rid"].iloc[0])
+    dead: dict = {}
+    if "is_tomb" in pdf.columns:
+        tm = pdf["is_tomb"].to_numpy()
+        if tm.any():
+            trows = pdf[tm]
+            dead = {
+                b: g["first_doc_id"].to_numpy().astype(np.int64)
+                for b, g in trows.groupby("bid")
+            }
+            pdf = pdf[~tm].reset_index(drop=True)
+    if pdf.empty:
+        return empty
+    row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
+    tdf = pdf[["term", "df"]].drop_duplicates("term")
+    idf_by_term = {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in zip(tdf["term"], tdf["df"])
+    }
+    lo, hi = rid * range_size, (rid + 1) * range_size
+    uniq_terms = sorted(set(terms))
+    m = len(uniq_terms)
+    row_term = pdf["term"].to_numpy()
+    per_term: dict = {}
+    for tid, t in enumerate(uniq_terms):
+        rows = np.flatnonzero(row_term == t)
+        if not rows.size:
+            return empty
+        ids_parts, tf_parts, dl_parts, occ_doc, occ_pos = [], [], [], [], []
+        for i in rows:
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.int64)
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            pos = positions_decode(pdf["pos_varint"].iloc[i], tfs)
+            msk = (ids >= lo) & (ids < hi)
+            if dead and row_bid is not None:
+                dd = dead.get(row_bid[i])
+                if dd is not None and dd.size:
+                    msk &= ~np.isin(ids, dd)
+            em = np.repeat(msk, tfs)
+            ids_parts.append(ids[msk])
+            tf_parts.append(tfs[msk])
+            dl_parts.append(dls[msk])
+            occ_doc.append(np.repeat(ids, tfs)[em])
+            occ_pos.append(pos[em])
+        per_term[t] = (
+            np.concatenate(ids_parts),
+            np.concatenate(tf_parts),
+            np.concatenate(dl_parts),
+            np.concatenate(occ_doc),
+            np.concatenate(occ_pos),
+        )
+    cand = None
+    for t in uniq_terms:
+        u = np.unique(per_term[t][0])
+        cand = u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    d_all = np.concatenate([per_term[t][3] for t in uniq_terms])
+    p_all = np.concatenate([per_term[t][4] for t in uniq_terms])
+    g_all = np.concatenate(
+        [np.full(per_term[t][3].shape, tid, dtype=np.int64) for tid, t in enumerate(uniq_terms)]
+    )
+    sel = np.isin(d_all, cand)
+    order = np.lexsort((p_all[sel], d_all[sel]))
+    d, p, g = d_all[sel][order], p_all[sel][order], g_all[sel][order]
+    n = d.size
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    ends = np.concatenate((starts[1:], [n]))
+    matched_l = []
+    for s, e in zip(starts, ends):
+        cnt = np.zeros(m, dtype=np.int64)
+        have, lo_i, ok = 0, s, False
+        for hi_i in range(s, e):
+            c = g[hi_i]
+            cnt[c] += 1
+            if cnt[c] == 1:
+                have += 1
+            while have == m:
+                if p[hi_i] - p[lo_i] < window:
+                    ok = True
+                    break
+                cnt[g[lo_i]] -= 1
+                if cnt[g[lo_i]] == 0:
+                    have -= 1
+                lo_i += 1
+            if ok:
+                break
+        if ok:
+            matched_l.append(d[s])
+    if not matched_l:
+        return empty
+    matched = np.asarray(matched_l, dtype=np.int64)
+    acc = np.zeros(matched.shape, dtype=np.float64)
+    for t in uniq_terms:
+        ids, tfs, dls, _, _ = per_term[t]
+        s_ = np.isin(ids, matched)
+        sc = _score_block(tfs[s_].astype(np.float64), dls[s_], idf_by_term[t], avgdl)
+        np.add.at(acc, np.searchsorted(matched, ids[s_]), sc)
+    order = np.lexsort((matched, -acc))[:k]
+    return pd.DataFrame({"doc_id": matched[order], "score": acc[order]}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+
+
 def multiquery_kernel(
     pdf: pd.DataFrame,
     per_q: dict[int, list[str]],
@@ -668,6 +795,56 @@ class IndexReader:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return phrase_kernel(pdf, terms, n_docs, avgdl, k, range_size)
+
+        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docmap:
+            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
+
+    def near_topk(
+        self,
+        query: str,
+        window: int = 8,
+        k: int = 10,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
+        """Proximity top-k: docs containing ALL query terms within a
+        `window` of consecutive analyzed-token positions, in any order,
+        ranked by summed distinct-term BM25 (the unordered counterpart of
+        phrase_topk; window == len(terms) makes it an unordered phrase).
+        Requires positions (the index default)."""
+        terms = sorted(set(tokenize_py(query)))
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not terms:
+            return empty
+        if len(terms) == 1:
+            return self._topk_terms(terms, k, range_size=range_size, with_docmap=with_docmap)
+        if not all(st.get("positions") for st in self.build_stats):
+            raise ValueError(
+                "proximity query requires every live segment built with_positions=True"
+            )
+        blocks = self._blocks_for_terms(terms, with_positions=True)
+        if blocks is None:
+            return empty
+        n_docs = self.stats["N"]
+        avgdl = self.stats["avgdl"]
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return near_kernel(pdf, terms, window, n_docs, avgdl, k, range_size)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -877,6 +877,51 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 
 SQL_PHRASE_TOPK = _sql_phrase_topk()
 
+_NEAR_Q = "scan group"
+_NEAR_W = 6
+
+
+def q_near_topk(spark, sf_dir) -> DataFrame:
+    """Proximity search through the positional index: all query terms
+    within a window of consecutive analyzed-token positions, any order
+    (IndexReader.near_topk — the unordered counterpart of phrase_topk);
+    the oracle replays the window test with list_slice/list_has_all over
+    the tokenized documents and scores the same distinct-term BM25 sum."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.near_topk(_NEAR_Q, window=_NEAR_W, k=_WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_near_topk() -> str:
+    terms = sorted(set(tokenize_py(_NEAR_Q)))
+    uniq = ", ".join(f"'{t}'" for t in terms)
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+matched AS (
+  SELECT doc_id FROM tl WHERE list_contains(
+    list_transform(range(1, len(t) + 1),
+                   i -> list_has_all(list_slice(t, i, i + {_NEAR_W} - 1), [{uniq}])),
+    true)
+),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({uniq}) AND tf.doc_id IN (SELECT doc_id FROM matched)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_NEAR_TOPK = _sql_near_topk()
+
 
 _OVR_CACHE: dict[str, str] = {}
 _OVR_MOD = 7
@@ -1706,6 +1751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
     "phrase_topk": q_phrase_topk,
+    "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
     "multifield_bm25": q_multifield_bm25,
@@ -1763,6 +1809,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "phrase_topk": SQL_PHRASE_TOPK,
+    "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -52,14 +52,22 @@ class SearchService:
         self._geo = spark.read.parquet(geo_dir) if geo_dir else None
         self._geo_cell = geo_cell_deg
 
-    def search(self, q: str, k: int = 10, mode: str = "match", docmap: bool = False) -> list[dict]:
+    def search(
+        self, q: str, k: int = 10, mode: str = "match", docmap: bool = False,
+        window: int = 8,
+    ) -> list[dict]:
         with self._lock:
-            fn = {
-                "match": self.reader.topk,
-                "prefix": self.reader.prefix_topk,
-                "phrase": self.reader.phrase_topk,
-            }[mode]
-            rows = fn(q, k, with_docmap=docmap).collect()
+            if mode == "near":
+                rows = self.reader.near_topk(
+                    q, window=window, k=k, with_docmap=docmap
+                ).collect()
+            else:
+                fn = {
+                    "match": self.reader.topk,
+                    "prefix": self.reader.prefix_topk,
+                    "phrase": self.reader.phrase_topk,
+                }[mode]
+                rows = fn(q, k, with_docmap=docmap).collect()
         return [r.asDict() for r in rows]
 
     def reverse(self, lat: float, lon: float, k: int = 2) -> list[dict]:
@@ -128,7 +136,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
-                if u.path in ("/api/search", "/api/prefix", "/api/phrase"):
+                if u.path in ("/api/search", "/api/prefix", "/api/phrase", "/api/near"):
                     q = (qs.get("q") or [""])[0]
                     if not q:
                         return self._json(400, {"error": "missing q"})
@@ -138,8 +146,10 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         "/api/search": "match",
                         "/api/prefix": "prefix",
                         "/api/phrase": "phrase",
+                        "/api/near": "near",
                     }[u.path]
-                    rows = service.search(q, k, mode=mode, docmap=docmap)
+                    window = int((qs.get("w") or ["8"])[0])
+                    rows = service.search(q, k, mode=mode, docmap=docmap, window=window)
                     return self._json(200, {"query": q, "k": k, "hits": rows})
                 if u.path.startswith("/api/reverse"):
                     # reference route style /api/reverse/:lat/:lon

@@ -151,3 +151,47 @@ def test_phrase_multi_segment(spark, tmp_path):
     r = IndexReader(spark, out)
     got = sorted(x["doc_id"] for x in r.phrase_topk("alpha beta gamma", 10).collect())
     assert got == [0, 7]
+
+
+def test_near_topk_window_semantics(spark, planted_index):
+    """Proximity: all terms within a window of W positions, ANY order.
+    On PLANTED: "alpha ... gamma" spans vary; window == span boundary
+    flips membership, and order never matters."""
+    r = IndexReader(spark, planted_index)
+    # doc 4 "x alpha y beta z gamma": alpha@1, gamma@5 -> span 5 needs W>=5
+    got_w5 = sorted(x["doc_id"] for x in r.near_topk("alpha gamma", window=5, k=10).collect())
+    got_w4 = sorted(x["doc_id"] for x in r.near_topk("alpha gamma", window=4, k=10).collect())
+    assert 4 in got_w5 and 4 not in got_w4
+    # unordered: "gamma alpha" == "alpha gamma"
+    got_rev = sorted(x["doc_id"] for x in r.near_topk("gamma alpha", window=5, k=10).collect())
+    assert got_rev == got_w5
+    # window = 2 over adjacent pair matches where phrase does (either order)
+    near2 = sorted(x["doc_id"] for x in r.near_topk("alpha beta", window=2, k=10).collect())
+    ph_ab = {x["doc_id"] for x in r.phrase_topk("alpha beta", 10).collect()}
+    ph_ba = {x["doc_id"] for x in r.phrase_topk("beta alpha", 10).collect()}
+    assert set(near2) == ph_ab | ph_ba
+
+
+def test_near_topk_brute_force_identity(spark, planted_index):
+    """Kernel window sweep == a brute-force python window check over the
+    tokenizer output, for several windows."""
+    r = IndexReader(spark, planted_index)
+    toks = {i: tokenize_py(c) for i, c in enumerate(PLANTED)}
+    for q, w in (("alpha beta gamma", 3), ("alpha beta gamma", 5), ("beta gamma", 3)):
+        terms = set(q.split())
+        want = set()
+        for d, ts in toks.items():
+            for i in range(len(ts)):
+                if terms <= set(ts[i : i + w]):
+                    want.add(d)
+                    break
+        got = {x["doc_id"] for x in r.near_topk(q, window=w, k=10).collect()}
+        assert got == want, (q, w)
+
+
+def test_near_topk_single_term_and_absent(spark, planted_index):
+    r = IndexReader(spark, planted_index)
+    a = [x["doc_id"] for x in r.near_topk("alpha", window=3, k=10).collect()]
+    b = [x["doc_id"] for x in r.topk("alpha", 10).collect()]
+    assert a == b
+    assert r.near_topk("alpha zzznope", window=50, k=10).count() == 0

@@ -39,6 +39,10 @@ def test_warm_service_answers_repeatedly(spark, docs, service):
         assert [h["doc_id"] for h in hits] == [r["doc_id"] for r in want]
     pref = service.search("sc", k=5, mode="prefix")
     assert len(pref) == 5
+    nr = service.search("merge join", k=5, mode="near", window=6)
+    assert {h["doc_id"] for h in service.search("merge join", k=5, mode="phrase")} <= {
+        h["doc_id"] for h in service.search("merge join", k=500, mode="near", window=6)
+    }  # phrase hits are near hits (adjacent => within any window >= 2)
     ph = service.search("merge join", k=5, mode="phrase")
     assert 1 <= len(ph) <= 5  # phrase results are a subset of the match query
     assert {h["doc_id"] for h in ph} <= {h["doc_id"] for h in service.search("merge join", k=500)}
