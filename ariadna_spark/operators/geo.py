@@ -298,7 +298,12 @@ def geo_knn_many(
             finished = topk.select("qid", "rank", "id", "dist_km")
             out = finished if out is None else out.unionByName(finished)
             return out.orderBy("qid", "rank")
-        done_part = topk.filter("done").select("qid", "rank", "id", "dist_km")
+        # persist this round's k-rows-per-query result: the loop reads it
+        # twice (done-qid collect + final union), and without the persist
+        # the final action would re-run every round's cell-join
+        done_part = (
+            topk.filter("done").select("qid", "rank", "id", "dist_km").persist()
+        )
         # one small collect per ROUND (qids only), not per query
         done_ids = [x["qid"] for x in done_part.select("qid").distinct().collect()]
         out = done_part if out is None else out.unionByName(done_part)
