@@ -492,6 +492,64 @@ def q_fingerprint(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII scrubbing (training-data hygiene): redact emails + IPv4
+    literals, count removals, hash the clean text. PII is seeded
+    DETERMINISTICALLY from table columns (doc_id, source) with the
+    identical concat expression in the DuckDB oracle — no external data —
+    so the gate exercises real, non-zero redaction on every row."""
+    from .operators.text import pii_scrub
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@mail."),
+            F.col("source"),
+            F.lit(".org from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("content"),
+    )
+    out = pii_scrub(raw)
+    return out.select(
+        "doc_id", F.sha2("clean", 256).alias("clean_sha"), "n_emails", "n_ips"
+    ).orderBy("doc_id")
+
+
+def _sql_pii_scrub() -> str:
+    from .operators.text import PII_EMAIL_RE, PII_IPV4_RE
+
+    return f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or admin@mail.' || source
+              || '.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         AS content
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(content, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+         regexp_replace(content, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM seeded
+),
+i AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(no_email, '{PII_IPV4_RE}')) AS INT) AS n_ips,
+         regexp_replace(no_email, '{PII_IPV4_RE}', '<IP>', 'g') AS clean
+  FROM e
+)
+SELECT doc_id, sha256(clean) AS clean_sha, n_emails, n_ips FROM i ORDER BY doc_id
+"""
+
+
+SQL_PII_SCRUB = _sql_pii_scrub()
+
+
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
 FROM documents ORDER BY doc_id
@@ -1769,6 +1827,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
+    "pii_scrub": q_pii_scrub,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
     "pricing_summary": q_pricing_summary,
@@ -1823,6 +1882,7 @@ ORACLES: dict[str, str] = {
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
+    "pii_scrub": SQL_PII_SCRUB,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,

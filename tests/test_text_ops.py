@@ -62,3 +62,24 @@ def test_fingerprint_normalization_invariance(spark):
     fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_pii_scrub(spark):
+    from ariadna_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "reach me at a.b+c@corp.example.io or 192.168.0.1 thanks"),
+        (1, "no pii here at all"),
+        (2, "two mails x@y.de z@w.org and ips 10.0.0.1 8.8.8.8"),
+        (3, "host mail@10.0.0.5.example.com then bare 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[0]["clean"] == "reach me at <EMAIL> or <IP> thanks"
+    assert (got[0]["n_emails"], got[0]["n_ips"]) == (1, 1)
+    assert got[1]["clean"] == rows[1][1] and got[1]["n_emails"] == 0 and got[1]["n_ips"] == 0
+    assert got[2]["clean"] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+    # email is redacted FIRST, so the ip-looking host inside it is part of
+    # the email match, not a separate IP hit
+    assert got[3]["clean"] == "host <EMAIL> then bare <IP>"
+    assert (got[3]["n_emails"], got[3]["n_ips"]) == (1, 1)
