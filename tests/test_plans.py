@@ -174,3 +174,31 @@ def test_query_job_count_constant_in_segments(spark, docs, tmp_path):
     # materializations (term-window exchange, rid exchange, final limit),
     # down from 4 with the separate terms-table read + broadcast build
     assert j1 <= 3, f"warm top-k now costs {j1} jobs"
+
+
+def test_topk_many_100_query_batch(spark, index_dir):
+    """VERDICT r2 #3 done-criterion at batch scale: 100 queries sharing
+    Zipf-head terms through topk_many in ONE pass — job count must stay
+    CONSTANT in the query count (blocks are shuffled once, per-query
+    aggregation is in-kernel; the old shape replicated every shared block
+    per query), and every query's answer must equal its per-query topk."""
+    reader = IndexReader(spark, index_dir)
+    base = ["merge join", "the scan", "window group", "the table", "table filter"]
+    queries = [(i, base[i % len(base)], 5) for i in range(100)]
+    reader.topk_many(queries[:4]).collect()  # warm file-index caches
+
+    j_small = _count_jobs(spark, "b4", lambda: reader.topk_many(queries[:4]).collect())
+    j_big = _count_jobs(spark, "b100", lambda: reader.topk_many(queries).collect())
+    assert j_big == j_small, f"batch jobs grew with query count: {j_small} -> {j_big}"
+
+    rows = reader.topk_many(queries).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert set(by_q) == set(range(100))
+    for qid in (0, 7, 42, 99):
+        want = reader.topk(base[qid % len(base)], 5).collect()
+        mine = sorted(by_q[qid])
+        assert [d for _, d, _ in mine] == [w["doc_id"] for w in want], qid
+        for (_, _, sc), w in zip(mine, want):
+            assert abs(sc - w["score"]) < 1e-9
