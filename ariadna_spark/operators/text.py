@@ -114,3 +114,51 @@ def pii_scrub(docs: DataFrame, content_col: str = "content") -> DataFrame:
         n_emails.cast("int").alias("n_emails"),
         n_ips.cast("int").alias("n_ips"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    content_col: str = "content",
+) -> DataFrame:
+    """Sliding-window token chunking (context-length preprocessing for a
+    trainer): (doc_id, chunk_id, n_tokens, chunk_text) with windows of
+    `chunk_size` analyzer tokens advancing by chunk_size - overlap. Pure
+    Catalyst (sequence + posexplode + slice) — the explode multiplies row
+    count, not byte volume beyond the overlap factor, and runs map-side
+    with no shuffle."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokenize_expr(content_col)
+    d = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride))
+    d = d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def train_val_split(
+    docs: DataFrame, val_per_mille: int = 100, key_col: str = "content_sha"
+) -> DataFrame:
+    """Deterministic train/val assignment: bucket = first 4 hex nibbles of
+    the content hash as an integer mod 1000; bucket < val_per_mille ->
+    'val'. Content-hash keyed, so the split survives re-partitioning,
+    re-ingestion, and (with sha-stable dedup upstream) never leaks a
+    duplicated document across the boundary. Portable: the DuckDB oracle
+    recomputes the identical bucket from sha256 hex."""
+    bucket = F.conv(F.substring(F.col(key_col), 1, 4), 16, 10).cast("long") % 1000
+    return docs.withColumn(
+        "split",
+        F.when(bucket < val_per_mille, F.lit("val")).otherwise(F.lit("train")),
+    )

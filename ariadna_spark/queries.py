@@ -550,6 +550,93 @@ SELECT doc_id, sha256(clean) AS clean_sha, n_emails, n_ips FROM i ORDER BY doc_i
 SQL_PII_SCRUB = _sql_pii_scrub()
 
 
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark, sf_dir) -> DataFrame:
+    """Sliding-window token chunking at the driver gate: every chunk of
+    every doc, identified by (doc_id, chunk_id), with its token count and
+    content hash — the context-length preprocessing step of a training
+    pipeline, chunk boundaries replayed exactly by the oracle."""
+    from .corpus import load_docs
+    from .operators.text import chunk_documents
+
+    docs = load_docs(spark, sf_dir)
+    out = chunk_documents(docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.sha2("chunk_text", 256).alias("chunk_sha"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _sql_chunk_documents() -> str:
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM tl WHERE len(t) > 0),
+st AS (SELECT doc_id, t, n, unnest(range(0, n, {stride})) AS start FROM nz),
+c AS (
+  SELECT doc_id,
+         CAST(start // {stride} AS INT) AS chunk_id,
+         list_slice(t, start + 1, least(start + {_CHUNK_SIZE}, n)) AS chunk
+  FROM st
+)
+SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_tokens,
+       sha256(array_to_string(chunk, ' ')) AS chunk_sha
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+SQL_CHUNK_DOCUMENTS = _sql_chunk_documents()
+
+_VAL_PM = 100
+
+
+def q_train_val_split(spark, sf_dir) -> DataFrame:
+    """Deterministic content-hash train/val split: per (split, lang)
+    document counts and token mass — the corpus-mixing report a training
+    pipeline derives before sampling. Bucketing is portable (first 4 sha
+    nibbles mod 1000), replayed bit-identically by the oracle."""
+    from .analyze import tokenize_udf
+    from .corpus import load_docs
+    from .operators.text import train_val_split
+
+    docs = load_docs(spark, sf_dir)
+    out = train_val_split(docs, val_per_mille=_VAL_PM)
+    return (
+        out.select("split", "lang", F.size(tokenize_udf(F.col("content"))).alias("nt"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _sql_train_val_split() -> str:
+    nib = "(strpos('0123456789abcdef', substr(sha256(text), {i}, 1)) - 1)"
+    b = " + ".join(
+        f"{nib.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5)
+    )
+    return f"""
+WITH s AS (
+  SELECT lang, {_TOK} AS t,
+         CASE WHEN (({b}) % 1000) < {_VAL_PM} THEN 'val' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS n_tokens
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+SQL_TRAIN_VAL_SPLIT = _sql_train_val_split()
+
+
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
 FROM documents ORDER BY doc_id
@@ -1828,6 +1915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
+    "chunk_documents": q_chunk_documents,
+    "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
     "pricing_summary": q_pricing_summary,
@@ -1883,6 +1972,8 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "fingerprint": SQL_FINGERPRINT,
     "pii_scrub": SQL_PII_SCRUB,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,

@@ -83,3 +83,51 @@ def test_pii_scrub(spark):
     # the email match, not a separate IP hit
     assert got[3]["clean"] == "host <EMAIL> then bare <IP>"
     assert (got[3]["n_emails"], got[3]["n_ips"]) == (1, 1)
+
+
+def test_chunk_documents_boundaries(spark):
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.operators.text import chunk_documents
+
+    text = " ".join(f"tok{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(0, text), (1, "solo"), (2, "")], "doc_id long, content string"
+    )
+    got = chunk_documents(df, chunk_size=10, overlap=4).collect()
+    toks = tokenize_py(text)
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: stride 6 over 25 tokens -> starts 0,6,12,18,24
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [c["chunk_id"] for c in chunks] == [0, 1, 2, 3, 4]
+    for c in chunks:
+        start = c["chunk_id"] * 6
+        want = toks[start : start + 10]
+        assert c["chunk_text"].split(" ") == want
+        assert c["n_tokens"] == len(want)
+    # consecutive chunks overlap by exactly `overlap` tokens (full chunks)
+    assert chunks[0]["chunk_text"].split(" ")[-4:] == chunks[1]["chunk_text"].split(" ")[:4]
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "solo"
+    assert 2 not in by_doc  # empty docs emit no chunks
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=8, overlap=8)
+
+
+def test_train_val_split_deterministic(spark):
+    from ariadna_spark.operators.text import train_val_split
+
+    df = spark.createDataFrame(
+        [(i, f"content {i}") for i in range(500)], "doc_id long, content string"
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    a = {r["doc_id"]: r["split"] for r in train_val_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_split(df.repartition(13)).collect()}
+    assert a == b  # partition-independent (content-hash keyed)
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.05 < frac < 0.16  # ~10% with hash noise at n=500
+    # identical content (dup rows) always lands on the same side
+    dup = spark.createDataFrame(
+        [(900, "content 7"), (901, "content 7")], "doc_id long, content string"
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    d = {r["doc_id"]: r["split"] for r in train_val_split(dup).collect()}
+    assert d[900] == d[901] == a[7]
