@@ -162,3 +162,52 @@ def train_val_split(
         "split",
         F.when(bucket < val_per_mille, F.lit("val")).otherwise(F.lit("train")),
     )
+
+
+def collocations(
+    docs: DataFrame, min_count: int = 5, content_col: str = "content"
+) -> DataFrame:
+    """Bigram collocation mining: (w1, w2, n_pair, pmi) for adjacent
+    analyzer-token pairs with n_pair >= min_count. PMI computed against
+    unigram occurrence counts over the same token stream:
+    pmi = ln(n_pair * N_uni / (n_w1 * n_w2)) with N_uni = total tokens.
+    One tokenize, two aggregations — the classic corpus-statistics job,
+    all Catalyst (arrays_zip of shifted slices, no UDF)."""
+    toks = tokenize_expr(content_col)
+    d = docs.select(toks.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    d = d.persist()
+    uni = d.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("nw")
+    )
+    n_uni = d.select(F.sum("n")).first()[0]
+    pairs = (
+        d.filter(F.col("n") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    out = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                F.col("n_pair").cast("double")
+                * F.lit(float(n_uni))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("pmi"),
+        )
+    )
+    d.unpersist()
+    return out

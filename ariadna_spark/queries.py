@@ -637,6 +637,52 @@ FROM s GROUP BY split, lang ORDER BY split, lang
 SQL_TRAIN_VAL_SPLIT = _sql_train_val_split()
 
 
+_COLL_MIN = 5
+
+
+def q_collocations(spark, sf_dir) -> DataFrame:
+    """Bigram collocation mining with PMI (corpus statistics for phrase
+    vocabulary / tokenizer-merge candidates): adjacent analyzer-token
+    pairs with count >= min, scored ln(n_pair * N / (n_w1 * n_w2)); the
+    oracle replays pairs, unigram counts and the PMI formula exactly."""
+    from .corpus import load_docs
+    from .operators.text import collocations
+
+    docs = load_docs(spark, sf_dir)
+    out = collocations(docs, min_count=_COLL_MIN)
+    return out.select(
+        "w1", "w2", "n_pair", F.round("pmi", 4).alias("pmi_r")
+    ).orderBy("w1", "w2")
+
+
+def _sql_collocations() -> str:
+    return f"""
+WITH tl AS (SELECT {_TOK} AS t FROM documents),
+nz AS (SELECT t, len(t) AS n FROM tl WHERE len(t) > 0),
+uni AS (SELECT unnest(t) AS w FROM nz),
+u AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM uni GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_uni FROM uni),
+pr AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM nz, UNNEST(range(1, n)) AS r(i)
+),
+pc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pr GROUP BY w1, w2 HAVING count(*) >= {_COLL_MIN}
+)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       round(ln(CAST(pc.n_pair AS DOUBLE) * (SELECT n_uni FROM tot)
+                / (u1.nw * u2.nw)), 4) AS pmi_r
+FROM pc
+JOIN u u1 ON u1.w = pc.w1
+JOIN u u2 ON u2.w = pc.w2
+ORDER BY pc.w1, pc.w2
+"""
+
+
+SQL_COLLOCATIONS = _sql_collocations()
+
+
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
 FROM documents ORDER BY doc_id
@@ -1916,6 +1962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "pii_scrub": q_pii_scrub,
     "chunk_documents": q_chunk_documents,
+    "collocations": q_collocations,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -1973,6 +2020,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "pii_scrub": SQL_PII_SCRUB,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "collocations": SQL_COLLOCATIONS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
