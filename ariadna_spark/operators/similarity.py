@@ -194,6 +194,7 @@ def ivf_topk_many(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    prune: bool = False,
 ) -> DataFrame:
     """Batch IVF: a SET of query vectors (qid, qv: array<double>) answered
     with ONE Spark job — the pipeline shape for enriching 10^9 rows, not a
@@ -226,6 +227,15 @@ def ivf_topk_many(
         .filter(F.col("pr") <= n_probe)
         .select("qid", "qv", "centroid")
     )
+    if prune:
+        # one tiny collect (<= n_queries * n_probe ints) buys static
+        # partition pruning against an ivf_index_write store: the
+        # centroid IN (...) filter becomes PartitionFilters, so the scan
+        # touches only the probed list directories even without DPP
+        hit = sorted(
+            int(r["centroid"]) for r in probes.select("centroid").distinct().collect()
+        )
+        indexed = indexed.filter(F.col("centroid").isin(hit))
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         probes.join(indexed, "centroid")

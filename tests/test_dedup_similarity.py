@@ -278,3 +278,32 @@ def test_lsh_topk_many_matches_per_query(spark, emb):
         for m, w in zip(mine, want):
             assert abs(m["cos"] - w["cos"]) < 1e-12
     indexed.unpersist()
+
+
+def test_ivf_topk_many_stored_pruned(spark, emb, tmp_path):
+    """Batch IVF against the written store with prune=True: the scan must
+    partition-prune to the probed centroid dirs, and answers must equal
+    the unpruned batch exactly."""
+    from ariadna_spark.operators.similarity import (
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk_many,
+    )
+    from ariadna_spark.plans import assert_partition_pruned
+
+    path = str(tmp_path / "ivf_b")
+    ivf_index_write(emb, path, n_centroids=8)
+    stored, centroids = ivf_index_read(spark, path)
+    pdf = emb.toPandas()
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]) for q in (3, 27)],
+        "qid long, qv array<double>",
+    )
+    pruned = ivf_topk_many(stored, centroids, qdf, k=6, n_probe=2, prune=True)
+    assert_partition_pruned(pruned, "centroid")
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in pruned.collect())
+    want = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in ivf_topk_many(stored, centroids, qdf, k=6, n_probe=2).collect()
+    )
+    assert got == want
