@@ -270,6 +270,17 @@ def geo_knn_many(
     w = Window.partitionBy("qid").orderBy(F.asc("dist_km"), F.asc("id"))
 
     out = None
+    cached: list[DataFrame] = []
+
+    def _finish(result: DataFrame) -> DataFrame:
+        # materialize the final (k rows per query) result so the per-round
+        # caches can be freed immediately — without this every persist
+        # below would live for the application lifetime
+        final = result.orderBy("qid", "rank").localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
+        return final
+
     r = 1
     while True:
         r = min(r, max_r)
@@ -297,19 +308,21 @@ def geo_knn_many(
             # globe covered: every query is final regardless of the bound
             finished = topk.select("qid", "rank", "id", "dist_km")
             out = finished if out is None else out.unionByName(finished)
-            return out.orderBy("qid", "rank")
+            return _finish(out)
         # persist this round's k-rows-per-query result: the loop reads it
         # twice (done-qid collect + final union), and without the persist
-        # the final action would re-run every round's cell-join
+        # the final action would re-run every round's cell-join. _finish
+        # frees every round cache once the final result is materialized.
         done_part = (
             topk.filter("done").select("qid", "rank", "id", "dist_km").persist()
         )
+        cached.append(done_part)
         # one small collect per ROUND (qids only), not per query
         done_ids = [x["qid"] for x in done_part.select("qid").distinct().collect()]
         out = done_part if out is None else out.unionByName(done_part)
         q = q.filter(~F.col("qid").isin(done_ids) if done_ids else F.lit(True))
         if not q.take(1):
-            return out.orderBy("qid", "rank")
+            return _finish(out)
         r *= 2
 
 

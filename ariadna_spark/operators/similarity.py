@@ -368,7 +368,9 @@ def ivf_index(
     e = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("fv", array_to_vector(F.col("v")))
-    n = e.count()
+    # size check on the id column only (pruned scan — the decision costs
+    # one narrow job, negligible next to the k-means fit it sizes)
+    n = emb.select(id_col).count()
     fit_on = e
     if n > fit_sample:
         # slight oversample so the post-filter limit() keeps ~fit_sample

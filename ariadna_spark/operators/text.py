@@ -175,11 +175,12 @@ def collocations(
     all Catalyst (arrays_zip of shifted slices, no UDF)."""
     toks = tokenize_expr(content_col)
     d = docs.select(toks.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") > 0)
-    d = d.persist()
     uni = d.select(F.explode("t").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("nw")
     )
-    n_uni = d.select(F.sum("n")).first()[0]
+    # total token mass as a 1-row broadcast (scalar-subquery shape): the
+    # whole operator stays ONE lazy plan — no driver collect, no persist
+    tot = uni.agg(F.sum("nw").cast("double").alias("n_uni"))
     pairs = (
         d.filter(F.col("n") >= 2)
         .select(
@@ -195,19 +196,20 @@ def collocations(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .filter(F.col("n_pair") >= min_count)
     )
-    out = (
+    # n1/n2 promoted to double BEFORE multiplying: long*long overflows at
+    # ~10^10-token corpora for stop-word pairs (ANSI mode would throw)
+    return (
         pairs.join(uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1")), "w1")
         .join(uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2")), "w2")
+        .crossJoin(F.broadcast(tot))
         .select(
             "w1",
             "w2",
             "n_pair",
             F.log(
                 F.col("n_pair").cast("double")
-                * F.lit(float(n_uni))
-                / (F.col("n1") * F.col("n2"))
+                * F.col("n_uni")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
             ).alias("pmi"),
         )
     )
-    d.unpersist()
-    return out

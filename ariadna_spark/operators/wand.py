@@ -276,11 +276,14 @@ def phrase_kernel(
     for off, t in enumerate(terms_ordered):
         _, _, _, docs_r, pos_r = per_term[t]
         ok = pos_r >= off
-        keys = np.unique((docs_r[ok] << np.int64(32)) | (pos_r[ok] - off))
+        # pack (doc, candidate start) into ONE int64: the RANGE-LOCAL doc
+        # offset (doc - lo < range_size <= 2^31) goes in the high bits, so
+        # the packing never wraps no matter how large global doc_ids get
+        keys = np.unique(((docs_r[ok] - lo) << np.int64(32)) | (pos_r[ok] - off))
         cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=True)
         if cand.size == 0:
             return empty
-    matched = np.unique(cand >> np.int64(32))
+    matched = np.unique(cand >> np.int64(32)) + lo
     acc = np.zeros(matched.shape, dtype=np.float64)
     for t in uniq_terms:
         ids, tfs, dls, _, _ = per_term[t]
@@ -576,7 +579,15 @@ class IndexReader:
 
         dirs = tombstone_dirs(SegmentStore(self.out_dir), self.build_ids)
         if not dirs:
-            return None
+            # markers say dead docs exist but no kb=<b> bucket dirs were
+            # found: this is a pre-bucketed-layout store (or a corrupted
+            # one). Returning None here would SILENTLY stop masking
+            # overwritten versions — fail loudly instead.
+            raise RuntimeError(
+                f"index at {self.out_dir} records tombstones but has no "
+                f"kb=<b> tombstone buckets — store predates the bucketed "
+                f"docmap layout. Re-run compact() (or rebuild) to migrate."
+            )
         return self.spark.read.schema(TOMB_SCHEMA).parquet(*dirs)
 
     def _tomb_ranged(self, range_size: int) -> DataFrame | None:

@@ -672,7 +672,7 @@ pc AS (
 )
 SELECT pc.w1, pc.w2, pc.n_pair,
        round(ln(CAST(pc.n_pair AS DOUBLE) * (SELECT n_uni FROM tot)
-                / (u1.nw * u2.nw)), 4) AS pmi_r
+                / (CAST(u1.nw AS DOUBLE) * CAST(u2.nw AS DOUBLE))), 4) AS pmi_r
 FROM pc
 JOIN u u1 ON u1.w = pc.w1
 JOIN u u2 ON u2.w = pc.w2

@@ -494,6 +494,16 @@ def write_tombstones(spark: SparkSession, out_dir: str, build_id: str, new_docs:
         int(r["kb"]) for r in keys.select(key_bucket_expr().alias("kb")).distinct().collect()
     )
     dm_dirs = docmap_dirs(store, live, batch_buckets)
+    if not dm_dirs and live and not docmap_dirs(store, live):
+        # pruned dirs may legitimately be empty (no live bucket overlaps
+        # the batch keys) — but live builds with NO kb=<b> docmap buckets
+        # AT ALL are a pre-bucketed-layout store, and writing no
+        # tombstones would silently break the per-doc overwrite contract.
+        raise RuntimeError(
+            f"live builds {live} in {out_dir} have no kb=<b> docmap "
+            f"buckets — store predates the bucketed docmap layout. "
+            f"Re-run compact() (or rebuild) before streaming overwrites."
+        )
     if dm_dirs:
         bid = F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
         dead = (
