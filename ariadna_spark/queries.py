@@ -683,6 +683,70 @@ ORDER BY pc.w1, pc.w2
 SQL_COLLOCATIONS = _sql_collocations()
 
 
+def q_training_pipeline(spark, sf_dir) -> DataFrame:
+    """The COMPOSED corpus-preparation pipeline as one gate entry:
+    keep-first exact dedup -> PII scrub -> token chunking -> quality gate
+    -> content-hash train/val split (ariadna_spark.pipeline), verified
+    end-to-end: the oracle replays every stage and hash-matches every
+    chunk of every surviving doc with its split side."""
+    from .corpus import load_docs
+    from .pipeline import prepare_training_set
+
+    docs = load_docs(spark, sf_dir)
+    out = prepare_training_set(docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP, min_tokens=4)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "split",
+        "n_tokens",
+        F.sha2("chunk_text", 256).alias("chunk_sha"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _sql_training_pipeline() -> str:
+    from .operators.text import PII_EMAIL_RE, PII_IPV4_RE
+
+    stride = _CHUNK_SIZE - _CHUNK_OVERLAP
+    nib = "(strpos('0123456789abcdef', substr(sha256(text), {i}, 1)) - 1)"
+    b = " + ".join(f"{nib.format(i=i)} * {16 ** (4 - i)}" for i in range(1, 5))
+    from .analyze import duckdb_tokenize_sql
+
+    tok_clean = duckdb_tokenize_sql("clean")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text,
+         CASE WHEN (({b}) % 1000) < {_VAL_PM} THEN 'val' ELSE 'train' END AS split
+  FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+scrubbed AS (
+  SELECT doc_id, split,
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IPV4_RE}', '<IP>', 'g') AS clean
+  FROM kept
+),
+tl AS (SELECT doc_id, split, {tok_clean} AS t FROM scrubbed),
+nz AS (SELECT doc_id, split, t, len(t) AS n FROM tl WHERE len(t) > 0),
+st AS (SELECT doc_id, split, t, n, unnest(range(0, n, {stride})) AS start FROM nz),
+c AS (
+  SELECT doc_id, split,
+         CAST(start // {stride} AS INT) AS chunk_id,
+         list_slice(t, start + 1, least(start + {_CHUNK_SIZE}, n)) AS chunk
+  FROM st
+)
+SELECT doc_id, chunk_id, split, CAST(len(chunk) AS INT) AS n_tokens,
+       sha256(array_to_string(chunk, ' ')) AS chunk_sha
+FROM c WHERE len(chunk) >= 4 ORDER BY doc_id, chunk_id
+"""
+
+
+SQL_TRAINING_PIPELINE = _sql_training_pipeline()
+
+
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
 FROM documents ORDER BY doc_id
@@ -1963,6 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "chunk_documents": q_chunk_documents,
     "collocations": q_collocations,
+    "training_pipeline": q_training_pipeline,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -2021,6 +2086,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "collocations": SQL_COLLOCATIONS,
+    "training_pipeline": SQL_TRAINING_PIPELINE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

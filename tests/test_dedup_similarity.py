@@ -307,3 +307,31 @@ def test_ivf_topk_many_stored_pruned(spark, emb, tmp_path):
         for r in ivf_topk_many(stored, centroids, qdf, k=6, n_probe=2).collect()
     )
     assert got == want
+
+
+def test_lsh_topk_many_stored_pruned(spark, emb, tmp_path):
+    """Batch LSH with prune=True against the written store: partition
+    pruning on the probed (table, bucket) dirs, answers identical."""
+    from ariadna_spark.operators.similarity import (
+        lsh_index_read,
+        lsh_index_write,
+        lsh_topk_many,
+    )
+    from ariadna_spark.plans import assert_partition_pruned
+
+    path = str(tmp_path / "lsh_b")
+    lsh_index_write(emb, path, n_planes=8, n_tables=4)
+    stored, tables = lsh_index_read(spark, path)
+    pdf = emb.toPandas()
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in pdf[pdf.vec_id == q].embedding.iloc[0]]) for q in (7, 19)],
+        "qid long, qv array<double>",
+    )
+    pruned = lsh_topk_many(stored, tables, qdf, k=10, probe_hamming=1, prune=True)
+    assert_partition_pruned(pruned, "bucket")
+    got = sorted((r["qid"], r["rank"], r["vec_id"]) for r in pruned.collect())
+    want = sorted(
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in lsh_topk_many(stored, tables, qdf, k=10, probe_hamming=1).collect()
+    )
+    assert got == want

@@ -1,0 +1,78 @@
+"""Composed training-data pipeline: dedup -> (near-dup) -> PII scrub ->
+quality gate -> chunk -> split, one lazy graph, invariants end-to-end."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadna_spark.analyze import tokenize_py
+from ariadna_spark.corpus import load_docs
+from ariadna_spark.operators.text import train_val_split
+from ariadna_spark.pipeline import prepare_training_set, write_training_set
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def prepared(spark):
+    docs = load_docs(spark, SF)
+    out = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4)
+    out.persist()
+    out.count()
+    return docs, out
+
+
+def test_pipeline_invariants(spark, prepared):
+    docs, out = prepared
+    rows = out.collect()
+    assert rows, "pipeline produced no chunks"
+    # chunk size and quality gate hold
+    assert all(4 <= r["n_tokens"] <= 32 for r in rows)
+    # every chunk's tokens really are a window of its source doc's tokens
+    src = {r["doc_id"]: tokenize_py(r["content"]) for r in docs.collect()}
+    from ariadna_spark.operators.text import pii_scrub
+
+    clean = {r["doc_id"]: r["clean"] for r in pii_scrub(docs).collect()}
+    for r in rows[:50]:
+        toks = tokenize_py(clean[r["doc_id"]])
+        start = r["chunk_id"] * (32 - 8)
+        assert r["chunk_text"].split(" ") == toks[start : start + 32]
+    # one split side per doc — chunks never straddle the boundary
+    sides = out.groupBy("doc_id").agg(F.countDistinct("split").alias("ns")).collect()
+    assert all(s["ns"] == 1 for s in sides)
+    # the doc-level assignment matches train_val_split on the raw docs
+    want = {r["doc_id"]: r["split"] for r in train_val_split(docs).collect()}
+    got = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").distinct().collect()}
+    assert all(got[d] == want[d] for d in got)
+
+
+def test_pipeline_near_dup_removal(spark):
+    ddl = "doc_id long, repo string, path string, commit string, lang string, content string"
+    base = "the quick brown fox jumps over the lazy dog again and again tokens"
+    rows = [
+        (0, "r", "a", "c", "py", base),
+        (1, "r", "b", "c", "py", base + " extra"),   # near-dup of 0 -> dropped
+        (2, "r", "c", "c", "py", "completely different content about spark shuffles"),
+        (3, "r", "d", "c", "py", base),              # exact dup of 0 -> dropped earlier
+    ]
+    docs = spark.createDataFrame(rows, ddl).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    out = prepare_training_set(
+        docs, chunk_size=16, overlap=0, min_tokens=1, near_dup_threshold=0.7
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert kept == {0, 2}
+
+
+def test_pipeline_write_partitioned(spark, prepared, tmp_path):
+    _, out = prepared
+    path = str(tmp_path / "train_set")
+    write_training_set(out, path)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    splits = {r["split"] for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "val"} and "train" in splits
+    # physical layout: split=<side> partition dirs exist
+    assert any(d.startswith("split=") for d in os.listdir(path))
