@@ -213,3 +213,25 @@ def collocations(
             ).alias("pmi"),
         )
     )
+
+
+def stratified_take(
+    docs: DataFrame,
+    group_col: str = "lang",
+    n_per_group: int = 100,
+    key_col: str = "content_sha",
+) -> DataFrame:
+    """Deterministic per-group quota (domain mixing): within each group,
+    rank docs by their content hash (ties by doc_id) and keep the first
+    n_per_group. Hash-ordered, so the selection is reproducible across
+    partitionings and ingestion order, and uniform-ish over content — a
+    fixed per-source/per-language quota without a random() that would
+    break replay."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(key_col), F.col("doc_id"))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )

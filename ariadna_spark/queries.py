@@ -746,6 +746,30 @@ FROM c WHERE len(chunk) >= 4 ORDER BY doc_id, chunk_id
 
 SQL_TRAINING_PIPELINE = _sql_training_pipeline()
 
+_STRAT_N = 40
+
+
+def q_stratified_take(spark, sf_dir) -> DataFrame:
+    """Deterministic per-language quota (domain mixing): keep the
+    hash-first _STRAT_N docs per lang — reproducible across partitionings
+    and ingestion order (no random()); the oracle replays the identical
+    rank with a window over sha256."""
+    from .corpus import load_docs
+    from .operators.text import stratified_take
+
+    docs = load_docs(spark, sf_dir)
+    out = stratified_take(docs, group_col="lang", n_per_group=_STRAT_N)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+SQL_STRATIFIED_TAKE = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY sha256(text), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {_STRAT_N} ORDER BY lang, doc_id
+"""
+
 
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
@@ -2028,6 +2052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "collocations": q_collocations,
     "training_pipeline": q_training_pipeline,
+    "stratified_take": q_stratified_take,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -2087,6 +2112,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "collocations": SQL_COLLOCATIONS,
     "training_pipeline": SQL_TRAINING_PIPELINE,
+    "stratified_take": SQL_STRATIFIED_TAKE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

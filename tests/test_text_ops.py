@@ -131,3 +131,22 @@ def test_train_val_split_deterministic(spark):
     ).withColumn("content_sha", F.sha2(F.col("content"), 256))
     d = {r["doc_id"]: r["split"] for r in train_val_split(dup).collect()}
     assert d[900] == d[901] == a[7]
+
+
+def test_stratified_take_deterministic(spark):
+    from ariadna_spark.operators.text import stratified_take
+
+    df = spark.createDataFrame(
+        [(i, "l" + str(i % 3), f"doc content {i}") for i in range(120)],
+        "doc_id long, lang string, content string",
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    a = sorted((r["lang"], r["doc_id"]) for r in stratified_take(df, n_per_group=7).collect())
+    b = sorted(
+        (r["lang"], r["doc_id"])
+        for r in stratified_take(df.repartition(17), n_per_group=7).collect()
+    )
+    assert a == b  # partition-order independent
+    from collections import Counter
+
+    c = Counter(l for l, _ in a)
+    assert all(v == 7 for v in c.values()) and len(c) == 3
