@@ -235,3 +235,25 @@ def stratified_take(
         .filter(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def regex_search(
+    docs: DataFrame, pattern: str, content_col: str = "content"
+) -> DataFrame:
+    """Grep-style regex search (the code-search staple next to ranked
+    full-text): docs matching `pattern` with their match count and the
+    first match. Keep patterns RE2-safe (no backrefs/lookaround) and they
+    replay identically in the DuckDB oracle. Pure Catalyst regexp ops;
+    combine with an indexed term prefilter (IndexReader semi-join) to
+    avoid full scans at 100 TB when the pattern implies required
+    literals."""
+    c = F.col(content_col)
+    n = F.regexp_count(c, F.lit(pattern))
+    return (
+        docs.select(
+            "doc_id",
+            n.cast("int").alias("n_matches"),
+            F.regexp_extract(c, pattern, 0).alias("first_match"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

@@ -770,6 +770,30 @@ SELECT lang, doc_id FROM (
 ) WHERE rk <= {_STRAT_N} ORDER BY lang, doc_id
 """
 
+_GREP_PATTERN = r"scan[a-z]*"
+
+
+def q_regex_search(spark, sf_dir) -> DataFrame:
+    """Grep-style regex search over the corpus (code-search staple): docs
+    matching the pattern, with match counts and the first match text; the
+    RE2-safe pattern replays identically in DuckDB."""
+    from .corpus import load_docs
+    from .operators.text import regex_search
+
+    docs = load_docs(spark, sf_dir)
+    out = regex_search(docs, _GREP_PATTERN)
+    return out.orderBy("doc_id")
+
+
+SQL_REGEX_SEARCH = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_GREP_PATTERN}')) AS INT) AS n_matches,
+       regexp_extract(text, '{_GREP_PATTERN}', 0) AS first_match
+FROM documents
+WHERE len(regexp_extract_all(text, '{_GREP_PATTERN}')) > 0
+ORDER BY doc_id
+"""
+
 
 SQL_FINGERPRINT = f"""
 SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
@@ -2053,6 +2077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocations": q_collocations,
     "training_pipeline": q_training_pipeline,
     "stratified_take": q_stratified_take,
+    "regex_search": q_regex_search,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -2113,6 +2138,7 @@ ORACLES: dict[str, str] = {
     "collocations": SQL_COLLOCATIONS,
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "stratified_take": SQL_STRATIFIED_TAKE,
+    "regex_search": SQL_REGEX_SEARCH,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,
