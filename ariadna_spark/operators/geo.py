@@ -274,56 +274,61 @@ def geo_knn_many(
 
     def _finish(result: DataFrame) -> DataFrame:
         # materialize the final (k rows per query) result so the per-round
-        # caches can be freed immediately — without this every persist
-        # below would live for the application lifetime
-        final = result.orderBy("qid", "rank").localCheckpoint(eager=True)
+        # caches can be freed by the finally below — without the eager
+        # checkpoint, unpersisting would force the final action to re-run
+        # every round's cell-join
+        return result.orderBy("qid", "rank").localCheckpoint(eager=True)
+
+    # try/finally so the per-round caches are freed even when an exception
+    # escapes mid-loop (ADVICE r3: without it a failed round leaked every
+    # persisted partition for the application lifetime)
+    try:
+        r = 1
+        while True:
+            r = min(r, max_r)
+            ring = q.withColumn(
+                "cell_x", F.explode(F.sequence(F.col("qx") - r, F.col("qx") + r))
+            ).withColumn("cell_y", F.explode(F.sequence(F.col("qy") - r, F.col("qy") + r)))
+            cand = ring.join(pts, ["cell_x", "cell_y"]).select("qid", "qlat", "id", dist)
+            topk = (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .withColumn(
+                    "done",
+                    (F.max("rank").over(Window.partitionBy("qid")) < k)
+                    if r >= max_r
+                    else (
+                        (F.max("rank").over(Window.partitionBy("qid")) == k)
+                        & (
+                            F.max(F.col("dist_km")).over(Window.partitionBy("qid"))
+                            < _ring_lower_bound_col(F.col("qlat"), r, cell_deg)
+                        )
+                    ),
+                )
+            )
+            if r >= max_r:
+                # globe covered: every query is final regardless of the bound
+                finished = topk.select("qid", "rank", "id", "dist_km")
+                out = finished if out is None else out.unionByName(finished)
+                return _finish(out)
+            # persist this round's k-rows-per-query result: the loop reads it
+            # twice (unfinished probe + final union), and without the persist
+            # the final action would re-run every round's cell-join.
+            done_part = (
+                topk.filter("done").select("qid", "rank", "id", "dist_km").persist()
+            )
+            cached.append(done_part)
+            out = done_part if out is None else out.unionByName(done_part)
+            # drop finished queries with a left_anti against the (cached)
+            # done set — a join, not a driver-held isin() literal list that
+            # would grow toward the full query-set size (ADVICE r3)
+            q = q.join(done_part.select("qid").distinct(), "qid", "left_anti")
+            if not q.take(1):
+                return _finish(out)
+            r *= 2
+    finally:
         for c in cached:
             c.unpersist()
-        return final
-
-    r = 1
-    while True:
-        r = min(r, max_r)
-        ring = q.withColumn(
-            "cell_x", F.explode(F.sequence(F.col("qx") - r, F.col("qx") + r))
-        ).withColumn("cell_y", F.explode(F.sequence(F.col("qy") - r, F.col("qy") + r)))
-        cand = ring.join(pts, ["cell_x", "cell_y"]).select("qid", "qlat", "id", dist)
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .withColumn(
-                "done",
-                (F.max("rank").over(Window.partitionBy("qid")) < k)
-                if r >= max_r
-                else (
-                    (F.max("rank").over(Window.partitionBy("qid")) == k)
-                    & (
-                        F.max(F.col("dist_km")).over(Window.partitionBy("qid"))
-                        < _ring_lower_bound_col(F.col("qlat"), r, cell_deg)
-                    )
-                ),
-            )
-        )
-        if r >= max_r:
-            # globe covered: every query is final regardless of the bound
-            finished = topk.select("qid", "rank", "id", "dist_km")
-            out = finished if out is None else out.unionByName(finished)
-            return _finish(out)
-        # persist this round's k-rows-per-query result: the loop reads it
-        # twice (done-qid collect + final union), and without the persist
-        # the final action would re-run every round's cell-join. _finish
-        # frees every round cache once the final result is materialized.
-        done_part = (
-            topk.filter("done").select("qid", "rank", "id", "dist_km").persist()
-        )
-        cached.append(done_part)
-        # one small collect per ROUND (qids only), not per query
-        done_ids = [x["qid"] for x in done_part.select("qid").distinct().collect()]
-        out = done_part if out is None else out.unionByName(done_part)
-        q = q.filter(~F.col("qid").isin(done_ids) if done_ids else F.lit(True))
-        if not q.take(1):
-            return _finish(out)
-        r *= 2
 
 
 def geo_index_write(pts: DataFrame, path: str, cell_deg: float = 20.0) -> None:

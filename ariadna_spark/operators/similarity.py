@@ -381,11 +381,15 @@ def ivf_index(
     e = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("fv", array_to_vector(F.col("v")))
-    # size check on the id column only (pruned scan — the decision costs
-    # one narrow job, negligible next to the k-means fit it sizes)
-    n = emb.select(id_col).count()
+    # Bounded size probe (ADVICE r3): limit(fit_sample+1).count() stops
+    # scanning as soon as fit_sample+1 ids are seen, so corpora at or below
+    # fit_sample (every test/gate-scale call) never pay a full count. Only
+    # when the probe overflows do we run the real count to size the sample
+    # fraction — at that scale the count is negligible next to the fit.
+    over = emb.select(id_col).limit(fit_sample + 1).count() > fit_sample
     fit_on = e
-    if n > fit_sample:
+    if over:
+        n = emb.select(id_col).count()
         # slight oversample so the post-filter limit() keeps ~fit_sample
         fit_on = e.sample(False, min(1.0, 1.25 * fit_sample / n), seed=seed).limit(
             fit_sample

@@ -49,3 +49,26 @@ def test_empty_and_monotonicity_guard():
 
     with pytest.raises(ValueError):
         delta_encode_ids(np.array([5, 5], dtype=np.int64))
+
+
+def test_arrow_groupby_list_agg_preserves_scan_order():
+    """stats.py's positions stream relies on pyarrow's TableGroupBy 'list'
+    aggregation accumulating values in SCAN ORDER — an undocumented Arrow
+    implementation detail (ADVICE r3). The encode-time strictly-increasing
+    check in build_postings would fail loudly on a violation; this pin
+    attributes a pyarrow-upgrade regression immediately to the real cause
+    instead of failing every positional build."""
+    import pyarrow as pa
+
+    keys = [1, 2, 1, 3, 2, 1, 3, 1] * 50
+    vals = list(range(len(keys)))
+    t = pa.table({"k": keys, "v": vals})
+    g = pa.TableGroupBy(t, ["k"]).aggregate([("v", "list")])
+    by_k = dict(zip(g["k"].to_pylist(), g["v_list"].to_pylist()))
+    for k in set(keys):
+        expect = [v for kk, v in zip(keys, vals) if kk == k]
+        assert by_k[k] == expect, (
+            f"pyarrow {pa.__version__}: TableGroupBy list agg is no longer "
+            f"scan-ordered (key {k}) — sort position lists in "
+            f"stats._tf_arrow_kernel before encoding"
+        )
