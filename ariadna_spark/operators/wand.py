@@ -55,6 +55,104 @@ def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np
     return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _bmw_range_topk(
+    sub: np.ndarray,
+    row_term: np.ndarray,
+    fd: np.ndarray,
+    ld: np.ndarray,
+    bms: np.ndarray,
+    decode,
+    k: int,
+    lo: int,
+    range_size: int,
+    stride: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stride-level block-max WAND over ONE doc_id range, restricted to the
+    posting-block rows indexed by `sub` (the shared core of wand_kernel and
+    multiquery_kernel — the batch path reuses it per query over a SHARED
+    decode cache, so a stop-word block is decoded once for the whole batch
+    while every query still gets its own block-max pruning, ADVICE r3).
+
+    `decode(i)` returns the (ids, scores) of global row i, masked to this
+    range and tombstone-filtered; callers memoize it. Strides are visited
+    in descending metadata upper-bound order and the loop stops as soon as
+    UB < the current k-th score (strict <, preserving doc_id tie-break
+    rank-identity). Returns (doc_ids, scores) sorted by (-score, doc_id),
+    at most k entries.
+    """
+    n_strides = (range_size + stride - 1) // stride
+    sub_fd, sub_ld = fd[sub], ld[sub]
+    sub_term = row_term[sub]
+    s_lo = np.maximum((sub_fd - lo) // stride, 0)
+    s_hi = np.minimum((sub_ld - lo) // stride, n_strides - 1)
+    ub = np.zeros(n_strides, dtype=np.float64)
+    # terms in order of first appearance (bit-identical ub accumulation to
+    # the historical single-query loop, which iterated pandas .unique())
+    uniq_t, first_idx = np.unique(sub_term, return_index=True)
+    for t in uniq_t[np.argsort(first_idx)]:
+        term_ub = np.zeros(n_strides, dtype=np.float64)
+        for j in np.flatnonzero(sub_term == t):
+            a, b_ = int(s_lo[j]), int(s_hi[j])
+            if b_ < 0 or a >= n_strides:
+                continue
+            seg = term_ub[a : b_ + 1]
+            np.maximum(seg, bms[sub[j]], out=seg)
+        ub += term_ub
+
+    order = np.argsort(-ub, kind="stable")
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    theta = 0.0
+    for si in order:
+        if ub[si] <= 0.0:
+            break
+        # Strict <: a stride with ub == theta could still hold a doc tying
+        # the k-th score but winning the doc_id tie-break (rank-identity).
+        if len(heap) >= k and ub[si] < theta:
+            break  # block-max pruning: no doc in this stride can enter top-k
+        st_lo, st_hi = lo + si * stride, lo + (si + 1) * stride
+        cand_ids: list[np.ndarray] = []
+        cand_sc: list[np.ndarray] = []
+        overlap = np.flatnonzero((sub_fd < st_hi) & (sub_ld >= st_lo))
+        for j in overlap:
+            ids, sc = decode(int(sub[j]))
+            m = (ids >= st_lo) & (ids < st_hi)
+            if m.any():
+                cand_ids.append(ids[m])
+                cand_sc.append(sc[m])
+        if not cand_ids:
+            continue
+        all_ids = np.concatenate(cand_ids)
+        all_sc = np.concatenate(cand_sc)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(uniq.shape, dtype=np.float64)
+        np.add.at(sums, inv, all_sc)
+        # Vectorized top-k merge: strides partition the doc_id space, so a
+        # doc never appears in two visited strides — the running heap and
+        # this stride's candidates are disjoint and can be merged with one
+        # lexsort (doc_id asc breaks score ties) instead of a per-doc
+        # Python loop.
+        if heap:
+            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
+            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
+            all_s = np.concatenate([hs, sums])
+            all_d = np.concatenate([hd, uniq])
+        else:
+            all_s, all_d = sums, uniq
+        if all_d.size > k:
+            top = np.lexsort((all_d, -all_s))[:k]
+            all_s, all_d = all_s[top], all_d[top]
+        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
+        heapq.heapify(heap)
+        if len(heap) >= k:
+            theta = heap[0][0]
+
+    pairs = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    if not pairs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    d_out, s_out = zip(*pairs)
+    return np.asarray(d_out, dtype=np.int64), np.asarray(s_out, dtype=np.float64)
+
+
 def wand_kernel(
     pdf: pd.DataFrame,
     n_docs: int,
@@ -97,12 +195,6 @@ def wand_kernel(
         for t, d in zip(tdf["term"], tdf["df"])
     }
     lo, hi = rid * range_size, (rid + 1) * range_size
-    n_strides = (range_size + stride - 1) // stride
-
-    # Stride upper bounds from metadata alone (no decode): for each term,
-    # a stride's bound is the max block_max_score of blocks overlapping it.
-    terms = pdf["term"].unique()
-    ub = np.zeros(n_strides, dtype=np.float64)
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
     # block max score = idf(term) * stored idf-free tfnorm max, scaled by
@@ -111,88 +203,31 @@ def wand_kernel(
     # per-build tfnorm max a valid upper bound under the global avgdl)
     scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else 1.0
     bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy() * scale
-    s_lo = np.maximum((fd - lo) // stride, 0)
-    s_hi = np.minimum((ld - lo) // stride, n_strides - 1)
-    for t in terms:
-        tmask = (pdf["term"] == t).to_numpy()
-        term_ub = np.zeros(n_strides, dtype=np.float64)
-        for i in np.flatnonzero(tmask):
-            a, b_ = int(s_lo[i]), int(s_hi[i])
-            if b_ < 0 or a >= n_strides:
-                continue
-            seg = term_ub[a : b_ + 1]
-            np.maximum(seg, bms[i], out=seg)
-        ub += term_ub
-
-    order = np.argsort(-ub, kind="stable")
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # row idx -> (ids, scores)
-    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
-    theta = 0.0
-    n_decoded = 0
-
     row_term = pdf["term"].to_numpy()
 
-    for si in order:
-        if ub[si] <= 0.0:
-            break
-        # Strict <: a stride with ub == theta could still hold a doc tying
-        # the k-th score but winning the doc_id tie-break (rank-identity).
-        if len(heap) >= k and ub[si] < theta:
-            break  # block-max pruning: no doc in this stride can enter top-k
-        st_lo, st_hi = lo + si * stride, lo + (si + 1) * stride
-        cand_ids: list[np.ndarray] = []
-        cand_sc: list[np.ndarray] = []
-        overlap = np.flatnonzero((fd < st_hi) & (ld >= st_lo))
-        for i in overlap:
-            if i not in decoded:
-                ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-                tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
-                dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-                sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
-                m = (ids >= lo) & (ids < hi)  # mask to this range partition
-                if dead and row_bid is not None:
-                    dd = dead.get(row_bid[i])
-                    if dd is not None and dd.size:
-                        m &= ~np.isin(ids, dd)  # overwritten versions never score
-                decoded[i] = (ids[m], sc[m])
-                n_decoded += 1
-            ids, sc = decoded[i]
-            m = (ids >= st_lo) & (ids < st_hi)
-            if m.any():
-                cand_ids.append(ids[m])
-                cand_sc.append(sc[m])
-        if not cand_ids:
-            continue
-        all_ids = np.concatenate(cand_ids)
-        all_sc = np.concatenate(cand_sc)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        sums = np.zeros(uniq.shape, dtype=np.float64)
-        np.add.at(sums, inv, all_sc)
-        # Vectorized top-k merge: strides partition the doc_id space, so a
-        # doc never appears in two visited strides — the running heap and
-        # this stride's candidates are disjoint and can be merged with one
-        # lexsort (doc_id asc breaks score ties) instead of a per-doc
-        # Python loop.
-        if heap:
-            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
-            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
-            all_s = np.concatenate([hs, sums])
-            all_d = np.concatenate([hd, uniq])
-        else:
-            all_s, all_d = sums, uniq
-        if all_d.size > k:
-            top = np.lexsort((all_d, -all_s))[:k]
-            all_s, all_d = all_s[top], all_d[top]
-        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
-        heapq.heapify(heap)
-        if len(heap) >= k:
-            theta = heap[0][0]
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # row idx -> (ids, scores)
 
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in decoded:
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
+            m = (ids >= lo) & (ids < hi)  # mask to this range partition
+            if dead and row_bid is not None:
+                dd = dead.get(row_bid[i])
+                if dd is not None and dd.size:
+                    m &= ~np.isin(ids, dd)  # overwritten versions never score
+            decoded[i] = (ids[m], sc[m])
+        return decoded[i]
+
+    d_out, s_out = _bmw_range_topk(
+        np.arange(len(pdf)), row_term, fd, ld, bms, decode, k, lo, range_size, stride
+    )
     if prune_stats is not None:
         prune_stats["n_blocks_total"] = len(pdf)
-        prune_stats["n_blocks_decoded"] = n_decoded
-    out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
-    return pd.DataFrame(out, columns=["doc_id", "score"]).astype(
+        prune_stats["n_blocks_decoded"] = len(decoded)
+    return pd.DataFrame({"doc_id": d_out, "score": s_out}).astype(
         {"doc_id": "int64", "score": "float64"}
     )
 
@@ -430,18 +465,23 @@ def multiquery_kernel(
     n_docs: int,
     avgdl: float,
     range_size: int,
+    stride: int = STRIDE,
 ) -> pd.DataFrame:
     """Blocks for the UNION of all batch-query terms in ONE doc_id range ->
     each query's local top-k (query_id, doc_id, score).
 
     The scale fix for batch scoring (VERDICT r2 #2): a posting block is
-    shuffled to its range ONCE and each term decoded+scored ONCE, no matter
+    shuffled to its range ONCE and decoded+scored AT MOST ONCE, no matter
     how many queries share it — a stop-word block no longer replicates per
-    query. Per-query aggregation happens here, in memory, over the shared
-    per-term (ids, score) arrays; the query->terms map rides in the closure
-    (it is per-batch metadata, a few KB even for 1,000 queries — the
-    broadcast-sized side of the join, while scores are the fact side and
-    never shuffle at all).
+    query. Each query then runs the SAME stride-level block-max WAND loop
+    as the single-query path (_bmw_range_topk) restricted to its own
+    terms' rows, over a decode cache SHARED across the whole batch
+    (ADVICE r3: the former exhaustive per-term decode scaled batch latency
+    with total postings; now a rare-term query prunes exactly like its
+    single-query run, and shared stop-word blocks are decoded once for the
+    batch, lazily — never at all if no query's WAND loop reaches them).
+    The query->terms map rides in the closure (per-batch metadata, a few
+    KB even for 1,000 queries); scores never shuffle.
     """
     empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
         {"query_id": "int64", "doc_id": "int64", "score": "float64"}
@@ -466,41 +506,44 @@ def multiquery_kernel(
         for t, d in zip(tdf["term"], tdf["df"])
     }
     lo, hi = rid * range_size, (rid + 1) * range_size
+    fd = pdf["first_doc_id"].to_numpy()
+    ld = pdf["last_doc_id"].to_numpy()
+    scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else 1.0
+    bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy() * scale
     row_term = pdf["term"].to_numpy()
-    per_term: dict = {}  # term -> (ids, scores), decoded exactly once
-    for t in np.unique(row_term):
-        ids_parts, sc_parts = [], []
-        for i in np.flatnonzero(row_term == t):
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # SHARED across queries
+
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in decoded:
             ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
             tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
             dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-            sc = _score_block(tfs, dls, idf_by_term[t], avgdl)
+            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
             m = (ids >= lo) & (ids < hi)
             if dead and row_bid is not None:
                 dd = dead.get(row_bid[i])
                 if dd is not None and dd.size:
                     m &= ~np.isin(ids, dd)
-            ids_parts.append(ids[m])
-            sc_parts.append(sc[m])
-        per_term[t] = (np.concatenate(ids_parts), np.concatenate(sc_parts))
+            decoded[i] = (ids[m], sc[m])
+        return decoded[i]
+
+    term_rows = {t: np.flatnonzero(row_term == t) for t in np.unique(row_term)}
     frames = []
     for qid, terms in per_q.items():
-        present = [t for t in terms if t in per_term]
-        if not present:
+        idxs = [term_rows[t] for t in terms if t in term_rows]
+        if not idxs:
             continue
-        ids = np.concatenate([per_term[t][0] for t in present])
-        sc = np.concatenate([per_term[t][1] for t in present])
-        if not ids.size:
-            continue
-        uniq, inv = np.unique(ids, return_inverse=True)
-        sums = np.zeros(uniq.shape, dtype=np.float64)
-        np.add.at(sums, inv, sc)
-        top = np.lexsort((uniq, -sums))[: k_by_q[qid]]
-        frames.append(
-            pd.DataFrame(
-                {"query_id": qid, "doc_id": uniq[top], "score": sums[top]}
-            )
+        # ascending row order: candidate concatenation order then matches
+        # the single-query kernel exactly (bit-identical scores)
+        sub = np.sort(np.concatenate(idxs))
+        d_out, s_out = _bmw_range_topk(
+            sub, row_term, fd, ld, bms, decode, k_by_q[qid], lo, range_size, stride
         )
+        if d_out.size:
+            frames.append(
+                pd.DataFrame({"query_id": qid, "doc_id": d_out, "score": s_out})
+            )
     if not frames:
         return empty
     return pd.concat(frames, ignore_index=True).astype(
@@ -745,6 +788,66 @@ class IndexReader:
         if ranked is None:
             return []
         return [r["term"] for r in ranked.collect()]
+
+    def terms_containing(self, needle: str, max_terms: int = 4096) -> list[str] | None:
+        """ALL index terms containing `needle` as a substring, across every
+        live segment — the vocabulary expansion for index-accelerated regex
+        search (operators.text.regex_search_indexed). Substring matching
+        cannot prune the crc32 hash buckets, so this scans the TERMS tables
+        (the vocabulary — tiny next to the postings, let alone the corpus).
+        Returns None when more than max_terms match: a capped expansion
+        would be UNSOUND as a prefilter (a dropped term drops its docs), so
+        the caller must fall back to the full scan."""
+        dirs = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            for b in range(st["n_buckets"]):
+                p = os.path.join(d, "terms", f"bucket={b}")
+                if os.path.exists(p):
+                    dirs.append(p)
+        if not dirs:
+            return []
+        rows = (
+            self._read_parquet(dirs, "terms")
+            .filter(F.col("term").contains(needle))
+            .select("term")
+            .distinct()
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            return None
+        return sorted(r["term"] for r in rows)
+
+    def candidate_doc_ids(self, terms: list[str]) -> DataFrame:
+        """DISTINCT doc_ids whose postings hold ANY of `terms`, straight
+        off the pruned blocks: bucket-dir pruning + pushed `term IN`, and
+        ONLY the doc_ids_varint column decoded (Catalyst prunes tf/dl/
+        positions from the parquet scan). This is the index side of the
+        accelerated-grep semi-join. May include tombstoned (overwritten)
+        doc_ids — prefilter callers re-verify against live corpus rows, so
+        stale candidates cost work, never correctness."""
+        empty = self.spark.range(0).select(F.col("id").alias("doc_id"))
+        if not terms:
+            return empty
+        dirs = self._bucket_dirs(terms)
+        if not dirs:
+            return empty
+        blocks = (
+            self._read_parquet(dirs, "blocks")
+            .filter(F.col("term").isin(terms))
+            .select("doc_ids_varint")
+        )
+
+        def ids_kernel(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                parts = [delta_decode_ids(v.as_py()) for v in rb.column(0)]
+                if parts:
+                    u = np.unique(np.concatenate(parts))
+                    yield pa.record_batch([pa.array(u, type=pa.int64())], ["doc_id"])
+
+        return blocks.mapInArrow(ids_kernel, "doc_id long").distinct()
 
     def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
         """Top-k BM25 for a prefix query: OR over the expanded terms (each

@@ -774,14 +774,20 @@ _GREP_PATTERN = r"scan[a-z]*"
 
 
 def q_regex_search(spark, sf_dir) -> DataFrame:
-    """Grep-style regex search over the corpus (code-search staple): docs
-    matching the pattern, with match counts and the first match text; the
-    RE2-safe pattern replays identically in DuckDB."""
+    """Grep-style regex search over the corpus (code-search staple),
+    INDEX-ACCELERATED (VERDICT r3 #1): the pattern's required literal
+    ('scan') expands against the index vocabulary and candidates are
+    semi-joined through the posting lists before the regexp runs — the
+    Zoekt trick over the engine's own index; at 100 TB the content scan
+    touches the pruned candidate set, not the corpus. Result rows are
+    identical to the full-scan regex_search, so the same DuckDB oracle
+    (which has no index and greps everything) stays hash-green."""
     from .corpus import load_docs
-    from .operators.text import regex_search
+    from .operators.text import regex_search_indexed
 
     docs = load_docs(spark, sf_dir)
-    out = regex_search(docs, _GREP_PATTERN)
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = regex_search_indexed(docs, _GREP_PATTERN, reader)
     return out.orderBy("doc_id")
 
 

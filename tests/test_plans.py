@@ -202,3 +202,20 @@ def test_topk_many_100_query_batch(spark, index_dir):
         assert [d for _, d, _ in mine] == [w["doc_id"] for w in want], qid
         for (_, _, sc), w in zip(mine, want):
             assert abs(sc - w["score"]) < 1e-9
+
+
+def test_regex_search_indexed_is_semi_join_pruned(spark, docs, index_dir):
+    """VERDICT r3 #1 done-criterion: the accelerated grep's content scan
+    must sit BEHIND a left-semi join against index candidates — never a
+    bare full-corpus regexp. The fallback (no usable literal) is the only
+    full-scan shape."""
+    from ariadna_spark.operators.text import regex_search_indexed
+    from ariadna_spark.operators.wand import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    fast = regex_search_indexed(docs, r"scan[a-z]*", reader)
+    plan = physical_plan(fast)
+    assert "LeftSemi" in plan, plan
+    # and the fallback shape really is a plain scan (no join node at all)
+    fallback = regex_search_indexed(docs, r"[a-z]{12}", reader)
+    assert "LeftSemi" not in physical_plan(fallback)

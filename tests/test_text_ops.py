@@ -150,3 +150,81 @@ def test_stratified_take_deterministic(spark):
 
     c = Counter(l for l, _ in a)
     assert all(v == 7 for v in c.values()) and len(c) == 3
+
+
+# ---------------------------------------------------------------------------
+# Index-accelerated regex search (VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+def test_regex_required_literals_extraction():
+    from ariadna_spark.operators.text import regex_required_literals as rl
+
+    assert rl(r"scan[a-z]*") == ["scan"]
+    assert rl(r"foo\.bar") == ["foo.bar"]
+    assert rl(r"ab?c") == ["a", "c"]  # optional atom splits the run
+    assert rl(r"ab+c") == ["ab", "c"]  # >=1 keeps the atom, splits after
+    assert rl(r"ab*c") == ["a", "c"]
+    assert rl(r"a{2,3}b") == ["a", "b"]
+    assert rl(r"a{0,3}b") == ["b"]
+    assert rl(r"foo|bar") == []  # alternation poisons the group
+    assert rl(r"pre(foo|bar)post") == ["pre", "post"]
+    assert rl(r"a(bc)+d") == ["a", "bc", "d"]
+    assert rl(r"a(bc)?d") == ["a", "d"]
+    assert rl(r"a(?:bc)d") == ["a", "bc", "d"]
+    assert rl(r"\d+err\w*") == ["err"]
+    assert rl(r"^main$") == ["main"]
+    assert rl(r".*") == []
+    assert rl(r"(?i)foo") == []  # inline flags: bail entirely
+    assert rl(r"x\1y") == []  # backref: bail
+    assert rl(r"[abc]scan[0-9]") == ["scan"]
+
+
+def test_required_index_substrings_analyzer_mapping():
+    from ariadna_spark.operators.text import required_index_substrings as ris
+
+    # camelCase literal splits like the analyzer; edge/interior sub-tokens
+    # all become containment needles; longest first
+    assert ris(r"myScanner") == ["scanner"]  # "my" < 3 chars dropped
+    assert ris(r"can_do_this") == ["this", "can"]  # "do" dropped; longest first
+    assert ris(r"parse_http") == ["parse", "http"]
+    assert ris(r"foo|bar") == []
+
+
+def test_regex_search_indexed_equals_full_scan(spark, docs, tmp_path_factory):
+    from ariadna_spark.operators.text import regex_search, regex_search_indexed
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.sources.segments import build_index
+
+    out = str(tmp_path_factory.mktemp("regex_idx"))
+    build_index(spark, docs, out, build_id="rx", n_buckets=4)
+    reader = IndexReader(spark, out)
+    for pat in [r"scan[a-z]*", r"merge\w*join", r"group(ed)? by", r"zz9qqq[0-9]*"]:
+        full = sorted(
+            (r["doc_id"], r["n_matches"], r["first_match"])
+            for r in regex_search(docs, pat).collect()
+        )
+        fast = sorted(
+            (r["doc_id"], r["n_matches"], r["first_match"])
+            for r in regex_search_indexed(docs, pat, reader).collect()
+        )
+        assert fast == full, pat
+    # literal-free pattern falls back to the full scan, same rows
+    pat = r"[a-z]{12}"
+    full = sorted(r["doc_id"] for r in regex_search(docs, pat).collect())
+    fast = sorted(
+        r["doc_id"] for r in regex_search_indexed(docs, pat, reader).collect()
+    )
+    assert fast == full
+
+
+def test_terms_containing_cap_returns_none(spark, docs, tmp_path_factory):
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.sources.segments import build_index
+
+    out = str(tmp_path_factory.mktemp("regex_cap"))
+    build_index(spark, docs, out, build_id="rx", n_buckets=4)
+    reader = IndexReader(spark, out)
+    # single-char needle matches a huge slice of the vocabulary: with a
+    # tiny cap the expansion must refuse (None), never silently truncate
+    assert reader.terms_containing("e", max_terms=5) is None
+    # absent needle -> empty expansion (provably zero matching docs)
+    assert reader.terms_containing("zz9qqqx7") == []
