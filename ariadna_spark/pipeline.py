@@ -33,7 +33,7 @@ from .operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
-from .operators.text import chunk_documents, pii_scrub, train_val_split
+from .operators.text import chunk_documents, decontaminate, pii_scrub, train_val_split
 from .stats import term_freqs
 
 
@@ -45,6 +45,8 @@ def prepare_training_set(
     min_tokens: int = 4,
     max_tokens: int | None = None,
     near_dup_threshold: float | None = None,
+    bench: DataFrame | None = None,
+    decontam_ngram: int = 8,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
     (doc_id, chunk_id, split, n_tokens, chunk_text).
@@ -52,7 +54,15 @@ def prepare_training_set(
     near_dup_threshold: when set (e.g. 0.8), MinHash/banded-LSH candidate
     pairs are verified by exact token-set Jaccard and the HIGHER doc_id of
     each verified pair is dropped (keep-lowest rule — deterministic and
-    order-free, the same convention as keep_first_dedup)."""
+    order-free, the same convention as keep_first_dedup).
+
+    bench: when set, docs sharing any decontam_ngram-token n-gram with
+    this eval-benchmark table (column `text`) are dropped BEFORE dedup —
+    the standard decontamination stage; the benchmark n-gram set is
+    broadcast, so the stage adds no shuffle to the graph."""
+    if bench is not None:
+        contaminated = decontaminate(docs, bench, n=decontam_ngram).select("doc_id")
+        docs = docs.join(contaminated, "doc_id", "left_anti")
     d = keep_first_dedup(docs)
 
     if near_dup_threshold is not None:

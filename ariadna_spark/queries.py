@@ -806,6 +806,70 @@ SELECT doc_id, sha256(array_to_string({_TOK}, ' ')) AS fp
 FROM documents ORDER BY doc_id
 """
 
+# Benchmark decontamination (VERDICT r3 #2). The "benchmark" table is
+# seeded deterministically FROM the corpus itself: every 17th doc donates a
+# 24-token window (tokens 11..34) as an eval prompt, so contamination
+# provably exists and both engines can rebuild the identical fixture.
+_DECON_N = 8
+_DECON_SLICE = (11, 24)  # 1-based start, length
+_DECON_MOD = 17
+
+
+def _decon_bench(spark, sf_dir) -> DataFrame:
+    from .analyze import tokenize_expr
+
+    docs = load_docs(spark, sf_dir)
+    t = tokenize_expr("content")
+    lo, ln = _DECON_SLICE
+    return (
+        docs.filter(F.col("doc_id") % _DECON_MOD == 3)
+        .select(F.concat_ws(" ", F.slice(t, lo, ln)).alias("text"), F.size(t).alias("nt"))
+        .filter(F.col("nt") >= lo + ln - 1)
+        .select("text")
+    )
+
+
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-token analyzer
+    n-gram with the seeded eval-benchmark fixture, with per-doc overlap
+    counts and an audit sample n-gram. The benchmark n-gram set is
+    broadcast (eval sets are tiny next to a pre-training corpus), so the
+    corpus side never shuffles its n-grams."""
+    from .corpus import load_docs as _ld
+    from .operators.text import decontaminate
+
+    docs = _ld(spark, sf_dir)
+    out = decontaminate(docs, _decon_bench(spark, sf_dir), n=_DECON_N)
+    return out.orderBy("doc_id")
+
+
+def _sql_decontaminate() -> str:
+    lo, ln = _DECON_SLICE
+    return f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+bench AS (
+  SELECT array_to_string(t[{lo}:{lo + ln - 1}], ' ') AS text
+  FROM d WHERE doc_id % {_DECON_MOD} = 3 AND len(t) >= {lo + ln - 1}
+),
+bt AS (SELECT {duckdb_tokenize_sql("text")} AS t FROM bench),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(0, len(t) - {_DECON_N} + 1),
+         i -> array_to_string(t[i + 1:i + {_DECON_N}], ' '))) AS ngram
+  FROM bt WHERE len(t) >= {_DECON_N}
+),
+dg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(t) - {_DECON_N} + 1),
+         i -> array_to_string(t[i + 1:i + {_DECON_N}], ' '))) AS ngram
+  FROM d WHERE len(t) >= {_DECON_N}
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_overlap, min(ngram) AS sample_ngram
+FROM dg JOIN bg USING (ngram) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SQL_DECONTAMINATE = _sql_decontaminate()
+
 
 def q_lang_profile(spark, sf_dir) -> DataFrame:
     """Per-language corpus profile (language-ID downstream consumer shape)."""
@@ -2084,6 +2148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": q_training_pipeline,
     "stratified_take": q_stratified_take,
     "regex_search": q_regex_search,
+    "decontaminate": q_decontaminate,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -2145,6 +2210,7 @@ ORACLES: dict[str, str] = {
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "stratified_take": SQL_STRATIFIED_TAKE,
     "regex_search": SQL_REGEX_SEARCH,
+    "decontaminate": SQL_DECONTAMINATE,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

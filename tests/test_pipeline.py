@@ -76,3 +76,42 @@ def test_pipeline_write_partitioned(spark, prepared, tmp_path):
     assert splits <= {"train", "val"} and "train" in splits
     # physical layout: split=<side> partition dirs exist
     assert any(d.startswith("split=") for d in os.listdir(path))
+
+
+def test_pipeline_decontamination_drops_benchmark_docs(spark):
+    """VERDICT r3 #2 wiring: a doc sharing an 8-token n-gram with the
+    benchmark table must be dropped before anything else sees it."""
+    ddl = "doc_id long, repo string, path string, commit string, lang string, content string"
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, "r", "a", "c", "py", "def clean_function(): return spark shuffle partitions"),
+        (1, "r", "b", "c", "py", f"prefix words then {leak} then suffix words"),
+        (2, "r", "c", "c", "py", "another clean doc with enough tokens to chunk fine"),
+    ]
+    docs = spark.createDataFrame(rows, ddl).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out = prepare_training_set(docs, chunk_size=16, overlap=0, min_tokens=1, bench=bench)
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert kept == {0, 2}
+    # without the bench table nothing is dropped
+    out2 = prepare_training_set(docs, chunk_size=16, overlap=0, min_tokens=1)
+    assert {r["doc_id"] for r in out2.select("doc_id").distinct().collect()} == {0, 1, 2}
+
+
+def test_decontaminate_counts_and_sample(spark):
+    from ariadna_spark.operators.text import decontaminate
+
+    ddl = "doc_id long, content string"
+    # doc 1 contains two distinct contaminated 4-grams (overlapping windows
+    # of a 5-token leak); doc 2 shares none
+    leak5 = "aa bb cc dd ee"
+    docs = spark.createDataFrame(
+        [(1, f"x {leak5} y"), (2, "totally unrelated words here")], ddl
+    )
+    bench = spark.createDataFrame([(leak5,)], "text string")
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_overlap"] == 2  # "aa bb cc dd" and "bb cc dd ee"
+    assert rows[1]["sample_ngram"] == "aa bb cc dd"
