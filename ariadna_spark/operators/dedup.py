@@ -212,4 +212,72 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def cluster_ids(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over verified near-dup pairs (VERDICT r3 #4):
+    (da, db) edges -> (doc_id, cluster_id) with cluster_id = the MINIMUM
+    doc_id reachable through the pair graph. Makes cluster-level policies
+    expressible (keep best member per cluster, report cluster sizes)
+    where the pairwise keep-lowest rule could not.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds, and near-dup clusters are shallow in practice (a
+    chain is the worst case, hence max_iter). Each round is ONE shuffle
+    (edge-label join + groupBy) and the frame is localCheckpoint-ed so
+    lineage doesn't grow with iterations — the standard Spark CC loop;
+    for adversarial diameters swap in large-star/small-star pointer
+    jumping (O(log n) rounds), same join primitives.
+
+    Deterministic, order-free, and exactly replayable by a recursive-CTE
+    oracle (min reachable id)."""
+    edges = pairs.select(
+        F.col("da").alias("src"), F.col("db").alias("dst")
+    ).unionByName(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    lab = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(lab, edges["src"] == lab["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_lab = (
+            lab.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"cluster_ids did not converge in {max_iter} rounds — a pair graph "
+        f"with diameter > {max_iter}; raise max_iter or use pointer jumping"
+    )
+
+
+def cluster_keep_policy(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Cluster-wise keep: exactly ONE doc per near-dup cluster survives —
+    the cluster_id member itself (the minimum doc_id, matching the
+    pairwise keep-lowest convention); docs in no cluster pass through."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 register_by_value(__name__)

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    cluster_ids,
+    cluster_keep_policy,
     jaccard_verify,
     keep_first_dedup,
     lsh_candidate_pairs,
@@ -69,11 +71,14 @@ def prepare_training_set(
         tf = term_freqs(d)
         cand = lsh_candidate_pairs(minhash_signatures(tf))
         dups = jaccard_verify(tf, cand, threshold=near_dup_threshold)
-        # pairs come out (da < db): dropping the greater side keeps the
-        # lowest doc_id of every near-dup cluster (transitively: a loser
-        # is anyone who is the greater element of SOME verified pair)
-        losers = dups.select(F.col("db").alias("doc_id")).distinct()
-        d = d.join(losers, "doc_id", "left_anti")
+        # CLUSTER-WISE keep (VERDICT r3 #4): connected components over the
+        # verified pairs, keep exactly the minimum doc_id of each cluster.
+        # The old pairwise drop-the-greater rule could keep >1 member of a
+        # cluster (e.g. path 2-3, 3-1 keeps both 1 and 2). cluster_ids
+        # materializes the PAIR GRAPH (O(duplicate pairs), not O(corpus))
+        # for its convergence loop; the doc graph itself stays lazy.
+        clusters = cluster_ids(dups.select("da", "db"))
+        d = cluster_keep_policy(d, clusters)
 
     scrubbed = d.select("doc_id", "content_sha").join(
         pii_scrub(d).withColumnRenamed("clean", "content"), "doc_id"

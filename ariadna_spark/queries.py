@@ -420,16 +420,19 @@ def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     return j
 
 
-SQL_JACCARD_PAIRS = (
-    _SQL_PRELUDE
-    + f"""
+_SQL_JACC_CTES = f"""
 , t AS (SELECT DISTINCT doc_id, term FROM tf WHERE doc_id < {_JACC_CAP}),
 sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
   FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+SQL_JACCARD_PAIRS = (
+    _SQL_PRELUDE
+    + _SQL_JACC_CTES
+    + f"""
 SELECT da, db, round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jacc_r
 FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
 WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACC_T}
@@ -869,6 +872,55 @@ FROM dg JOIN bg USING (ngram) GROUP BY doc_id ORDER BY doc_id
 
 
 SQL_DECONTAMINATE = _sql_decontaminate()
+
+
+def q_near_dup_clusters(spark, sf_dir) -> DataFrame:
+    """Connected components over the verified Jaccard near-dup pair graph
+    (VERDICT r3 #4): (doc_id, cluster_id, cluster_size) with cluster_id =
+    min reachable doc_id, via iterative min-label propagation (one shuffle
+    per round, O(diameter) rounds). The oracle replays it with a recursive
+    CTE over the identical pair set — transitive closure, min per node."""
+    from .operators.dedup import cluster_ids
+
+    pairs = q_jaccard_pairs(spark, sf_dir).select("da", "db")
+    lab = cluster_ids(pairs)
+    size = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    return (
+        lab.join(size, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = (
+    _SQL_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _SQL_JACC_CTES
+    + f""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACC_T}
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION SELECT db AS src, da AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS r FROM edges
+  UNION
+  SELECT e.dst AS id, reach.r FROM edges e JOIN reach ON reach.id = e.src
+),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+cs AS (
+  SELECT cluster_id, CAST(count(*) AS INT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM lab JOIN cs USING (cluster_id) ORDER BY doc_id
+"""
+)
 
 
 def q_lang_profile(spark, sf_dir) -> DataFrame:
@@ -2149,6 +2201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_take": q_stratified_take,
     "regex_search": q_regex_search,
     "decontaminate": q_decontaminate,
+    "near_dup_clusters": q_near_dup_clusters,
     "train_val_split": q_train_val_split,
     "lang_profile": q_lang_profile,
     "embedding_topk": q_embedding_topk,
@@ -2211,6 +2264,7 @@ ORACLES: dict[str, str] = {
     "stratified_take": SQL_STRATIFIED_TAKE,
     "regex_search": SQL_REGEX_SEARCH,
     "decontaminate": SQL_DECONTAMINATE,
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -115,3 +115,45 @@ def test_decontaminate_counts_and_sample(spark):
     assert set(rows) == {1}
     assert rows[1]["n_overlap"] == 2  # "aa bb cc dd" and "bb cc dd ee"
     assert rows[1]["sample_ngram"] == "aa bb cc dd"
+
+
+def test_cluster_ids_three_chain_and_policy(spark):
+    """VERDICT r3 #4: connected components over a planted 3-chain, and the
+    cluster keep-policy retaining exactly one doc per cluster — including
+    the shape where the old pairwise rule kept two (path 2-3, 3-1)."""
+    from ariadna_spark.operators.dedup import cluster_ids, cluster_keep_policy
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "da long, db long")
+    lab = {r["doc_id"]: r["cluster_id"] for r in cluster_ids(pairs).collect()}
+    assert lab == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    # pairwise-vs-cluster divergence: edges (2,3) and (1,3) — pairwise
+    # drop-the-greater keeps {1, 2}; cluster policy keeps only 1
+    p2 = spark.createDataFrame([(2, 3), (1, 3)], "da long, db long")
+    lab2 = cluster_ids(p2)
+    docs = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    kept = {r["doc_id"] for r in cluster_keep_policy(docs, lab2).collect()}
+    assert kept == {1, 4}  # 4 untouched (no cluster), 2 and 3 dropped
+
+
+def test_pipeline_cluster_keep_one_per_chain(spark):
+    """A planted near-dup 3-chain (A~B, B~C, A!~C) must keep exactly the
+    minimum doc_id through prepare_training_set."""
+    t = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    a = t
+    b = t + " extra1 extra2"          # ~ a
+    c = t + " extra1 extra2 more3 more4 more5"  # ~ b, less ~ a
+    ddl = "doc_id long, repo string, path string, commit string, lang string, content string"
+    rows = [
+        (10, "r", "a", "x", "py", a),
+        (11, "r", "b", "x", "py", b),
+        (12, "r", "c", "x", "py", c),
+        (13, "r", "d", "x", "py", "unrelated spark shuffle partition content entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ddl).withColumn(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    out = prepare_training_set(
+        docs, chunk_size=16, overlap=0, min_tokens=1, near_dup_threshold=0.7
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert kept == {10, 13}
