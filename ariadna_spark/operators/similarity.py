@@ -84,17 +84,20 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
 def lsh_index(
     emb: DataFrame, n_planes: int = N_PLANES_DEFAULT, n_tables: int = 4,
     dim: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 1234,
+    seed: int = 1234, tables: list[np.ndarray] | None = None,
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Multi-table LSH index: L independent plane sets (standard LSH
     recall amplification — a true neighbor missed by one table is caught
     by another). -> ((table, bucket, vec_id, v) rows, [planes per table]).
 
     Storage is L x the input's id+vector columns; at scale, write
-    partitioned by (table, bucket) so a query reads only probed buckets."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    tables = [_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
+    partitioned by (table, bucket) so a query reads only probed buckets.
+    Pass `tables` to bucket-assign against FROZEN planes (incremental
+    appends to an existing store must hash like the store)."""
+    if tables is None:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        tables = [_planes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
     e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
     parts = [
         e.select(F.lit(t).alias("table"), lsh_bucket_expr("v", planes).alias("bucket"), "vec_id", "v")
@@ -445,6 +448,238 @@ def ivf_topk(
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental vector-store lifecycle (VERDICT r3 #3): the segment
+# discipline of sources/segments.py brought to the ANN stores. The former
+# lsh_index_write / ivf_index_write are whole-store overwrites — re-embedding
+# 1% of a 10^12-vector corpus cost a full rewrite. A store is now:
+#
+#   <path>/_store_meta.json          frozen hash metadata (planes/centroids —
+#                                    shared by every build, appends MUST
+#                                    assign with it)
+#   <path>/MANIFEST.json             {"live": [bid, ...]} in append order;
+#                                    swapped atomically (os.replace)
+#   <path>/builds/<bid>/             partitioned parquet (table,bucket) | centroid
+#   <path>/tombstones/<bid>.parquet  vec_ids whose versions in builds
+#                                    ORDERED BEFORE bid are dead (overwrite)
+#
+# Merge-on-read: a row from build ordinal o is live iff no tombstone with
+# dead_before > o exists for its vec_id — Lucene's deleted-docs semantics,
+# identical to the text index's tombstone masking. Compaction folds the
+# live set into one build and clears tombstones.
+# ---------------------------------------------------------------------------
+_STORE_META = "_store_meta.json"
+_STORE_MANIFEST = "MANIFEST.json"
+
+
+def _store_read_manifest(path: str) -> list[str]:
+    with open(os.path.join(path, _STORE_MANIFEST)) as f:
+        return json.load(f)["live"]
+
+
+def _store_swap_manifest(path: str, live: list[str]) -> None:
+    """Atomic pointer swap: readers see the old or the new build list,
+    never a partial one (same publish discipline as segments.py)."""
+    tmp = os.path.join(path, _STORE_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"live": live}, f)
+    os.replace(tmp, os.path.join(path, _STORE_MANIFEST))
+
+
+def _store_write_build(
+    indexed: DataFrame, path: str, build_id: str, partition_cols: list[str]
+) -> None:
+    (
+        indexed.repartition(*partition_cols)
+        .write.partitionBy(*partition_cols)
+        .mode("errorifexists")
+        .parquet(os.path.join(path, "builds", build_id))
+    )
+
+
+def _store_write_tombstones(emb: DataFrame, path: str, build_id: str, id_col: str) -> None:
+    (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .write.mode("errorifexists")
+        .parquet(os.path.join(path, "tombstones", f"{build_id}.parquet"))
+    )
+
+
+def _store_read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Union the live builds with their manifest ordinal, mask overwritten
+    versions via the tombstone rule (dead_before > row ordinal). Job count
+    grows with live-build count — compaction (vector_store_compact) bounds
+    it, exactly like the text segments."""
+    live = _store_read_manifest(path)
+    parts = [
+        spark.read.parquet(os.path.join(path, "builds", bid)).withColumn(
+            "_ord", F.lit(o)
+        )
+        for o, bid in enumerate(live)
+    ]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    tparts = []
+    for o, bid in enumerate(live):
+        tp = os.path.join(path, "tombstones", f"{bid}.parquet")
+        if os.path.exists(tp):
+            tparts.append(
+                spark.read.parquet(tp).withColumn("dead_before", F.lit(o))
+            )
+    if tparts:
+        tombs = tparts[0]
+        for t in tparts[1:]:
+            tombs = tombs.unionByName(t)
+        tombs = tombs.groupBy("vec_id").agg(F.max("dead_before").alias("dead_before"))
+        rows = (
+            rows.join(tombs, "vec_id", "left")
+            .filter(F.col("dead_before").isNull() | (F.col("dead_before") <= F.col("_ord")))
+            .drop("dead_before")
+        )
+    return rows.drop("_ord")
+
+
+def lsh_store_write(
+    emb: DataFrame, path: str, build_id: str = "b000000",
+    n_planes: int = N_PLANES_DEFAULT, n_tables: int = 4, dim: int | None = None,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 1234,
+) -> list[np.ndarray]:
+    """Create an incremental LSH store: first build + frozen plane set."""
+    indexed, tables = lsh_index(
+        emb, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    os.makedirs(path, exist_ok=True)
+    _store_write_build(indexed, path, build_id, ["table", "bucket"])
+    with open(os.path.join(path, _STORE_META), "w") as f:
+        json.dump(
+            {"kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
+             "seed": seed, "planes": [t.tolist() for t in tables]}, f,
+        )
+    _store_swap_manifest(path, [build_id])
+    return tables
+
+
+def lsh_store_append(
+    emb: DataFrame, path: str, build_id: str,
+    id_col: str = "vec_id", vec_col: str = "embedding", overwrite: bool = True,
+) -> None:
+    """Append new/re-embedded vectors: bucket-assign with the store's
+    FROZEN planes, write a new build dir, tombstone the incoming vec_ids'
+    older versions (overwrite=True), swap the manifest. Cost is
+    O(appended vectors), never a store rewrite."""
+    with open(os.path.join(path, _STORE_META)) as f:
+        meta = json.load(f)
+    tables = [np.asarray(p, dtype=np.float64) for p in meta["planes"]]
+    indexed, _ = lsh_index(emb, id_col=id_col, vec_col=vec_col, tables=tables)
+    _store_write_build(indexed, path, build_id, ["table", "bucket"])
+    if overwrite:
+        _store_write_tombstones(emb, path, build_id, id_col)
+    _store_swap_manifest(path, _store_read_manifest(path) + [build_id])
+
+
+def lsh_store_read(spark: SparkSession, path: str) -> tuple[DataFrame, list[np.ndarray]]:
+    """(merged live rows, frozen planes) — feed straight into lsh_topk[_many]."""
+    with open(os.path.join(path, _STORE_META)) as f:
+        meta = json.load(f)
+    tables = [np.asarray(p, dtype=np.float64) for p in meta["planes"]]
+    return _store_read_merged(spark, path), tables
+
+
+def _ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
+    """Assign vectors to their nearest (euclidean) FROZEN centroid as a
+    broadcast join + rank window — the append-time counterpart of the
+    MLlib transform used at store creation."""
+    from pyspark.sql import Window
+
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cdf = emb.sparkSession.createDataFrame(cent_rows, "centroid int, cv array<double>")
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid"))
+    return (
+        e.join(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "v", "centroid")
+    )
+
+
+def ivf_store_write(
+    emb: DataFrame, path: str, build_id: str = "b000000", n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    fit_sample: int = 100_000,
+) -> np.ndarray:
+    """Create an incremental IVF store: fit the quantizer (sample-fit),
+    write the first build partitioned by centroid, freeze the centroids.
+    Appends assign against the frozen quantizer — standard IVF practice
+    (FAISS's add-after-train): lists grow, the coarse geometry doesn't."""
+    indexed, centroids = ivf_index(
+        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, fit_sample=fit_sample,
+    )
+    os.makedirs(path, exist_ok=True)
+    _store_write_build(indexed, path, build_id, ["centroid"])
+    with open(os.path.join(path, _STORE_META), "w") as f:
+        json.dump(
+            {"kind": "ivf", "n_centroids": n_centroids, "seed": seed,
+             "centroids": centroids.tolist()}, f,
+        )
+    _store_swap_manifest(path, [build_id])
+    return centroids
+
+
+def ivf_store_append(
+    emb: DataFrame, path: str, build_id: str,
+    id_col: str = "vec_id", vec_col: str = "embedding", overwrite: bool = True,
+) -> None:
+    with open(os.path.join(path, _STORE_META)) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    indexed = _ivf_assign(emb, centroids, id_col, vec_col)
+    _store_write_build(indexed, path, build_id, ["centroid"])
+    if overwrite:
+        _store_write_tombstones(emb, path, build_id, id_col)
+    _store_swap_manifest(path, _store_read_manifest(path) + [build_id])
+
+
+def ivf_store_read(spark: SparkSession, path: str) -> tuple[DataFrame, np.ndarray]:
+    with open(os.path.join(path, _STORE_META)) as f:
+        meta = json.load(f)
+    return _store_read_merged(spark, path), np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def vector_store_compact(spark: SparkSession, path: str, build_id: str = "compacted") -> None:
+    """Fold the live set into ONE build and clear tombstones: reads the
+    merged view (overwritten versions already masked), rewrites it with
+    the store's partitioning, atomically swaps the manifest, then deletes
+    the old builds — merge-on-read cost returns to a single-dir read."""
+    import shutil
+
+    with open(os.path.join(path, _STORE_META)) as f:
+        meta = json.load(f)
+    pcols = ["table", "bucket"] if meta["kind"] == "lsh" else ["centroid"]
+    old = _store_read_manifest(path)
+    if build_id in old:
+        raise ValueError(f"build_id {build_id!r} already live")
+    merged = _store_read_merged(spark, path)
+    _store_write_build(merged, path, build_id, pcols)
+    _store_swap_manifest(path, [build_id])
+    for bid in old:
+        shutil.rmtree(os.path.join(path, "builds", bid), ignore_errors=True)
+        tp = os.path.join(path, "tombstones", f"{bid}.parquet")
+        if os.path.exists(tp):
+            shutil.rmtree(tp, ignore_errors=True)
 
 
 register_by_value(__name__)

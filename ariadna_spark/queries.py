@@ -1034,6 +1034,48 @@ FROM r WHERE rank <= {_ANNB_K} ORDER BY qid, rank
 """
 
 
+_ANN_STORE_CACHE: dict[str, str] = {}
+
+
+def q_embedding_ann_incremental(spark, sf_dir) -> DataFrame:
+    """Batch ANN across a TWO-BUILD incremental IVF store with overwrites
+    (VERDICT r3 #3): build b0 indexes every vector but holds NEGATED
+    (stale) versions of vec_id % 5 == 0; an append re-embeds exactly those
+    ids with the true vectors, tombstoning the stale versions. Probe-all
+    batch top-k over the merged store must equal brute force over the
+    CLEAN embeddings table — if merge-on-read failed to mask a single
+    overwritten version, its stale row (or its duplicate vec_id) would
+    surface in some query's top-k and break the hash."""
+    from .operators.similarity import ivf_store_append, ivf_store_read, ivf_store_write, ivf_topk_many
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    if sf_dir not in _ANN_STORE_CACHE:
+        store = _gate_tmp("ivf_store_")
+        stale = F.when(
+            F.col("vec_id") % 5 == 0,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding"))
+        b0 = emb.select("vec_id", stale.alias("embedding"))
+        ivf_store_write(b0, store, build_id="b000000", n_centroids=_ANNB_CENTROIDS)
+        ivf_store_append(
+            emb.filter(F.col("vec_id") % 5 == 0), store, build_id="b000001"
+        )
+        _ANN_STORE_CACHE[sf_dir] = store
+    merged, centroids = ivf_store_read(spark, _ANN_STORE_CACHE[sf_dir])
+    queries = emb.filter(F.col("vec_id").isin(list(_ANNB_QIDS))).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = ivf_topk_many(
+        merged, centroids, queries, k=_ANNB_K, n_probe=_ANNB_CENTROIDS
+    )
+    return out.select(
+        "qid", "rank", "vec_id", F.round("cos", 4).alias("cos_r")
+    ).orderBy("qid", "rank")
+
+
 _LSH_CAP = 300
 _LSH_BANDS = 4
 _LSH_T = 0.7
@@ -2185,6 +2227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_knn": q_geo_knn,
     "geo_knn_batch": q_geo_knn_batch,
     "embedding_ann_batch": q_embedding_ann_batch,
+    "embedding_ann_incremental": q_embedding_ann_incremental,
     "polygon_contains": q_polygon_contains,
     "embedding_lsh": q_embedding_lsh,
     "embedding_ivf": q_embedding_ivf,
@@ -2253,6 +2296,7 @@ ORACLES: dict[str, str] = {
     "geo_knn": SQL_GEO_KNN,
     "geo_knn_batch": SQL_GEO_KNN_BATCH,
     "embedding_ann_batch": SQL_EMBEDDING_ANN_BATCH,
+    "embedding_ann_incremental": SQL_EMBEDDING_ANN_BATCH,
     "polygon_contains": SQL_POLYGON_CONTAINS,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "text_quality": SQL_TEXT_QUALITY,
