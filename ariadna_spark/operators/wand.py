@@ -232,6 +232,84 @@ def wand_kernel(
     )
 
 
+def _two_pass_positions(
+    pdf: pd.DataFrame,
+    uniq_terms: list[str],
+    row_term: np.ndarray,
+    lo: int,
+    hi: int,
+    dead: dict,
+    row_bid,
+) -> tuple[dict | None, np.ndarray | None]:
+    """Shared two-pass decode for the positional kernels (VERDICT r3 #5).
+
+    PASS 1 decodes ONLY doc_ids (+tf lengths) per block and intersects the
+    terms' posting lists into the candidate doc set — the positions stream
+    is never touched. PASS 2 decodes positions exclusively for blocks that
+    actually contain a candidate, and restricts the occurrence arrays to
+    candidate docs before the per-occurrence np.repeat materializes.
+
+    Bounds the stop-word-phrase cost: a stop-word term's (large) positions
+    stream is decoded only where the rare terms left a survivor, so a
+    phrase like "the merge" pays positions ~proportional to df("merge"),
+    not df("the").
+
+    Returns (per_term, cand_docs) with per_term[t] = (ids, tfs, dls,
+    occ_doc, occ_pos) restricted to candidates, or (None, None) when any
+    term is absent or the intersection is empty."""
+    term_rows: dict[str, np.ndarray] = {}
+    raw: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    cand_docs = None
+    for t in uniq_terms:
+        rows = np.flatnonzero(row_term == t)
+        if not rows.size:
+            return None, None  # a term absent in this range -> no match here
+        term_rows[t] = rows
+        parts = []
+        for i in rows:
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.int64)
+            msk = (ids >= lo) & (ids < hi)
+            if dead and row_bid is not None:
+                dd = dead.get(row_bid[i])
+                if dd is not None and dd.size:
+                    msk &= ~np.isin(ids, dd)
+            raw[i] = (ids, tfs, msk)
+            parts.append(ids[msk])
+        u = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        cand_docs = u if cand_docs is None else np.intersect1d(
+            cand_docs, u, assume_unique=True
+        )
+        if cand_docs.size == 0:
+            return None, None
+    per_term: dict = {}
+    for t in uniq_terms:
+        ids_parts, tf_parts, dl_parts, occ_doc, occ_pos = [], [], [], [], []
+        for i in term_rows[t]:
+            ids, tfs, msk = raw[i]
+            cm = msk & np.isin(ids, cand_docs)
+            if not cm.any():
+                continue  # block holds no survivor: its positions never decode
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            pos = positions_decode(pdf["pos_varint"].iloc[i], tfs)
+            em = np.repeat(cm, tfs)
+            ids_parts.append(ids[cm])
+            tf_parts.append(tfs[cm])
+            dl_parts.append(dls[cm])
+            occ_doc.append(np.repeat(ids, tfs)[em])
+            occ_pos.append(pos[em])
+        if not ids_parts:  # unreachable while cand_docs ⊆ every term's docs
+            return None, None
+        per_term[t] = (
+            np.concatenate(ids_parts),
+            np.concatenate(tf_parts),
+            np.concatenate(dl_parts),
+            np.concatenate(occ_doc),
+            np.concatenate(occ_pos),
+        )
+    return per_term, cand_docs
+
+
 def phrase_kernel(
     pdf: pd.DataFrame,
     terms_ordered: list[str],
@@ -278,35 +356,11 @@ def phrase_kernel(
     lo, hi = rid * range_size, (rid + 1) * range_size
     uniq_terms = sorted(set(terms_ordered))
     row_term = pdf["term"].to_numpy()
-    per_term: dict = {}
-    for t in uniq_terms:
-        rows = np.flatnonzero(row_term == t)
-        if not rows.size:
-            return empty  # a phrase term absent in this range -> no match here
-        ids_parts, tf_parts, dl_parts, occ_doc, occ_pos = [], [], [], [], []
-        for i in rows:
-            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.int64)
-            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-            pos = positions_decode(pdf["pos_varint"].iloc[i], tfs)
-            m = (ids >= lo) & (ids < hi)
-            if dead and row_bid is not None:
-                dd = dead.get(row_bid[i])
-                if dd is not None and dd.size:
-                    m &= ~np.isin(ids, dd)
-            em = np.repeat(m, tfs)
-            ids_parts.append(ids[m])
-            tf_parts.append(tfs[m])
-            dl_parts.append(dls[m])
-            occ_doc.append(np.repeat(ids, tfs)[em])
-            occ_pos.append(pos[em])
-        per_term[t] = (
-            np.concatenate(ids_parts),
-            np.concatenate(tf_parts),
-            np.concatenate(dl_parts),
-            np.concatenate(occ_doc),
-            np.concatenate(occ_pos),
-        )
+    per_term, cand_docs = _two_pass_positions(
+        pdf, uniq_terms, row_term, lo, hi, dead, row_bid
+    )
+    if per_term is None:
+        return empty
     cand = None
     for off, t in enumerate(terms_ordered):
         _, _, _, docs_r, pos_r = per_term[t]
@@ -376,41 +430,11 @@ def near_kernel(
     uniq_terms = sorted(set(terms))
     m = len(uniq_terms)
     row_term = pdf["term"].to_numpy()
-    per_term: dict = {}
-    for tid, t in enumerate(uniq_terms):
-        rows = np.flatnonzero(row_term == t)
-        if not rows.size:
-            return empty
-        ids_parts, tf_parts, dl_parts, occ_doc, occ_pos = [], [], [], [], []
-        for i in rows:
-            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.int64)
-            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-            pos = positions_decode(pdf["pos_varint"].iloc[i], tfs)
-            msk = (ids >= lo) & (ids < hi)
-            if dead and row_bid is not None:
-                dd = dead.get(row_bid[i])
-                if dd is not None and dd.size:
-                    msk &= ~np.isin(ids, dd)
-            em = np.repeat(msk, tfs)
-            ids_parts.append(ids[msk])
-            tf_parts.append(tfs[msk])
-            dl_parts.append(dls[msk])
-            occ_doc.append(np.repeat(ids, tfs)[em])
-            occ_pos.append(pos[em])
-        per_term[t] = (
-            np.concatenate(ids_parts),
-            np.concatenate(tf_parts),
-            np.concatenate(dl_parts),
-            np.concatenate(occ_doc),
-            np.concatenate(occ_pos),
-        )
-    cand = None
-    for t in uniq_terms:
-        u = np.unique(per_term[t][0])
-        cand = u if cand is None else np.intersect1d(cand, u, assume_unique=True)
-        if cand.size == 0:
-            return empty
+    per_term, cand = _two_pass_positions(
+        pdf, uniq_terms, row_term, lo, hi, dead, row_bid
+    )
+    if per_term is None:
+        return empty
     d_all = np.concatenate([per_term[t][3] for t in uniq_terms])
     p_all = np.concatenate([per_term[t][4] for t in uniq_terms])
     g_all = np.concatenate(
