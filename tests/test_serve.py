@@ -27,7 +27,20 @@ def service(spark, docs, tmp_path_factory):
         spark.range(1, 401).selectExpr("id AS c_custkey")
     )
     geo_index_write(pts, geo)
-    return SearchService(spark, out, geo_dir=geo)
+    # incremental IVF store for POST /api/ann:batch (exercises the
+    # MANIFEST store-read path in serve)
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.operators.similarity import ivf_store_write
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    ann = str(tmp_path_factory.mktemp("serve_ann")) + "/store"
+    ivf_store_write(emb, ann, n_centroids=4)
+    return SearchService(spark, out, geo_dir=geo, ann_dir=ann)
 
 
 def test_warm_service_answers_repeatedly(spark, docs, service):
@@ -134,5 +147,62 @@ def test_static_demo_ui(service):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/api/unknown")
         assert exc.value.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_http_batch_endpoints(service):
+    """VERDICT r3 #8: POST /api/search:batch answers a 3-query set in one
+    topk_many pass with per-query ranks identical to the single-query
+    route; POST /api/ann:batch answers a vector set over the IVF store;
+    malformed bodies 400."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        qs = ["merge join", "window scan", "table group"]
+        body = post(
+            "/api/search:batch",
+            {"queries": [{"id": i, "q": q, "k": 5} for i, q in enumerate(qs)]},
+        )
+        results = {r["id"]: r["hits"] for r in body["results"]}
+        assert set(results) == {0, 1, 2}
+        for i, q in enumerate(qs):
+            single = service.search(q, k=5)
+            assert [h["doc_id"] for h in results[i]] == [h["doc_id"] for h in single], q
+            for bh, sh in zip(results[i], single):
+                assert abs(bh["score"] - sh["score"]) < 1e-9
+
+        # ANN batch over the incremental IVF store
+        indexed, _ = service._ann
+        v0 = list(indexed.filter("vec_id = 0").select("v").first()[0])
+        ann = post("/api/ann:batch", {"queries": [{"id": 7, "v": v0}], "k": 3})
+        hits = ann["results"][0]["hits"]
+        assert ann["results"][0]["id"] == 7 and len(hits) == 3
+        assert hits[0]["vec_id"] == 0 and abs(hits[0]["cos"] - 1.0) < 1e-9
+
+        # contract: missing/malformed bodies are client errors
+        for path, bad in [
+            ("/api/search:batch", {}),
+            ("/api/search:batch", {"queries": [{"id": 0}]}),
+            ("/api/ann:batch", {"queries": [{"id": 0}]}),
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                post(path, bad)
+            assert exc.value.code == 400, (path, bad)
     finally:
         httpd.shutdown()
