@@ -1955,7 +1955,12 @@ SQL_EMBEDDING_NEAR_DUP_LSH = _sql_embedding_near_dup_lsh()
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing (rows-only: payload decode is a stub)."""
+    """Multimodal feature extraction (rows-only entry: real binary codec
+    work has no SQL analog). 90% of rows now REALLY decode — PCM16 WAV,
+    P6 PPM and 8-bit PNG via the pure-numpy/stdlib codecs — and their
+    features are grounded in the decoded signal; the remaining 10% are
+    explicit unknown-mime video/mp4 rows exercising the documented
+    deterministic fallback (coverage pinned in test_multimodal)."""
     from .operators.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=48)

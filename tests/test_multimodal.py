@@ -131,3 +131,41 @@ def test_png_features_match_ppm_features(spark):
     f_ppm = real_or_fake_features(encode_ppm(img), "image/x-portable-pixmap")
     assert np.allclose(f_png, f_ppm)
     assert f_png[0] == 2.0  # image modality tag, not the fake fallback
+
+
+def test_real_decode_coverage_at_least_90pct(spark):
+    """VERDICT r3 #6: >= 90% of the synthetic media corpus must take a
+    REAL codec path (modality tag 1.0 audio / 2.0 image in feature[0]);
+    the fake fallback is confined to the explicit unknown-mime rows."""
+    media = synth_media(spark, n=100)
+    mimes = {r["asset_id"]: r["mime"] for r in media.select("asset_id", "mime").collect()}
+    feats = extract_features(media).collect()
+    real = [r for r in feats if r["feature"][0] in (1.0, 2.0)]
+    assert len(real) >= 90
+    fake_ids = {r["asset_id"] for r in feats if r["feature"][0] not in (1.0, 2.0)}
+    assert all(mimes[a] == "video/mp4" for a in fake_ids)  # only explicit unknowns
+
+
+def test_per_format_feature_goldens():
+    """Hand-computed feature goldens per real codec: the features are
+    grounded in the decoded signal, not hashes."""
+    from ariadna_spark.operators.multimodal import real_or_fake_features
+
+    # PPM: 1x2 image, pixels (255,0,0) and (255,0,0) -> channel means exact
+    img = np.full((1, 2, 3), 0, dtype=np.uint8)
+    img[..., 0] = 255
+    f = real_or_fake_features(encode_ppm(img), "image/x-portable-pixmap")
+    assert f[0] == 2.0
+    assert f[1] == pytest.approx(2 / 1024) and f[2] == pytest.approx(1 / 1024)
+    assert f[3] == pytest.approx(2.0)  # aspect
+    assert f[4] == pytest.approx(1.0) and f[5] == 0.0 and f[6] == 0.0  # means
+    assert f[7] == pytest.approx(np.sqrt(2 / 9))  # std of {1,1,0,0,0,0}
+    # PNG of the same raster must yield the identical features
+    f2 = real_or_fake_features(encode_png(img, filter_type=4), "image/png")
+    assert np.allclose(f, f2)
+    # WAV: constant amplitude A -> mean = rms = peak = A/32768, zc = 0
+    a = np.full(1000, 16384, dtype=np.int16)
+    fw = real_or_fake_features(encode_wav(a, 16000), "audio/wav")
+    assert fw[0] == 1.0 and fw[1] == pytest.approx(16000 / 48000)
+    assert fw[4] == pytest.approx(0.5) and fw[5] == pytest.approx(0.5)
+    assert fw[6] == pytest.approx(0.5) and fw[7] == 0.0
