@@ -175,26 +175,35 @@ def collocations(
     all Catalyst (arrays_zip of shifted slices, no UDF)."""
     toks = tokenize_expr(content_col)
     d = docs.select(toks.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") > 0)
-    uni = d.select(F.explode("t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("nw")
+    # ONE corpus pass total (r4 scale fix: the former shape tokenized the
+    # corpus once for the pairs and once PER USE of the unigram table — 4
+    # full passes; 1M docs blew the stress budget). arrays_zip pads the
+    # shifted slice with null, so each token emits exactly one (w, nx)
+    # struct — nx = following token, null at doc end — and the single
+    # (w, nx) aggregate contains everything: pair counts directly, and
+    # unigram counts as its per-w marginal (sum over nx INCLUDING null).
+    stream = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("t").alias("w"),
+                F.slice(F.col("t"), 2, F.col("n") - 1).alias("nx"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+    # persisted: consumed by pairs + two PMI joins + the mass scalar;
+    # bounded by the DISTINCT-BIGRAM count (the operator's output domain),
+    # never by corpus size; map-side partial aggregation means the shuffle
+    # carries (w, nx, partial count), not raw tokens
+    pc = (
+        stream.groupBy("w", "nx")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
-    # total token mass as a 1-row broadcast (scalar-subquery shape): the
-    # whole operator stays ONE lazy plan — no driver collect, no persist
+    uni = pc.groupBy("w").agg(F.sum("c").alias("nw"))
     tot = uni.agg(F.sum("nw").cast("double").alias("n_uni"))
     pairs = (
-        d.filter(F.col("n") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+        pc.filter(F.col("nx").isNotNull() & (F.col("c") >= min_count))
+        .select(F.col("w").alias("w1"), F.col("nx").alias("w2"), F.col("c").alias("n_pair"))
     )
     # n1/n2 promoted to double BEFORE multiplying: long*long overflows at
     # ~10^10-token corpora for stop-word pairs (ANSI mode would throw)

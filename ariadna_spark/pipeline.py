@@ -90,9 +90,13 @@ def prepare_training_set(
         chunks = chunks.filter(F.col("n_tokens") <= max_tokens)
 
     # split keyed on the ORIGINAL content sha: every chunk of a doc gets
-    # the doc's side, and the assignment survives re-chunking/re-ingest
+    # the doc's side, and the assignment survives re-chunking/re-ingest.
+    # Derived from `d`, not `scrubbed`: pii_scrub is row-preserving, so the
+    # doc_id/content_sha sets are identical — but going through `scrubbed`
+    # made Catalyst re-run the whole PII regexp join just to read two
+    # columns it already had (r4 stress finding)
     sides = train_val_split(
-        scrubbed.select("doc_id", "content_sha"), val_per_mille=val_per_mille
+        d.select("doc_id", "content_sha"), val_per_mille=val_per_mille
     ).select("doc_id", "split")
     return chunks.join(sides, "doc_id").select(
         "doc_id", "chunk_id", "split", "n_tokens", "chunk_text"

@@ -111,6 +111,13 @@ def run_queries(spark, out_dir: str) -> dict:
     t0 = time.monotonic()
     reader.phrase_topk("merge join", 10).collect()
     timings["_phrase"] = round(time.monotonic() - t0, 4)
+    # stop-word phrase (VERDICT r3 #5 done-criterion): the two-pass decode
+    # must keep a "the <rare>" phrase within ~2x of the plain stop-word
+    # match query, because the stop word's positions only decode where the
+    # rare term's postings left a candidate
+    t0 = time.monotonic()
+    reader.phrase_topk("the merge", 10).collect()
+    timings["_phrase_stopword"] = round(time.monotonic() - t0, 4)
     return timings
 
 
@@ -123,6 +130,78 @@ def run_aux(spark, sf_dir: str) -> dict:
         Q.QUERIES[name](spark, sf_dir).collect()
         timings[f"aux_{name}"] = round(time.monotonic() - t0, 4)
     return timings
+
+
+def run_regex(spark, sf_dir: str, out_dir: str) -> dict:
+    """Accelerated-grep evidence (VERDICT r3 #1 done-criterion): indexed
+    vs full-scan wall time on the gate pattern, plus candidate-set size vs
+    corpus size — the fraction of the corpus the regexp actually touches."""
+    from ariadna_spark.corpus import load_docs
+    from ariadna_spark.operators.text import regex_search, regex_search_indexed
+    from ariadna_spark.operators.wand import IndexReader
+
+    docs = load_docs(spark, sf_dir)
+    reader = IndexReader(spark, out_dir)
+    out = {"regex_corpus_docs": docs.count()}
+    # two patterns: the correctness-gate one ('scan' is a Zipf-head token,
+    # worst case for pruning) and a selective one ('dup' hits ~5% of the
+    # corpus — the common grep shape, where the semi-join pays off)
+    for tag, pat, lit in (("gate", r"scan[a-z]*", "scan"), ("rare", r"dup[a-z]*", "dup")):
+        t0 = time.monotonic()
+        n_hits = regex_search_indexed(docs, pat, reader).count()
+        t_fast = time.monotonic() - t0
+        t0 = time.monotonic()
+        regex_search(docs, pat).count()
+        t_full = time.monotonic() - t0
+        n_cand = reader.candidate_doc_ids(reader.terms_containing(lit) or []).count()
+        out[f"regex_{tag}_indexed_sec"] = round(t_fast, 4)
+        out[f"regex_{tag}_fullscan_sec"] = round(t_full, 4)
+        out[f"regex_{tag}_hits"] = n_hits
+        out[f"regex_{tag}_candidates"] = n_cand
+    return out
+
+
+def stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
+    """Scale-stress the training-data operators (VERDICT r3 #7) on a
+    1M-doc synthetic corpus: sliding-window chunking (map-side explode),
+    bigram collocations (the Zipf-head-SQUARED groupBy — the skew
+    question), and the composed prepare_training_set graph (dedup ->
+    scrub -> chunk -> gate -> split). Corpus is written once to tmpfs and
+    all three run in one fresh session."""
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.corpus import synth_code_corpus_distributed
+    from ariadna_spark.operators.text import chunk_documents, collocations
+    from ariadna_spark.pipeline import prepare_training_set
+
+    cores = cores or CPUS
+    spark = _mk_spark(cores, "ariadna-bench-stress")
+    corpus_dir = _fast_tmp("stress_corpus_")
+    out = {"stress_docs": n_docs}
+    try:
+        synth_code_corpus_distributed(spark, n_docs).write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, "docs")
+        )
+        docs = spark.read.parquet(os.path.join(corpus_dir, "docs"))
+
+        t0 = time.monotonic()
+        n_chunks = chunk_documents(docs).count()
+        out["stress_chunk_sec"] = round(time.monotonic() - t0, 2)
+        out["stress_chunks"] = n_chunks
+
+        t0 = time.monotonic()
+        n_big = collocations(docs, min_count=50).count()
+        out["stress_collocations_sec"] = round(time.monotonic() - t0, 2)
+        out["stress_bigrams"] = n_big
+
+        t0 = time.monotonic()
+        n_rows = prepare_training_set(docs, min_tokens=4).count()
+        out["stress_pipeline_sec"] = round(time.monotonic() - t0, 2)
+        out["stress_pipeline_rows"] = n_rows
+        return out
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        spark.stop()
 
 
 def _build_once(corpus_dir: str, cores: int) -> dict:
@@ -335,6 +414,9 @@ def main():
     ap.add_argument("--executor-scaling-docs", type=int, default=800_000,
                     help="corpus size for --executor-scaling (own flag so the "
                     "--scaling-docs default never silently shrinks this run)")
+    ap.add_argument("--stress", action="store_true",
+                    help="also scale-stress the training-data operators")
+    ap.add_argument("--stress-docs", type=int, default=1_000_000)
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -345,6 +427,7 @@ def main():
         build = run_build(spark, args.sf_dir, out_dir, build_id="bench")
         qt = run_queries(spark, out_dir)
         aux = run_aux(spark, args.sf_dir)
+        regex = run_regex(spark, args.sf_dir, out_dir)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         spark.stop()
@@ -352,6 +435,7 @@ def main():
     warm_min = qt.pop("_warm_min", None)
     prefix_sec = qt.pop("_prefix", None)
     phrase_sec = qt.pop("_phrase", None)
+    phrase_stop_sec = qt.pop("_phrase_stopword", None)
     queries = {"index_build": round(build["build_sec"], 4), **qt, **aux}
     query_p50 = statistics.median(qt.values())
     total = sum(queries.values())
@@ -368,12 +452,16 @@ def main():
         "query_warm_min_sec": warm_min,
         "query_prefix_sec": prefix_sec,
         "query_phrase_sec": phrase_sec,
+        "query_phrase_stopword_sec": phrase_stop_sec,
+        **regex,
         "cpus": CPUS,
     }
     if args.scaling:
         result["scaling"] = scaling_run(n_docs=args.scaling_docs)
     if args.executor_scaling:
         result["executor_scaling"] = executor_scaling_run(n_docs=args.executor_scaling_docs)
+    if args.stress:
+        result["stress"] = stress_run(n_docs=args.stress_docs)
     print(json.dumps(result))
 
 
