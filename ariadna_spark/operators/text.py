@@ -551,16 +551,27 @@ def regex_search_indexed(
 
     `reader` is an operators.wand.IndexReader over an index built from the
     same docs. Falls back to the full-corpus scan when (a) the pattern
-    implies no literal >= 3 chars, or (b) the vocabulary expansion of the
-    chosen literal overflows max_expand terms (pruning would be unsound if
-    capped — Zoekt's 'too many trigram hits' fallback)."""
+    implies no literal >= 3 chars, or (b) the vocabulary expansion of
+    every usable literal overflows max_expand terms (pruning would be
+    unsound if capped — Zoekt's 'too many trigram hits' fallback).
+
+    When the pattern requires SEVERAL literals (e.g. `foo.*bar` requires
+    both "foo" and "bar"), candidates are the INTERSECTION of up to
+    `max_literals` per-literal posting unions, longest literals first —
+    each extra required literal multiplies the pruning power, and the
+    semi-joins compose as a chain of LeftSemi nodes over the same scan."""
     subs = required_index_substrings(pattern)
-    if not subs:
-        return regex_search(docs, pattern, content_col)
-    needle = subs[0]  # longest literal: tightest vocabulary expansion
-    terms = reader.terms_containing(needle, max_terms=max_expand)
-    if terms is None:
-        return regex_search(docs, pattern, content_col)
-    cand = reader.candidate_doc_ids(terms)
-    pruned = docs.join(cand, "doc_id", "left_semi")
+    pruned = docs
+    used = 0
+    max_literals = 3
+    for needle in subs:
+        terms = reader.terms_containing(needle, max_terms=max_expand)
+        if terms is None:
+            continue  # over-cap expansion: this literal can't prune soundly
+        pruned = pruned.join(reader.candidate_doc_ids(terms), "doc_id", "left_semi")
+        used += 1
+        if used >= max_literals:
+            break
+    if used == 0:
+        return regex_search(docs, pattern, content_col)  # full scan, loudly flat plan
     return regex_search(pruned, pattern, content_col)

@@ -228,3 +228,28 @@ def test_terms_containing_cap_returns_none(spark, docs, tmp_path_factory):
     assert reader.terms_containing("e", max_terms=5) is None
     # absent needle -> empty expansion (provably zero matching docs)
     assert reader.terms_containing("zz9qqqx7") == []
+
+
+def test_regex_search_indexed_multi_literal_intersection(spark, docs, tmp_path_factory):
+    """A pattern requiring several literals prunes through the
+    INTERSECTION of their candidate sets and still matches the full scan
+    exactly."""
+    from ariadna_spark.operators.text import regex_search, regex_search_indexed
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.plans import physical_plan
+    from ariadna_spark.sources.segments import build_index
+
+    out = str(tmp_path_factory.mktemp("regex_multi"))
+    build_index(spark, docs, out, build_id="rm", n_buckets=4)
+    reader = IndexReader(spark, out)
+    pat = r"merge[a-z_ ]*join"  # requires both "merge" and "join"
+    fast = regex_search_indexed(docs, pat, reader)
+    assert physical_plan(fast).count("LeftSemi") == 2
+    full = sorted(
+        (r["doc_id"], r["n_matches"], r["first_match"])
+        for r in regex_search(docs, pat).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_matches"], r["first_match"]) for r in fast.collect()
+    )
+    assert got == full
