@@ -41,9 +41,24 @@ def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame
 
 
 def keep_first_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """Exact dedup keeping the smallest doc_id per identical content."""
-    w = Window.partitionBy(F.sha2(F.col(content_col), 256)).orderBy("doc_id")
-    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    """Exact dedup keeping the smallest doc_id per identical content.
+
+    Shaped so DOCUMENT CONTENT never has to shuffle (r4): the winner set
+    is a groupBy(sha).min(doc_id) over (sha, doc_id) ONLY — map-side
+    partial aggregation means the exchange carries hashes and ids, never
+    text — followed by a left-semi join on doc_id (AQE broadcasts the
+    winner ids at anything up to ~10^8 docs; beyond that the join
+    co-locates on doc_id, which a doc_id-bucketed source satisfies
+    without a shuffle). The former row_number window partitioned by sha
+    pushed every content byte through the exchange unconditionally."""
+    sha = F.sha2(F.col(content_col), 256)
+    winners = (
+        docs.select(sha.alias("_s"), "doc_id")
+        .groupBy("_s")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(winners, "doc_id", "left_semi")
 
 
 def minhash_signatures(tf: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
