@@ -40,7 +40,9 @@ def exact_dup_groups(docs: DataFrame, content_col: str = "content") -> DataFrame
     )
 
 
-def keep_first_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame:
+def keep_first_dedup(
+    docs: DataFrame, content_col: str = "content", unique_ids: bool = True
+) -> DataFrame:
     """Exact dedup keeping the smallest doc_id per identical content.
 
     Shaped so DOCUMENT CONTENT never has to shuffle (r4): the winner set
@@ -50,8 +52,24 @@ def keep_first_dedup(docs: DataFrame, content_col: str = "content") -> DataFrame
     winner ids at anything up to ~10^8 docs; beyond that the join
     co-locates on doc_id, which a doc_id-bucketed source satisfies
     without a shuffle). The former row_number window partitioned by sha
-    pushed every content byte through the exchange unconditionally."""
+    pushed every content byte through the exchange unconditionally.
+
+    PRECONDITION (r4 ADVICE, documented): the semi-join shape assumes
+    doc_id is unique — the canonical-schema invariant every ingest path
+    here maintains (sources assign ids; overwrite goes through
+    tombstones, not duplicate rows). Under a violated invariant (e.g. a
+    raw double-ingest) it would keep EVERY row carrying a winning id.
+    Pass unique_ids=False for untrusted input: falls back to the
+    row_number window, which keeps exactly one row per content hash
+    regardless — at the cost of shuffling content bytes."""
     sha = F.sha2(F.col(content_col), 256)
+    if not unique_ids:
+        w = Window.partitionBy(sha).orderBy("doc_id")
+        return (
+            docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     winners = (
         docs.select(sha.alias("_s"), "doc_id")
         .groupBy("_s")
@@ -237,11 +255,17 @@ def cluster_ids(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation: each round every node takes the min
     of its own label and its neighbors' labels; converges in O(graph
     diameter) rounds, and near-dup clusters are shallow in practice (a
-    chain is the worst case, hence max_iter). Each round is ONE shuffle
-    (edge-label join + groupBy) and the frame is localCheckpoint-ed so
-    lineage doesn't grow with iterations — the standard Spark CC loop;
-    for adversarial diameters swap in large-star/small-star pointer
-    jumping (O(log n) rounds), same join primitives.
+    chain is the worst case). Each round is ONE shuffle (edge-label join
+    + groupBy) and the frame is localCheckpoint-ed so lineage doesn't
+    grow with iterations — the standard Spark CC loop; for adversarial
+    diameters swap in large-star/small-star pointer jumping (O(log n)
+    rounds), same join primitives.
+
+    max_iter is a SOFT budget, not a crash threshold (r4 ADVICE): labels
+    decrease monotonically and are bounded below, so propagation always
+    terminates in <= diameter <= n rounds — on overflow the loop logs a
+    warning and doubles the budget rather than abandoning a pipeline run
+    over one long dup chain.
 
     Deterministic, order-free, and exactly replayable by a recursive-CTE
     oracle (min reachable id)."""
@@ -255,7 +279,8 @@ def cluster_ids(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    rounds, warn_at = 0, max_iter
+    while True:
         nbr = (
             edges.join(lab, edges["src"] == lab["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
@@ -281,10 +306,18 @@ def cluster_ids(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         lab = new_lab
         if changed == 0:
             return lab
-    raise RuntimeError(
-        f"cluster_ids did not converge in {max_iter} rounds — a pair graph "
-        f"with diameter > {max_iter}; raise max_iter or use pointer jumping"
-    )
+        rounds += 1
+        if rounds >= warn_at:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cluster_ids: %d rounds without convergence (pair-graph "
+                "diameter > %d); continuing with doubled budget — consider "
+                "pointer jumping for adversarial chains",
+                rounds,
+                warn_at,
+            )
+            warn_at *= 2
 
 
 def cluster_keep_policy(docs: DataFrame, clusters: DataFrame) -> DataFrame:

@@ -190,14 +190,18 @@ def collocations(
             )
         ).alias("p")
     ).select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
-    # persisted: consumed by pairs + two PMI joins + the mass scalar;
-    # bounded by the DISTINCT-BIGRAM count (the operator's output domain),
-    # never by corpus size; map-side partial aggregation means the shuffle
-    # carries (w, nx, partial count), not raw tokens
+    # materialized once (localCheckpoint, NOT persist): consumed by pairs
+    # + two PMI joins + the mass scalar; bounded by the DISTINCT-BIGRAM
+    # count (the operator's output domain), never by corpus size; map-side
+    # partial aggregation means the shuffle carries (w, nx, partial
+    # count), not raw tokens. localCheckpoint truncates lineage AND is
+    # released by the ContextCleaner when the frame is dropped — persist()
+    # pinned the cache for the application lifetime with no owner to
+    # unpersist it (r4 ADVICE; same leak class as the geo_knn_many fix)
     pc = (
         stream.groupBy("w", "nx")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     uni = pc.groupBy("w").agg(F.sum("c").alias("nw"))
     tot = uni.agg(F.sum("nw").cast("double").alias("n_uni"))
@@ -516,12 +520,20 @@ def required_index_substrings(pattern: str, min_len: int = 3) -> list[str]:
     that every matching doc must contain in some indexed term.
 
     Soundness: the analyzer (analyze.py) splits only at non-alnum chars
-    and camelCase boundaries — both of which tokenize_py applied to the
-    LITERAL ITSELF reproduces — so no split point ever falls strictly
-    inside one of the literal's own sub-tokens. Hence each sub-token of a
-    required literal occurs, lowercased, as a SUBSTRING of a single
-    indexed term of every matching doc (interior sub-tokens as whole
-    terms, edge sub-tokens possibly extended by match context).
+    and camelCase boundaries — and tokenize_py applied to the LITERAL
+    ITSELF reproduces every such split EXCEPT one context-dependent case:
+    the acronym rule ([A-Z]+)([A-Z][a-z]) decides the split using the
+    character AFTER an uppercase run, so when a literal ends in an
+    uppercase letter and the doc continues with a lowercase one, that
+    final uppercase char is pulled into the NEXT doc term (literal 'ABC'
+    in doc 'ABCd' indexes as terms ['ab','cd'] — 'abc' is a substring of
+    neither). Hence: interior sub-tokens occur as whole terms, edge
+    sub-tokens occur possibly extended by match context, and the LAST
+    sub-token of an uppercase-ending literal is used with its final char
+    stripped (the one char the acronym rule can move; front context can
+    only EXTEND the first sub-token, never split it, because both camel
+    rules' split positions at the front are fixed by characters inside
+    the literal).
 
     Sorted longest-first (longer substring -> fewer vocabulary hits ->
     tighter candidate set)."""
@@ -529,7 +541,10 @@ def required_index_substrings(pattern: str, min_len: int = 3) -> list[str]:
 
     subs: set[str] = set()
     for lit in regex_required_literals(pattern):
-        for t in tokenize_py(lit):
+        toks = list(tokenize_py(lit))
+        if toks and "A" <= lit[-1] <= "Z":
+            toks[-1] = toks[-1][:-1]
+        for t in toks:
             if len(t) >= min_len:
                 subs.add(t)
     return sorted(subs, key=lambda s: (-len(s), s))

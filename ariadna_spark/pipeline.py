@@ -49,6 +49,7 @@ def prepare_training_set(
     near_dup_threshold: float | None = None,
     bench: DataFrame | None = None,
     decontam_ngram: int = 8,
+    cluster_max_iter: int = 20,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
     (doc_id, chunk_id, split, n_tokens, chunk_text).
@@ -77,7 +78,9 @@ def prepare_training_set(
         # cluster (e.g. path 2-3, 3-1 keeps both 1 and 2). cluster_ids
         # materializes the PAIR GRAPH (O(duplicate pairs), not O(corpus))
         # for its convergence loop; the doc graph itself stays lazy.
-        clusters = cluster_ids(dups.select("da", "db"))
+        # cluster_max_iter is a soft budget: cluster_ids logs + doubles on
+        # overflow instead of failing the run (r4 ADVICE)
+        clusters = cluster_ids(dups.select("da", "db"), max_iter=cluster_max_iter)
         d = cluster_keep_policy(d, clusters)
 
     scrubbed = d.select("doc_id", "content_sha").join(

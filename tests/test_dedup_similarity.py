@@ -479,3 +479,35 @@ def test_vector_store_pruning_plan(spark, emb, tmp_path):
     # both BUILD scans carry the centroid filter (the tombstone scan is
     # unpartitioned and legitimately shows an empty filter list)
     assert sum("centroid" in x for x in pf) >= 2, pf
+
+
+def test_keep_first_dedup_duplicate_ids_fallback(spark, dup_docs):
+    """r4 ADVICE: the fast semi-join shape assumes unique doc_id; the
+    unique_ids=False window fallback keeps exactly one row per content
+    hash even under a double-ingest."""
+    doubled = dup_docs.unionAll(dup_docs)  # violate the id invariant
+    strict = keep_first_dedup(doubled, unique_ids=False)
+    # one row per distinct content: 5 distinct texts in the fixture
+    assert strict.count() == 5
+    assert sorted(r["doc_id"] for r in strict.select("doc_id").collect()) == [
+        0, 1, 2, 4, 5,
+    ]
+    # fast path on clean input matches the strict path
+    a = sorted(r["doc_id"] for r in keep_first_dedup(dup_docs).collect())
+    b = sorted(
+        r["doc_id"] for r in keep_first_dedup(dup_docs, unique_ids=False).collect()
+    )
+    assert a == b == [0, 1, 2, 4, 5]
+
+
+def test_cluster_ids_long_chain_converges_past_budget(spark):
+    """r4 ADVICE: a dup chain longer than max_iter must complete (with a
+    logged warning), not crash the pipeline."""
+    from ariadna_spark.operators.dedup import cluster_ids
+
+    n = 9  # chain 0-1-2-...-9: diameter 9 > max_iter=3
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "da long, db long"
+    )
+    lab = {r["doc_id"]: r["cluster_id"] for r in cluster_ids(pairs, max_iter=3).collect()}
+    assert lab == {i: 0 for i in range(n + 1)}

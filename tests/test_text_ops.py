@@ -253,3 +253,60 @@ def test_regex_search_indexed_multi_literal_intersection(spark, docs, tmp_path_f
         (r["doc_id"], r["n_matches"], r["first_match"]) for r in fast.collect()
     )
     assert got == full
+
+
+def test_required_index_substrings_uppercase_tail_stripped():
+    """r4 ADVICE (high): the acronym rule ([A-Z]+)([A-Z][a-z]) splits
+    based on the char AFTER an uppercase run, so a literal ending in an
+    uppercase letter must not use its full last sub-token as an index
+    needle — 'ABC' in doc 'ABCd' indexes as ['ab','cd']."""
+    from ariadna_spark.operators.text import required_index_substrings as ris
+
+    # 'abc' would miss doc 'ABCd'; stripped 'ab' is < min_len -> no needle
+    assert ris(r"ABC") == []
+    # interior sub-tokens stay whole; only the uppercase-ending tail strips
+    assert ris(r"parseHTTP") == ["parse", "htt"]
+    # lowercase-ending literals are unaffected
+    assert ris(r"myScanner") == ["scanner"]
+    # lowercase tail after an interior acronym split: context cannot
+    # move that split, so the full tokens stay
+    assert ris(r"HTTPResp") == ["http", "resp"]
+
+
+def test_regex_search_indexed_uppercase_literal_sound(spark, tmp_path_factory):
+    """End-to-end regression for the acronym-rule soundness hole: an
+    uppercase literal whose match sits flush against a lowercase
+    continuation must still be found by the indexed path."""
+    from ariadna_spark.operators.text import regex_search, regex_search_indexed
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.sources.segments import build_index
+
+    rows = [
+        (0, "prefix ABCd suffix with words enough to index"),
+        (1, "plain ABC token here with words enough to index"),
+        (2, "nothing relevant in this document at all today"),
+        (3, "XYZABCdef packed acronym run with words enough"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, content string").select(
+        "doc_id",
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p/"), F.col("doc_id")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("txt").alias("lang"),
+        "content",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+    out = str(tmp_path_factory.mktemp("regex_upper"))
+    build_index(spark, d, out, build_id="ru", n_buckets=2)
+    reader = IndexReader(spark, out)
+    for pat in [r"ABC", r"ABCd", r"parseHTTP|ABC"]:
+        full = sorted(
+            (r["doc_id"], r["n_matches"], r["first_match"])
+            for r in regex_search(d, pat).collect()
+        )
+        fast = sorted(
+            (r["doc_id"], r["n_matches"], r["first_match"])
+            for r in regex_search_indexed(d, pat, reader).collect()
+        )
+        assert fast == full, pat
+        assert full, f"fixture must actually match {pat}"
