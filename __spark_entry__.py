@@ -32,4 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_q.ORACLES)
+    d = dict(_q.ORACLES)
+    # embedding_ivf's oracle inlines DATA-FITTED centroid literals, so it
+    # is generated lazily for the gate sf (driver default: sf0.01; local
+    # runs parameterize via SPARK_GRAFT_TEST_SF_DIR) rather than frozen
+    # at import like the data-independent SQL strings.
+    d["embedding_ivf"] = _q.sql_embedding_ivf()
+    return d

@@ -191,6 +191,51 @@ def _cos_cols(v: F.Column | str, q: F.Column | str) -> F.Column:
     return dot / (nv * nq)
 
 
+def _centroid_dist_structs(vec_col: F.Column | str, centroids: np.ndarray) -> F.Column:
+    """array<struct<d2:double, centroid:int>> of squared euclidean
+    distances to every FROZEN centroid, as a pure Catalyst expression over
+    inlined centroid literals (the lsh_bucket_expr pattern). Struct
+    ordering is lexicographic, so array_min / array_sort rank by (d2 asc,
+    centroid asc) — exactly the (distance, id) tie-break the former rank
+    window used. The d2 arithmetic (zip_with diff-square, left-fold sum)
+    is op-identical to the former broadcast-join path, so assignments are
+    bit-stable across the rewrite."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    pairs = []
+    for i, c in enumerate(centroids):
+        clit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, clit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        pairs.append(
+            F.struct(d2.alias("d2"), F.lit(int(i)).cast("int").alias("centroid"))
+        )
+    return F.array(*pairs)
+
+
+def ivf_centroid_expr(vec_col: F.Column | str, centroids: np.ndarray) -> F.Column:
+    """argmin-centroid as a map-side expression — no join, no window, no
+    exchange (VERDICT r4 #4). The former shape broadcast-crossjoined the
+    centroid table and ranked with a row_number window partitioned by
+    vec_id: an exchange of rows x n_centroids on EVERY store append and
+    batch probe assignment. n_centroids is coarse-quantizer-small by
+    design (FAISS practice: ~sqrt(n) lists, broadcastable metadata), so
+    the inlined-literal expression stays well under codegen limits."""
+    return F.array_min(_centroid_dist_structs(vec_col, centroids))["centroid"]
+
+
+def ivf_probes_expr(
+    vec_col: F.Column | str, centroids: np.ndarray, n_probe: int
+) -> F.Column:
+    """The n_probe nearest centroids (array<int>, nearest first) as a
+    map-side expression — the batch-query counterpart of
+    ivf_centroid_expr."""
+    ranked = F.array_sort(_centroid_dist_structs(vec_col, centroids))
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s["centroid"])
+
+
 def ivf_topk_many(
     indexed: DataFrame,
     centroids: np.ndarray,
@@ -203,32 +248,22 @@ def ivf_topk_many(
     with ONE Spark job — the pipeline shape for enriching 10^9 rows, not a
     per-query driver loop (same upgrade as geo_knn_many).
 
-    Probe assignment is a broadcast join against the tiny centroid table
-    (euclidean, matching the k-means objective) + a rank window; the
-    candidate fetch is one equi-join on `centroid` (partition-prunable /
-    DPP against an ivf_index_write store); exact cosine re-score and a
-    per-qid top-k window finish it. n_probe == n_centroids makes the
-    result the exact brute-force top-k per query (the driver-gate oracle
-    uses that mode; pruned-probe parity with the per-query ivf_topk is
-    pinned in pytest)."""
+    Probe assignment is a MAP-SIDE argsort over inlined centroid literals
+    (ivf_probes_expr — no exchange before the candidate-fetch join;
+    VERDICT r4 #4 replaced the former broadcast crossjoin + rank window,
+    which shuffled rows x n_centroids); the candidate fetch is one
+    equi-join on `centroid` (partition-prunable / DPP against an
+    ivf_index_write store); exact cosine re-score and a per-qid top-k
+    window finish it. n_probe == n_centroids makes the result the exact
+    brute-force top-k per query (the driver-gate oracle uses that mode;
+    pruned-probe parity with the per-query ivf_topk is pinned in
+    pytest)."""
     from pyspark.sql import Window
 
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cdf = queries.sparkSession.createDataFrame(
-        cent_rows, "centroid int, cv array<double>"
-    )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wp = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("centroid"))
-    probes = (
-        queries.join(F.broadcast(cdf))
-        .withColumn("d2", d2)
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= n_probe)
-        .select("qid", "qv", "centroid")
+    probes = queries.select(
+        "qid",
+        "qv",
+        F.explode(ivf_probes_expr("qv", centroids, n_probe)).alias("centroid"),
     )
     if prune:
         # one tiny collect (<= n_queries * n_probe ints) buys static
@@ -361,6 +396,52 @@ def lsh_near_dup_pairs(
     )
 
 
+def kmeans_fit_numpy(
+    X: np.ndarray, k: int, seed: int = 42, n_iter: int = 20
+) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means (k-means++ init, fixed
+    iteration budget, first-index argmin tie-break) — the quantizer fit
+    for oracle-checkable frozen IVF stores (VERDICT r4 #6). FAISS-style
+    train-on-sample is driver-side anyway (a coarse quantizer fits on
+    <=100k sampled vectors regardless of corpus size), and a pure-numpy
+    fit is a pure function of (X, seed): the DuckDB oracle generator
+    re-runs the identical fit on the identical bytes and inlines the
+    resulting centroids as SQL literals, exactly as the LSH planes are
+    inlined. MLlib's k-means stays for the non-oracle ivf_index path."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    cents = [X[int(rng.integers(n))]]
+    for _ in range(1, k):
+        d2 = ((X[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1).min(1)
+        tot = float(d2.sum())
+        if tot <= 0.0:  # degenerate: all points coincide with centroids
+            cents.append(X[int(rng.integers(n))])
+            continue
+        cents.append(X[int(rng.choice(n, p=d2 / tot))])
+    C = np.asarray(cents, dtype=np.float64)
+    for _ in range(n_iter):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        newC = C.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+def ivf_probe_ids(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
+    """The n_probe centroid ids nearest (euclidean) to a single query —
+    shared by ivf_topk and the oracle generator so both probe the SAME
+    lists."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d2)[:n_probe]]
+
+
 def ivf_index(
     emb: DataFrame, n_centroids: int = 16, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42, fit_sample: int = 100_000,
@@ -407,15 +488,25 @@ def ivf_index(
 def ivf_index_write(
     emb: DataFrame, path: str, n_centroids: int = 16, id_col: str = "vec_id",
     vec_col: str = "embedding", seed: int = 42, fit_sample: int = 100_000,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF lists PHYSICALLY PARTITIONED by centroid, so an
     n_probe query reads exactly n_probe directories (partition pruning on
     the `centroid IN (...)` filter). Centroids are tiny driver-held
-    metadata (_ivf_meta.json)."""
-    indexed, centroids = ivf_index(
-        emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
-        fit_sample=fit_sample,
-    )
+    metadata (_ivf_meta.json).
+
+    Pass `centroids` to build against a PRE-FIT frozen quantizer (e.g.
+    kmeans_fit_numpy — the oracle-checkable fit): assignment is then the
+    map-side ivf_centroid_expr, no MLlib fit job at all."""
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        n_centroids = centroids.shape[0]
+        indexed = _ivf_assign(emb, centroids, id_col, vec_col)
+    else:
+        indexed, centroids = ivf_index(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed,
+            fit_sample=fit_sample,
+        )
     (
         indexed.repartition("centroid")
         .write.partitionBy("centroid")
@@ -439,9 +530,7 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the n_probe centroid lists nearest to the query (euclidean,
     matching the k-means objective), exact cosine re-score inside."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - q) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:n_probe]]
+    probe = ivf_probe_ids(centroids, query_vec, n_probe)
     cand = indexed.filter(F.col("centroid").isin(probe))
     return (
         cand.select("vec_id", _cos_expr("v", query_vec).alias("cos"))
@@ -591,28 +680,14 @@ def lsh_store_read(spark: SparkSession, path: str) -> tuple[DataFrame, list[np.n
 
 
 def _ivf_assign(emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str) -> DataFrame:
-    """Assign vectors to their nearest (euclidean) FROZEN centroid as a
-    broadcast join + rank window — the append-time counterpart of the
-    MLlib transform used at store creation."""
-    from pyspark.sql import Window
-
-    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cdf = emb.sparkSession.createDataFrame(cent_rows, "centroid int, cv array<double>")
+    """Assign vectors to their nearest (euclidean) FROZEN centroid — the
+    append-time counterpart of the MLlib transform used at store creation.
+    Pure map-side (ivf_centroid_expr): an append costs exactly one pass
+    over the appended vectors, no exchange (VERDICT r4 #4)."""
     e = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid"))
-    return (
-        e.join(F.broadcast(cdf))
-        .withColumn("d2", d2)
-        .withColumn("pr", F.row_number().over(w))
-        .filter(F.col("pr") == 1)
-        .select("vec_id", "v", "centroid")
-    )
+    return e.select("vec_id", "v", ivf_centroid_expr("v", centroids).alias("centroid"))
 
 
 def ivf_store_write(

@@ -1857,22 +1857,122 @@ _EMB_DUP_T = 0.45  # random 64-dim embeddings: top pair similarities ~0.5
 _IVF_CACHE: dict[str, str] = {}
 
 
+_IVF_QVEC = 11
+_IVF_NPROBE = 4
+_IVF_K = 16
+_IVF_CENT_CACHE: dict[str, "object"] = {}
+
+
+def _ivf_gate_data(sf_dir: str):
+    """(X sorted by vec_id, vec_ids) read driver-side from the embeddings
+    parquet — the canonical fit input shared bit-for-bit by the Spark
+    gate query and the DuckDB oracle generator."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    X = np.asarray([list(v) for v in t["embedding"]], dtype=np.float64)
+    return X, list(t["vec_id"])
+
+
+def _ivf_gate_centroids(sf_dir: str):
+    """Frozen quantizer for the gate store: deterministic numpy k-means on
+    the (sorted, <=100k-row) embeddings — a pure function of the table
+    bytes, so the oracle can re-fit identically (VERDICT r4 #6)."""
+    from .operators.similarity import kmeans_fit_numpy
+
+    if sf_dir not in _IVF_CENT_CACHE:
+        X, _ = _ivf_gate_data(sf_dir)
+        _IVF_CENT_CACHE[sf_dir] = kmeans_fit_numpy(X[:100_000], _IVF_K, seed=42)
+    return _IVF_CENT_CACHE[sf_dir]
+
+
 def q_embedding_ivf(spark, sf_dir) -> DataFrame:
-    """IVF ANN through the centroid-partitioned store (rows-only: the
-    k-means coarse quantizer is data-fitted, so no static SQL can replay
-    it; probe-all == brute-force exactness is pinned in pytest instead)."""
+    """IVF ANN through the centroid-partitioned frozen store. Oracle-
+    paired since r5: the coarse quantizer is a deterministic driver-side
+    numpy k-means (kmeans_fit_numpy — FAISS-style train-on-sample), so
+    the oracle re-runs the identical fit and inlines the frozen centroids
+    as SQL literals, exactly as the LSH planes are inlined. Store
+    assignment is the map-side ivf_centroid_expr; the n_probe candidate
+    fetch partition-prunes against the store layout."""
     from .operators.similarity import ivf_index_read, ivf_index_write, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if sf_dir not in _IVF_CACHE:
         out = _gate_tmp("ann_ivf_")
-        ivf_index_write(emb, out, n_centroids=16)
+        ivf_index_write(emb, out, centroids=_ivf_gate_centroids(sf_dir))
         _IVF_CACHE[sf_dir] = out
     indexed, centroids = ivf_index_read(spark, _IVF_CACHE[sf_dir])
-    q = list(emb.filter(F.col("vec_id") == 11).select("embedding").first()[0])
-    return ivf_topk(indexed, centroids, q, k=10, n_probe=4).select(
+    q = list(emb.filter(F.col("vec_id") == _IVF_QVEC).select("embedding").first()[0])
+    return ivf_topk(indexed, centroids, q, k=10, n_probe=_IVF_NPROBE).select(
         "vec_id", F.round("cos", 4).alias("cos_r")
     )
+
+
+_IVF_SQL_CACHE: dict[str, str] = {}
+
+
+def sql_embedding_ivf(sf_dir: str | None = None) -> str:
+    """DuckDB oracle for q_embedding_ivf, generated LAZILY per gate sf
+    (the centroids are data-fitted, so the SQL literals depend on which
+    embeddings table the gate runs against — default: the driver's
+    sf0.01; local runs parameterize via SPARK_GRAFT_TEST_SF_DIR).
+    Replays: identical numpy k-means fit -> per-vector argmin assignment
+    over the inlined centroid literals (same (d2, centroid) tie-break as
+    ivf_centroid_expr) -> probe filter with the SAME probe ids
+    (ivf_probe_ids on the same fit) -> exact cosine top-k."""
+    import os as _os
+
+    import numpy as np
+
+    from .operators.similarity import ivf_probe_ids
+
+    if sf_dir is None:
+        sf_dir = _os.environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+        )
+    if sf_dir in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[sf_dir]
+    cents = np.asarray(_ivf_gate_centroids(sf_dir))
+    X, vec_ids = _ivf_gate_data(sf_dir)
+    qv = X[vec_ids.index(_IVF_QVEC)]
+    probes = ivf_probe_ids(cents, qv, _IVF_NPROBE)
+
+    def vec_lit(c) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[]"
+
+    cent_rows = ",\n  ".join(
+        f"({i}, {vec_lit(c)})" for i, c in enumerate(cents)
+    )
+    sql = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent(cid, cv) AS (VALUES
+  {cent_rows}
+),
+d AS (
+  SELECT vec_id, v, cid,
+         list_sum(list_transform(list_zip(v, cv), s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+  FROM e, cent
+),
+a AS (
+  SELECT vec_id, v, cid FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_IVF_QVEC}),
+cand AS (SELECT vec_id, v FROM a WHERE cid IN ({", ".join(map(str, probes))})),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(v, (SELECT qv FROM q))
+         / (sqrt(list_dot_product(v, v)) * sqrt((SELECT list_dot_product(qv, qv) FROM q))) AS cos
+  FROM cand
+)
+SELECT vec_id, round(cos, 4) AS cos_r FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    _IVF_SQL_CACHE[sf_dir] = sql
+    return sql
 
 
 def q_embedding_near_dup(spark, sf_dir) -> DataFrame:

@@ -511,3 +511,62 @@ def test_cluster_ids_long_chain_converges_past_budget(spark):
     )
     lab = {r["doc_id"]: r["cluster_id"] for r in cluster_ids(pairs, max_iter=3).collect()}
     assert lab == {i: 0 for i in range(n + 1)}
+
+
+def test_ivf_assignment_is_map_side(spark, emb):
+    """VERDICT r4 #4: centroid assignment must be a pure map-side
+    expression — no join, no window, no exchange before the candidate
+    fetch — and must agree exactly with the former broadcast-join + rank
+    window shape (same d2 arithmetic, same (d2, centroid) tie-break)."""
+    from pyspark.sql import Window
+
+    from ariadna_spark.operators.similarity import (
+        _ivf_assign,
+        ivf_index,
+        ivf_probes_expr,
+    )
+    from ariadna_spark.plans import physical_plan
+
+    _, centroids = ivf_index(emb, n_centroids=8)
+    assigned = _ivf_assign(emb, centroids, "vec_id", "embedding")
+    plan = physical_plan(assigned)
+    for bad in ["Exchange", "Window", "Join"]:
+        assert bad not in plan, f"{bad} in map-side assignment plan:\n{plan}"
+
+    # reference: the old broadcast-join + row_number shape, inline
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("centroid"))
+    ref = (
+        emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+        .join(F.broadcast(cdf))
+        .withColumn("d2", d2)
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("vec_id", "centroid")
+    )
+    got = {r["vec_id"]: r["centroid"] for r in assigned.collect()}
+    want = {r["vec_id"]: r["centroid"] for r in ref.collect()}
+    assert got == want
+
+    # batch probe assignment: nearest-first probe list, no exchange
+    probes = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.explode(
+            ivf_probes_expr(F.col("embedding").cast("array<double>"), centroids, 3)
+        ).alias("centroid"),
+    )
+    pplan = physical_plan(probes)
+    for bad in ["Exchange", "Window", "Join"]:
+        assert bad not in pplan, f"{bad} in probe-assignment plan:\n{pplan}"
+    first = {}
+    for r in probes.collect():
+        first.setdefault(r["qid"], r["centroid"])
+    assert first == want  # probe[0] == argmin centroid

@@ -11,6 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# sf-parameterized oracles (embedding_ivf inlines data-fitted centroid
+# literals) must be generated for the SAME sf this harness runs against
+os.environ["SPARK_GRAFT_TEST_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
