@@ -377,7 +377,9 @@ def test_lsh_store_append_overwrite_compact(spark, emb, tmp_path):
         F.col("embedding").cast("array<double>").alias("embedding"),
     ).filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 150))
     fixes = base.filter(F.col("vec_id") % 4 == 0)
-    lsh_store_append(fixes.unionByName(newbies), store, build_id="b000001")
+    # auto_compact=False: this test verifies the PRE-compaction merge-on-read
+    # state explicitly, then compacts by hand below
+    lsh_store_append(fixes.unionByName(newbies), store, build_id="b000001", auto_compact=False)
 
     logical = base.unionByName(newbies).toPandas()
     merged, tables = lsh_store_read(spark, store)
@@ -470,7 +472,9 @@ def test_vector_store_pruning_plan(spark, emb, tmp_path):
         F.col("embedding").cast("array<double>").alias("embedding"),
     ).filter(F.col("vec_id") < 80)
     ivf_store_write(base.filter(F.col("vec_id") < 60), store, n_centroids=4)
-    ivf_store_append(base.filter(F.col("vec_id") >= 60), store, build_id="b000001")
+    # auto_compact=False: the 25% overwrite ratio would trigger the policy,
+    # and this test needs the multi-build merge-on-read plan shape
+    ivf_store_append(base.filter(F.col("vec_id") >= 60), store, build_id="b000001", auto_compact=False)
     merged, _ = ivf_store_read(spark, store)
     plan = physical_plan(merged.filter(F.col("centroid") == 2))
     import re
@@ -570,3 +574,61 @@ def test_ivf_assignment_is_map_side(spark, emb):
     for r in probes.collect():
         first.setdefault(r["qid"], r["centroid"])
     assert first == want  # probe[0] == argmin centroid
+
+
+def test_vector_store_auto_compaction_bounds_builds(spark, emb, tmp_path):
+    """VERDICT r4 #3: sustained appends with the default auto_compact
+    policy keep the live-build count and dead-row ratio bounded — no
+    external scheduler — and partition pruning survives the folds."""
+    import os as _os
+
+    from ariadna_spark.operators.similarity import (
+        _store_read_manifest,
+        ivf_store_append,
+        ivf_store_read,
+        ivf_store_write,
+        ivf_topk_many,
+        vector_store_compaction_due,
+    )
+    from ariadna_spark.plans import physical_plan
+
+    store = str(tmp_path / "ivfsoak")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    ).filter(F.col("vec_id") < 60)
+    ivf_store_write(base, store, n_centroids=4)
+    max_live = 1
+    for i in range(1, 11):  # 10 overwrite appends of the same 12 ids
+        ivf_store_append(
+            base.filter(F.col("vec_id") % 5 == 0), store, build_id=f"b{i:06d}"
+        )
+        max_live = max(max_live, len(_store_read_manifest(store)))
+    live = _store_read_manifest(store)
+    assert max_live <= 8, max_live  # policy fired before the cap
+    assert len(live) < 8
+    assert vector_store_compaction_due(store, max_builds=8) is None
+    # compacted builds actually replaced the folded ones on disk
+    assert len(_os.listdir(_os.path.join(store, "builds"))) == len(live)
+
+    # correctness + pruning survive: merged == brute force, centroid
+    # filter still partition-prunes every live build scan
+    merged, centroids = ivf_store_read(spark, store)
+    logical = base.toPandas()
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding])
+         for _, r in logical.iterrows() if r.vec_id in (0, 7)],
+        "qid long, qv array<double>",
+    )
+    out = ivf_topk_many(merged, centroids, queries, k=5, n_probe=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for qid in (0, 7):
+        qv = list(logical[logical.vec_id == qid].embedding.iloc[0])
+        assert [v for _, v in sorted(got[qid])] == _brute_topk(logical, qv, 5)
+    import re
+
+    plan = physical_plan(merged.filter(F.col("centroid") == 1))
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert sum("centroid" in x for x in pf) >= 1, pf
