@@ -556,6 +556,7 @@ def regex_search_indexed(
     reader,
     content_col: str = "content",
     max_expand: int = 4096,
+    max_candidate_frac: float = 0.25,
 ) -> DataFrame:
     """Index-accelerated grep: semi-join `docs` against the posting lists
     of every index term containing a required literal of `pattern`, then
@@ -566,23 +567,37 @@ def regex_search_indexed(
 
     `reader` is an operators.wand.IndexReader over an index built from the
     same docs. Falls back to the full-corpus scan when (a) the pattern
-    implies no literal >= 3 chars, or (b) the vocabulary expansion of
+    implies no literal >= 3 chars, (b) the vocabulary expansion of
     every usable literal overflows max_expand terms (pruning would be
-    unsound if capped — Zoekt's 'too many trigram hits' fallback).
+    unsound if capped — Zoekt's 'too many trigram hits' fallback), or
+    (c) every usable literal fails the SELECTIVITY GATE (VERDICT r4 #2):
+    a literal whose estimated candidate set exceeds max_candidate_frac of
+    the corpus cannot prune enough to repay the semi-join — a Zipf-head
+    literal ('the', 'scan') leaves the regexp scanning most of the corpus
+    ANYWAY, plus the index read on top. The estimate is one tiny
+    aggregation over pruned block metadata (candidate_df_estimate) —
+    Zoekt's too-many-hits rule applied to document frequency, where
+    max_expand covers only vocabulary width.
 
     When the pattern requires SEVERAL literals (e.g. `foo.*bar` requires
     both "foo" and "bar"), candidates are the INTERSECTION of up to
     `max_literals` per-literal posting unions, longest literals first —
     each extra required literal multiplies the pruning power, and the
-    semi-joins compose as a chain of LeftSemi nodes over the same scan."""
+    semi-joins compose as a chain of LeftSemi nodes over the same scan.
+    The selectivity gate applies per literal: one selective literal is
+    enough to index-accelerate even if the others are Zipf-heads."""
     subs = required_index_substrings(pattern)
     pruned = docs
     used = 0
     max_literals = 3
+    n_corpus = max(int(reader.stats.get("N", 0)), 1)
     for needle in subs:
         terms = reader.terms_containing(needle, max_terms=max_expand)
         if terms is None:
             continue  # over-cap expansion: this literal can't prune soundly
+        est = reader.candidate_df_estimate(terms)
+        if est > max_candidate_frac * n_corpus:
+            continue  # Zipf-head literal: pruning cannot repay the join
         pruned = pruned.join(reader.candidate_doc_ids(terms), "doc_id", "left_semi")
         used += 1
         if used >= max_literals:

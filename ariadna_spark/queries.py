@@ -782,9 +782,13 @@ def q_regex_search(spark, sf_dir) -> DataFrame:
     ('scan') expands against the index vocabulary and candidates are
     semi-joined through the posting lists before the regexp runs — the
     Zoekt trick over the engine's own index; at 100 TB the content scan
-    touches the pruned candidate set, not the corpus. Result rows are
-    identical to the full-scan regex_search, so the same DuckDB oracle
-    (which has no index and greps everything) stays hash-green."""
+    touches the pruned candidate set, not the corpus. Since r5 a
+    SELECTIVITY GATE (VERDICT r4 #2) routes this deliberately Zipf-head
+    gate pattern to the flat scan (its candidate set ~= the corpus, so a
+    prefilter can't pay); selective patterns keep the semi-join — both
+    shapes plan-asserted in test_plans. Result rows are identical either
+    way, so the same DuckDB oracle (which has no index and greps
+    everything) stays hash-green."""
     from .corpus import load_docs
     from .operators.text import regex_search_indexed
 

@@ -146,9 +146,15 @@ def run_regex(spark, sf_dir: str, out_dir: str) -> dict:
     # two patterns: the correctness-gate one ('scan' is a Zipf-head token,
     # worst case for pruning) and a selective one ('dup' hits ~5% of the
     # corpus — the common grep shape, where the semi-join pays off)
+    from ariadna_spark.plans import physical_plan
+
     for tag, pat, lit in (("gate", r"scan[a-z]*", "scan"), ("rare", r"dup[a-z]*", "dup")):
+        fast_df = regex_search_indexed(docs, pat, reader)
+        # r5 selectivity gate: a Zipf-head literal routes to the full scan
+        # (prefilter_used False) — indexed wall ~= full-scan wall by design
+        prefilter_used = "LeftSemi" in physical_plan(fast_df)
         t0 = time.monotonic()
-        n_hits = regex_search_indexed(docs, pat, reader).count()
+        n_hits = fast_df.count()
         t_fast = time.monotonic() - t0
         t0 = time.monotonic()
         regex_search(docs, pat).count()
@@ -158,6 +164,7 @@ def run_regex(spark, sf_dir: str, out_dir: str) -> dict:
         out[f"regex_{tag}_fullscan_sec"] = round(t_full, 4)
         out[f"regex_{tag}_hits"] = n_hits
         out[f"regex_{tag}_candidates"] = n_cand
+        out[f"regex_{tag}_prefilter_used"] = prefilter_used
     return out
 
 

@@ -208,14 +208,26 @@ def test_regex_search_indexed_is_semi_join_pruned(spark, docs, index_dir):
     """VERDICT r3 #1 done-criterion: the accelerated grep's content scan
     must sit BEHIND a left-semi join against index candidates — never a
     bare full-corpus regexp. The fallback (no usable literal) is the only
-    full-scan shape."""
-    from ariadna_spark.operators.text import regex_search_indexed
+    full-scan shape. Since r5 (VERDICT r4 #2) a SELECTIVITY GATE also
+    routes Zipf-head literals to the full scan: a candidate set near the
+    corpus size can't repay the semi-join."""
+    from ariadna_spark.operators.text import regex_search, regex_search_indexed
     from ariadna_spark.operators.wand import IndexReader
 
     reader = IndexReader(spark, index_dir)
-    fast = regex_search_indexed(docs, r"scan[a-z]*", reader)
+    # selective literal ('dup' hits ~5% of the corpus): semi-join path
+    fast = regex_search_indexed(docs, r"dup[a-z]*", reader)
     plan = physical_plan(fast)
     assert "LeftSemi" in plan, plan
-    # and the fallback shape really is a plain scan (no join node at all)
+    # literal-free pattern: plain scan (no join node at all)
     fallback = regex_search_indexed(docs, r"[a-z]{12}", reader)
     assert "LeftSemi" not in physical_plan(fallback)
+    # Zipf-head literal ('scan' matches most docs): the selectivity gate
+    # must skip the prefilter — flat plan, identical rows
+    gated = regex_search_indexed(docs, r"scan[a-z]*", reader)
+    assert "LeftSemi" not in physical_plan(gated)
+    full = sorted(r["doc_id"] for r in regex_search(docs, r"scan[a-z]*").collect())
+    assert sorted(r["doc_id"] for r in gated.collect()) == full
+    # forcing the gate off restores the semi-join shape (estimate wiring)
+    forced = regex_search_indexed(docs, r"scan[a-z]*", reader, max_candidate_frac=1.0)
+    assert "LeftSemi" in physical_plan(forced)

@@ -243,7 +243,10 @@ def test_regex_search_indexed_multi_literal_intersection(spark, docs, tmp_path_f
     build_index(spark, docs, out, build_id="rm", n_buckets=4)
     reader = IndexReader(spark, out)
     pat = r"merge[a-z_ ]*join"  # requires both "merge" and "join"
-    fast = regex_search_indexed(docs, pat, reader)
+    # max_candidate_frac=1.0: this test pins the multi-literal INTERSECTION
+    # mechanics; the selectivity gate (tested in test_plans) may otherwise
+    # legitimately drop a Zipf-head literal on this corpus
+    fast = regex_search_indexed(docs, pat, reader, max_candidate_frac=1.0)
     assert physical_plan(fast).count("LeftSemi") == 2
     full = sorted(
         (r["doc_id"], r["n_matches"], r["first_match"])
