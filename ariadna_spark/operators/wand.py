@@ -385,6 +385,40 @@ def phrase_kernel(
     )
 
 
+def _min_cover_mask(
+    p: np.ndarray,
+    g: np.ndarray,
+    m: int,
+    window: int,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> np.ndarray:
+    """Vectorized minimal-cover window test (VERDICT r4 #7 — replaced the
+    per-candidate-doc two-pointer interpreter loop): given occurrence rows
+    sorted by (doc, position) and segmented into docs by starts/ends, a
+    doc matches iff some occurrence range [i..j] spans < window positions
+    and covers all m term groups. For each row j as the RANGE END, the
+    largest valid start is i(j) = min over groups of that group's LAST
+    occurrence at or before j (any later start misses a group; any
+    earlier start only widens the span) — so a doc matches iff
+    p[j] - p[i(j)] < window for some j with every group already seen
+    inside the doc's segment. Per-group last-occurrence indices are
+    running maxima over the sorted rows; rows leaking from previous docs
+    are rejected by comparing against the segment start, so no per-doc
+    reset is needed. O(m * n) numpy passes, m = distinct query terms.
+    Returns a bool per segment."""
+    n = p.size
+    seg_start = np.repeat(starts, ends - starts)
+    idx = np.arange(n, dtype=np.int64)
+    min_last = None
+    for c in range(m):
+        acc = np.maximum.accumulate(np.where(g == c, idx, -1))
+        min_last = acc if min_last is None else np.minimum(min_last, acc)
+    covered = min_last >= seg_start  # all m groups occur within THIS doc
+    ok_row = covered & ((p - p[np.maximum(min_last, 0)]) < window)
+    return np.logical_or.reduceat(ok_row, starts)
+
+
 def near_kernel(
     pdf: pd.DataFrame,
     terms: list[str],
@@ -446,30 +480,10 @@ def near_kernel(
     n = d.size
     starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
     ends = np.concatenate((starts[1:], [n]))
-    matched_l = []
-    for s, e in zip(starts, ends):
-        cnt = np.zeros(m, dtype=np.int64)
-        have, lo_i, ok = 0, s, False
-        for hi_i in range(s, e):
-            c = g[hi_i]
-            cnt[c] += 1
-            if cnt[c] == 1:
-                have += 1
-            while have == m:
-                if p[hi_i] - p[lo_i] < window:
-                    ok = True
-                    break
-                cnt[g[lo_i]] -= 1
-                if cnt[g[lo_i]] == 0:
-                    have -= 1
-                lo_i += 1
-            if ok:
-                break
-        if ok:
-            matched_l.append(d[s])
-    if not matched_l:
+    doc_ok = _min_cover_mask(p, g, m, window, starts, ends)
+    if not doc_ok.any():
         return empty
-    matched = np.asarray(matched_l, dtype=np.int64)
+    matched = d[starts[doc_ok]]
     acc = np.zeros(matched.shape, dtype=np.float64)
     for t in uniq_terms:
         ids, tfs, dls, _, _ = per_term[t]

@@ -195,3 +195,56 @@ def test_near_topk_single_term_and_absent(spark, planted_index):
     b = [x["doc_id"] for x in r.topk("alpha", 10).collect()]
     assert a == b
     assert r.near_topk("alpha zzznope", window=50, k=10).count() == 0
+
+
+def test_min_cover_mask_equals_two_pointer_reference():
+    """VERDICT r4 #7: the vectorized minimal-cover test must agree with
+    the classic two-pointer sweep on dense random occurrence streams —
+    including all-groups-missing, exact-boundary windows, and m=1."""
+    import numpy as np
+
+    from ariadna_spark.operators.wand import _min_cover_mask
+
+    def reference(p, g, m, window, starts, ends):
+        out = []
+        for s, e in zip(starts, ends):
+            cnt = {}
+            have, lo_i, ok = 0, s, False
+            for hi_i in range(s, e):
+                c = g[hi_i]
+                cnt[c] = cnt.get(c, 0) + 1
+                if cnt[c] == 1:
+                    have += 1
+                while have == m:
+                    if p[hi_i] - p[lo_i] < window:
+                        ok = True
+                        break
+                    cnt[g[lo_i]] -= 1
+                    if cnt[g[lo_i]] == 0:
+                        have -= 1
+                    lo_i += 1
+                if ok:
+                    break
+            out.append(ok)
+        return np.asarray(out, dtype=bool)
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_docs = int(rng.integers(1, 6))
+        m = int(rng.integers(1, 4))
+        window = int(rng.integers(1, 8))
+        d_l, p_l, g_l = [], [], []
+        for doc in range(n_docs):
+            occ = int(rng.integers(1, 12))
+            pos = np.sort(rng.integers(0, 20, size=occ))
+            d_l.append(np.full(occ, doc))
+            p_l.append(pos)
+            g_l.append(rng.integers(0, m, size=occ))
+        d = np.concatenate(d_l)
+        p = np.concatenate(p_l).astype(np.int64)
+        g = np.concatenate(g_l).astype(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        ends = np.concatenate((starts[1:], [d.size]))
+        got = _min_cover_mask(p, g, m, window, starts, ends)
+        want = reference(p, g, m, window, starts, ends)
+        assert np.array_equal(got, want), (trial, p, g, m, window)
