@@ -44,12 +44,18 @@ class SearchService:
         geo_dir: str | None = None,
         geo_cell_deg: float = 20.0,
         ann_dir: str | None = None,
+        docs_dir: str | None = None,
     ):
         from ariadna_spark.operators.wand import IndexReader
 
         self.spark = spark
         self.reader = IndexReader(spark, index_dir, build_id=build_id)
         self._lock = threading.Lock()
+        self._docs = None
+        if docs_dir:
+            from ariadna_spark.corpus import load_docs
+
+            self._docs = load_docs(spark, docs_dir)
         self._geo = spark.read.parquet(geo_dir) if geo_dir else None
         self._geo_cell = geo_cell_deg
         self._ann = None
@@ -95,6 +101,29 @@ class SearchService:
         with self._lock:
             rows = geo_knn(self._geo, lat, lon, k=k, cell_deg=self._geo_cell).collect()
         return [r.asDict() for r in rows]
+
+    def grep(self, pattern: str, limit: int = 100) -> dict:
+        """Index-accelerated grep (GET /api/grep?q=<pattern>, VERDICT r4
+        #8): required-literal extraction -> vocabulary expansion ->
+        posting semi-join, with the r5 selectivity gate deciding per
+        literal whether the prefilter pays — the interactive consumer of
+        that gate. Literal-free / Zipf-head patterns fall back to the
+        full scan; rows are identical either way. Response reports
+        `prefilter_used` so a caller can see which shape ran."""
+        if self._docs is None:
+            raise ValueError("no docs configured (--docs)")
+        from ariadna_spark.operators.text import regex_search_indexed
+        from ariadna_spark.plans import physical_plan
+
+        with self._lock:
+            df = regex_search_indexed(self._docs, pattern, self.reader)
+            prefilter_used = "LeftSemi" in physical_plan(df)
+            rows = df.orderBy("doc_id").limit(limit).collect()
+        return {
+            "pattern": pattern,
+            "prefilter_used": prefilter_used,
+            "matches": [r.asDict() for r in rows],
+        }
 
     def search_batch(self, queries: list[dict]) -> list[dict]:
         """The production enrichment entry point (VERDICT r3 #8): the
@@ -228,6 +257,12 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["2"])[0])
                     rows = service.reverse(lat, lon, k=k)
                     return self._json(200, {"lat": lat, "lon": lon, "hits": rows})
+                if u.path == "/api/grep":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    limit = int((qs.get("limit") or ["100"])[0])
+                    return self._json(200, service.grep(q, limit=limit))
                 if u.path == "/api/stats":
                     return self._json(200, service.stats())
                 if public_dir and not u.path.startswith("/api/"):
@@ -293,6 +328,10 @@ def main() -> None:
         help="ivf_store_write / ivf_index_write store for POST /api/ann:batch",
     )
     ap.add_argument(
+        "--docs", default=None,
+        help="sf dir holding documents.parquet, enables GET /api/grep",
+    )
+    ap.add_argument(
         "--public",
         default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "public"),
         help="static demo UI dir (empty string disables)",
@@ -318,6 +357,7 @@ def main() -> None:
         geo_dir=args.geo_index,
         geo_cell_deg=args.geo_cell_deg,
         ann_dir=args.ann_index,
+        docs_dir=args.docs,
     )
     httpd = serve(service, args.port, public_dir=args.public or None)
     print(json.dumps({"serving": True, "port": args.port, **service.stats()}), flush=True)

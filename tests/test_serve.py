@@ -40,7 +40,7 @@ def service(spark, docs, tmp_path_factory):
     )
     ann = str(tmp_path_factory.mktemp("serve_ann")) + "/store"
     ivf_store_write(emb, ann, n_centroids=4)
-    return SearchService(spark, out, geo_dir=geo, ann_dir=ann)
+    return SearchService(spark, out, geo_dir=geo, ann_dir=ann, docs_dir=sf)
 
 
 def test_warm_service_answers_repeatedly(spark, docs, service):
@@ -204,5 +204,49 @@ def test_http_batch_endpoints(service):
             with pytest.raises(urllib.error.HTTPError) as exc:
                 post(path, bad)
             assert exc.value.code == 400, (path, bad)
+    finally:
+        httpd.shutdown()
+
+
+def test_grep_endpoint_matches_batch(service, spark, docs):
+    """VERDICT r4 #8: GET /api/grep runs regex_search_indexed behind the
+    warm reader — rows identical to the batch operator, and the response
+    reports whether the selectivity gate kept the prefilter."""
+    from serve import serve as mk_server
+
+    from ariadna_spark.operators.text import regex_search
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # selective pattern: prefilter expected
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/grep?q=dup%5Ba-z%5D*&limit=500"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["prefilter_used"] is True
+        want = sorted(
+            (r2["doc_id"], r2["n_matches"], r2["first_match"])
+            for r2 in regex_search(docs, r"dup[a-z]*").collect()
+        )
+        got = sorted(
+            (m["doc_id"], m["n_matches"], m["first_match"]) for m in body["matches"]
+        )
+        assert got == want and len(got) >= 1
+        # Zipf-head pattern: the gate must fall back (full scan), same rows
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/grep?q=scan%5Ba-z%5D*&limit=500"
+        ) as r:
+            body2 = json.loads(r.read())
+        assert body2["prefilter_used"] is False
+        assert len(body2["matches"]) == regex_search(docs, r"scan[a-z]*").count()
+        # missing q -> 400
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/grep")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
