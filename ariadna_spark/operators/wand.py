@@ -1157,34 +1157,171 @@ class IndexReader:
         return out
 
 
+def multifield_kernel(
+    pdf: pd.DataFrame,
+    metas: dict[int, tuple[int, float, float]],
+    k: int,
+    range_size: int,
+    stride: int = STRIDE,
+    prune_stats: dict | None = None,
+) -> pd.DataFrame:
+    """Blocks of ALL fields' query terms for ONE doc_id range -> combined
+    BM25F local top-k (VERDICT r4 #1 — the pruned replacement for the
+    exhaustive per-field scores() union).
+
+    metas: field index -> (n_docs, avgdl, boost) — every field keeps its
+    OWN statistics (the Lucene per-field model). The stride upper bound is
+    the sum over (field, term) pairs of boost_f x idf_{f,t} x the pair's
+    block-max tfnorm — a valid bound on the combined score because a doc
+    scores each field independently — so the existing _bmw_range_topk
+    loop prunes soundly over the combined bound with (field|term) as the
+    accumulation key. Survivor blocks decode lazily with their field's
+    avgdl and boost applied at score time; docs never double-count
+    because doc_id ranges align across fields (one shared doc_id space).
+    """
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    rid = int(pdf["rid"].iloc[0])
+    dead: dict = {}
+    if "is_tomb" in pdf.columns:
+        tm = pdf["is_tomb"].to_numpy()
+        if tm.any():
+            trows = pdf[tm]
+            dead = {
+                (int(f), b): g["first_doc_id"].to_numpy().astype(np.int64)
+                for (f, b), g in trows.groupby(["field", "bid"])
+            }
+            pdf = pdf[~tm].reset_index(drop=True)
+    if pdf.empty:
+        return empty
+    row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
+    row_field = pdf["field"].to_numpy().astype(np.int64)
+    row_term = pdf["term"].to_numpy()
+    # idf per (field, term): df is field-local (window-summed over that
+    # field's pruned blocks), N is the field's corpus size
+    ft = pdf[["field", "term", "df"]].drop_duplicates(["field", "term"])
+    idf_by_ft = {
+        (int(f), t): float(
+            np.log(1.0 + (metas[int(f)][0] - d + 0.5) / (d + 0.5))
+        )
+        for f, t, d in zip(ft["field"], ft["term"], ft["df"])
+    }
+    lo, hi = rid * range_size, (rid + 1) * range_size
+    fd = pdf["first_doc_id"].to_numpy()
+    ld = pdf["last_doc_id"].to_numpy()
+    scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else 1.0
+    idfs = np.asarray(
+        [idf_by_ft[(int(f), t)] for f, t in zip(row_field, row_term)],
+        dtype=np.float64,
+    )
+    boosts = np.asarray([metas[int(f)][2] for f in row_field], dtype=np.float64)
+    bms = pdf["block_max_tfnorm"].to_numpy() * idfs * scale * boosts
+    # composite accumulation key: the same term in two fields contributes
+    # twice to a doc's combined score, so the UB must sum per (field,term)
+    comp = np.char.add(
+        np.char.add(row_field.astype("U20"), "|"), row_term.astype("U")
+    )
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in decoded:
+            f = int(row_field[i])
+            _, avgdl_f, boost_f = metas[f]
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            sc = _score_block(tfs, dls, idfs[i], avgdl_f) * boost_f
+            m = (ids >= lo) & (ids < hi)
+            if dead and row_bid is not None:
+                dd = dead.get((f, row_bid[i]))
+                if dd is not None and dd.size:
+                    m &= ~np.isin(ids, dd)
+            decoded[i] = (ids[m], sc[m])
+        return decoded[i]
+
+    d_out, s_out = _bmw_range_topk(
+        np.arange(len(pdf)), comp, fd, ld, bms, decode, k, lo, range_size, stride
+    )
+    if prune_stats is not None:
+        prune_stats["n_blocks_total"] = len(pdf)
+        prune_stats["n_blocks_decoded"] = len(decoded)
+    return pd.DataFrame({"doc_id": d_out, "score": s_out}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+
+
 def multifield_topk(
     fields: list[tuple["IndexReader", float]],
     query: str,
     k: int = 10,
     range_size: int = RANGE_SIZE_DEFAULT,
+    pruned: bool = True,
+    stride: int = STRIDE,
 ) -> DataFrame:
     """E8 multi-field search THROUGH the index: one physical index per
     field (the Lucene per-field inverted-index model — each field has its
     own df/dl/avgdl statistics), score = sum over fields of
-    boost_f * BM25_f(doc). Per-field scoring is exhaustive (scores()),
+    boost_f * BM25_f(doc).
+
+    pruned=True (VERDICT r4 #1): ONE combined BM25F-style WAND — every
+    field's blocks are fetched tagged by field, ranged into the SHARED
+    doc_id partitioning, and multifield_kernel prunes strides against the
+    summed per-(field,term) block-max bound, decoding only survivor
+    blocks. pruned=False keeps the former exhaustive shape (per-field
+    scores() with k = range_size, boost-weighted union, global cut) — the
+    reference both paths must match; the exhaustive cut is still correct
     because a doc's combined rank isn't knowable from any single field's
-    top-k; the global cut is a TakeOrdered after the field merge."""
+    top-k, but it decodes every posting of every term in every field."""
     terms = sorted(set(tokenize_py(query)))
-    parts = []
-    for reader, boost in fields:
-        s = reader.scores(terms, range_size=range_size)
-        parts.append(s.withColumn("score", F.col("score") * F.lit(float(boost))))
-    if not parts:
+    if not fields:
         raise ValueError("no fields")
-    out = parts[0]
+    if not pruned:
+        parts = []
+        for reader, boost in fields:
+            s = reader.scores(terms, range_size=range_size)
+            parts.append(s.withColumn("score", F.col("score") * F.lit(float(boost))))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    spark = fields[0][0].spark
+    metas: dict[int, tuple[int, float, float]] = {}
+    parts = []
+    for fi, (reader, boost) in enumerate(fields):
+        metas[fi] = (reader.stats["N"], reader.stats["avgdl"], float(boost))
+        blocks = reader._blocks_for_terms(terms)
+        if blocks is None:
+            continue
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = reader._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+        parts.append(ranged.withColumn("field", F.lit(fi)))
+    if not parts:
+        return spark.createDataFrame([], WAND_OUT_SCHEMA)
+    ranged = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return (
-        out.groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+        ranged = ranged.unionByName(p, allowMissingColumns=True)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return multifield_kernel(pdf, metas, k, range_size, stride)
+
+    local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 register_by_value(__name__)

@@ -1538,8 +1538,10 @@ _MF_CACHE: dict[str, tuple[str, str]] = {}
 def q_multifield_indexed(spark, sf_dir) -> DataFrame:
     """E8 through the INDEX (not brute force): one physical segment store
     per field (content, path) — Lucene's per-field inverted-index model —
-    composed by multifield_topk (exhaustive per-field scores, boost-
-    weighted sum, global TakeOrdered). Same oracle as multifield_bm25."""
+    composed by multifield_topk's combined-bound BM25F WAND (r5: strides
+    prune against the summed per-(field,term) block-max bound; only
+    survivor blocks decode — VERDICT r4 #1 replaced the exhaustive
+    per-field scores() union). Same oracle as multifield_bm25."""
     from .operators.wand import IndexReader, multifield_topk
     from .sources.segments import build_index
 

@@ -118,6 +118,16 @@ def run_queries(spark, out_dir: str) -> dict:
     t0 = time.monotonic()
     reader.phrase_topk("the merge", 10).collect()
     timings["_phrase_stopword"] = round(time.monotonic() - t0, 4)
+    # combined-bound multi-field WAND (VERDICT r4 #1 done-criterion): two
+    # fields (the same physical index read twice with independent boosts
+    # — 2x the blocks, one combined kernel) should land within ~1.5x of
+    # the single-field q_merge_join wall, because the summed per-field
+    # block-max bound prunes instead of the former exhaustive scores()
+    from ariadna_spark.operators.wand import multifield_topk
+
+    t0 = time.monotonic()
+    multifield_topk([(reader, 1.0), (reader, 2.0)], "merge join", 10).collect()
+    timings["_multifield2"] = round(time.monotonic() - t0, 4)
     return timings
 
 

@@ -236,3 +236,85 @@ def test_prefix_topk_expansion(spark, docs, index_dir):
     # too-short and unanalyzable prefixes return empty cleanly
     assert reader.prefix_topk("s", 5).count() == 0
     assert reader.prefix_topk("###", 5).count() == 0
+
+
+def test_multifield_pruned_equals_exhaustive(spark, docs, tmp_path):
+    """VERDICT r4 #1: the combined-bound BM25F WAND must rank exactly like
+    the exhaustive per-field scores() union — including queries whose
+    terms are missing from one field entirely."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.operators.wand import IndexReader, multifield_topk
+    from ariadna_spark.sources.segments import build_index
+
+    dir_c = str(tmp_path / "mf_c")
+    dir_p = str(tmp_path / "mf_p")
+    build_index(spark, docs, dir_c, build_id="c", n_buckets=4)
+    build_index(
+        spark, docs.withColumn("content", F.col("path")), dir_p, build_id="p", n_buckets=4
+    )
+    rc, rp = IndexReader(spark, dir_c), IndexReader(spark, dir_p)
+    for q in ("doc en merge join", "merge join", "txt doc", "zz9qqq absent"):
+        fields = [(rc, 1.0), (rp, 2.0)]
+        want = multifield_topk(fields, q, 10, pruned=False).collect()
+        got = multifield_topk(fields, q, 10, pruned=True).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, q
+
+
+def test_multifield_kernel_prunes_blocks():
+    """VERDICT r4 #1 done-criterion: on a skewed two-field fixture the
+    combined-bound kernel decodes far fewer blocks than the exhaustive
+    path (which decodes every block of every term in every field)."""
+    import numpy as np
+    import pandas as pd
+
+    from ariadna_spark.functions.varint import (
+        delta_encode_ids,
+        varint_encode,
+    )
+    from ariadna_spark.operators.wand import multifield_kernel
+
+    rng = np.random.default_rng(3)
+    rows = []
+    n_blocks = 50
+    for field in (0, 1):
+        for bi in range(n_blocks):
+            ids = np.arange(bi * 128, (bi + 1) * 128, dtype=np.int64)
+            tfs = np.ones(128, dtype=np.int64)
+            dls = np.full(128, 100, dtype=np.int64)
+            tf_for_max = 1
+            if field == 0 and bi == 54 % n_blocks:  # one dominant block
+                tfs[0] = 200
+                tf_for_max = 200
+            tfn_max = (tf_for_max * 2.2) / (tf_for_max + 1.2 * (0.25 + 0.75))
+            rows.append(
+                {
+                    "rid": 0,
+                    "field": field,
+                    "term": "x",
+                    "df": 6400,
+                    "block_id": bi,
+                    "n_docs": 128,
+                    "first_doc_id": int(ids[0]),
+                    "last_doc_id": int(ids[-1]),
+                    "block_max_tf": tf_for_max,
+                    "block_max_tfnorm": tfn_max,
+                    "doc_ids_varint": delta_encode_ids(ids),
+                    "tfs_varint": varint_encode(tfs),
+                    "dls_varint": varint_encode(dls),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    metas = {0: (64000, 100.0, 1.0), 1: (64000, 100.0, 2.0)}
+    stats = {}
+    out = multifield_kernel(
+        pdf, metas, k=1, range_size=64000, stride=1024, prune_stats=stats
+    )
+    assert len(out) == 1
+    assert out["doc_id"].iloc[0] == (54 % 50) * 128  # the high-tf doc
+    # exhaustive would decode all 100 blocks; the combined bound must not
+    assert stats["n_blocks_decoded"] < stats["n_blocks_total"] / 2, stats
