@@ -246,7 +246,12 @@ def _build_once(corpus_dir: str, cores: int) -> dict:
         spark.stop()
 
 
-def scaling_run(n_docs: int = 300_000, core_levels: tuple = (2, 8, 32), trials: int = 2) -> dict:
+def scaling_run(
+    n_docs: int = 300_000,
+    core_levels: tuple = (2, 8, 32),
+    trials: int = 2,
+    control: bool = False,
+) -> dict:
     """Index build at local[8] vs local[32] over the SAME deterministic
     synthetic corpus (the in-sandbox stand-in for N vs 4N executors).
 
@@ -320,6 +325,80 @@ def scaling_run(n_docs: int = 300_000, core_levels: tuple = (2, 8, 32), trials: 
         if hi == lo * 4:
             eff = results[hi]["docs_per_sec"] / (4.0 * results[lo]["docs_per_sec"])
             out[f"scaling_efficiency_{lo}to{hi}"] = round(eff, 3)
+    if control:
+        # same-window memory-streaming ceiling (VERDICT r4 #5): divide the
+        # pipeline rung by what ANY bandwidth-bound job reaches in this
+        # window — quantifies quiet-host inflation of the 2-core baseline
+        ctl = stream_control(core_levels=core_levels, trials=trials)
+        out.update(ctl)
+        for lo, hi in zip(core_levels, core_levels[1:]):
+            se = f"stream_eff_{lo}to{hi}"
+            pe = f"scaling_efficiency_{lo}to{hi}"
+            if se in out and pe in out:
+                out[pe + "_normalized"] = round(out[pe] / out[se], 3)
+    return out
+
+
+def _stream_worker(args) -> float:
+    """One streaming worker: fixed-byte pass over a private array (read +
+    write traffic via in-place assignment, plus a reduction read) —
+    returns its wall seconds."""
+    import numpy as np
+
+    mb, passes = args
+    n = mb * 1024 * 1024 // 8
+    a = np.ones(n, dtype=np.float64)
+    b = np.empty_like(a)
+    t0 = time.monotonic()
+    acc = 0.0
+    for _ in range(passes):
+        b[:] = a  # streaming read+write
+        acc += float(b[::4096].sum())  # touch result, defeat elision
+    return time.monotonic() - t0
+
+
+def stream_control(
+    core_levels: tuple = (2, 8), trials: int = 3, mb: int = 256, passes: int = 24
+) -> dict:
+    """Memory-streaming control measured in the SAME window as the ladder
+    (VERDICT r4 #5): the hardware ceiling a bandwidth-bound job can reach
+    on this box at each pinned core count, so the quiet-host inflation of
+    the 2-core baseline is MEASURED, not argued. Each level runs `cores`
+    concurrent workers inside one taskset-pinned subprocess (identical
+    pinning to scaling_run); aggregate GB/s = cores x bytes / wall.
+    eff_normalized in the ladder output divides the pipeline rung by this
+    control's rung — 1.0 means 'scales as well as any bandwidth-bound
+    job can here'."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict = {"control_mb": mb, "control_passes": passes, "control_trials": trials}
+    gb_per_worker = mb * passes * 2 / 1024.0  # read + write traffic
+    for cores in core_levels:
+        best = None
+        for _ in range(trials):
+            cmd = (
+                "import sys, json; sys.path.insert(0, %r); "
+                "import bench; from multiprocessing import Pool; "
+                "p = Pool(%d); "
+                "walls = p.map(bench._stream_worker, [(%d, %d)] * %d); "
+                "print('RESULT ' + json.dumps(max(walls)))"
+            ) % (here, cores, mb, passes, cores)
+            argv = [sys.executable, "-c", cmd]
+            if shutil.which("taskset"):
+                argv = ["taskset", "-c", f"0-{cores - 1}"] + argv
+            proc = subprocess.run(argv, check=True, capture_output=True, text=True)
+            line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+            wall = float(line[len("RESULT "):])
+            gbps = cores * gb_per_worker / wall
+            if best is None or gbps > best:
+                best = gbps
+        out[f"stream_gbps_{cores}c"] = round(best, 2)
+    for lo, hi in zip(core_levels, core_levels[1:]):
+        if hi == lo * 4:
+            out[f"stream_eff_{lo}to{hi}"] = round(
+                out[f"stream_gbps_{hi}c"] / (4.0 * out[f"stream_gbps_{lo}c"]), 3
+            )
     return out
 
 
@@ -425,6 +504,8 @@ def executor_scaling_run(n_docs: int = 800_000, exec_cores: int = 8, trials: int
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="also run the core-scaling ladder")
+    ap.add_argument("--scaling-control", action="store_true",
+                    help="with --scaling: same-window memory-streaming control + normalized efficiency")
     ap.add_argument("--executor-scaling", action="store_true",
                     help="also run the 1-vs-4 pinned-executor-JVM comparison")
     ap.add_argument("--scaling-docs", type=int, default=300_000, help="synthetic corpus size for --scaling")
@@ -474,7 +555,9 @@ def main():
         "cpus": CPUS,
     }
     if args.scaling:
-        result["scaling"] = scaling_run(n_docs=args.scaling_docs)
+        result["scaling"] = scaling_run(
+            n_docs=args.scaling_docs, control=args.scaling_control
+        )
     if args.executor_scaling:
         result["executor_scaling"] = executor_scaling_run(n_docs=args.executor_scaling_docs)
     if args.stress:
