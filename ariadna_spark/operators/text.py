@@ -6,10 +6,18 @@ analyzer's token arrays — no UDFs in these paths.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..analyze import tokenize_expr, tokenize_udf
+from ..analyze import (
+    CAMEL_1,
+    CAMEL_2,
+    NON_ASCII,
+    TOKEN_SPLIT,
+    tokenize_expr,
+    tokenize_udf,
+)
 
 # Tiny per-language marker lexicons (heuristic language ID — the classic
 # stopword-profile method; real pipelines would plug fastText here, same
@@ -116,21 +124,102 @@ def pii_scrub(docs: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def _chunk_arrow_kernel(batches, chunk_size: int, stride: int):
+    """Tokenize + window + join inside ONE pure-Arrow kernel (RE2 regex
+    over contiguous buffers — the same analyzer sequence as the tf build
+    kernel in stats.py, asserted token-identical to tokenize_py). Chunk
+    windows overlap, which an Arrow ListArray cannot express over shared
+    values, so the windows' flat indices are gathered (take) into a
+    replicated token buffer (~(1 + overlap/stride)x tokens) and joined
+    with binary_join — no python-object strings anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # analyzer regex constants come from module globals (imported at the
+    # top), NOT an in-function relative import: by-value pickling ships
+    # globals with the function, while a runtime `from ..analyze import`
+    # needs ariadna_spark importable on the worker — the exact cwd trap
+    # the verify-from-/tmp recipe exists to catch
+    pa.set_cpu_count(1)
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        doc_ids = tbl["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = tbl["content"].combine_chunks()
+        c = pc.replace_substring_regex(c, NON_ASCII, " ")
+        c = pc.replace_substring_regex(c, CAMEL_1, r"\1 \2")
+        c = pc.replace_substring_regex(c, CAMEL_2, r"\1 \2")
+        c = pc.utf8_lower(c)
+        toks = pc.split_pattern_regex(c, TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(parents, minlength=rb.num_rows)  # tokens per doc
+        nz = np.flatnonzero(n_tok)
+        if nz.size == 0:
+            continue
+        doc_start = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+        # chunks per non-empty doc: ceil(n / stride) == 1 + (n-1)//stride
+        n_chunks = 1 + (n_tok[nz] - 1) // stride
+        total = int(n_chunks.sum())
+        doc_of_chunk = np.repeat(nz, n_chunks)
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)))[:-1], n_chunks
+        )
+        c_start = doc_start[doc_of_chunk] + chunk_id * stride
+        c_end = np.minimum(
+            c_start + chunk_size, (doc_start + n_tok)[doc_of_chunk]
+        )
+        sizes = c_end - c_start
+        # gather every window's flat token indices, then one list-join
+        offs = np.concatenate(([0], np.cumsum(sizes)))
+        idx = np.repeat(c_start - offs[:-1], sizes) + np.arange(offs[-1])
+        gathered = pc.take(flat, pa.array(idx, type=pa.int64()))
+        if isinstance(gathered, pa.ChunkedArray):
+            gathered = gathered.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), gathered
+        )
+        joined = pc.binary_join(lists, " ")
+        yield pa.record_batch(
+            [
+                pa.array(doc_ids[doc_of_chunk], type=pa.int64()),
+                pa.array(chunk_id, type=pa.int32()),
+                pa.array(sizes, type=pa.int32()),
+                joined,
+            ],
+            ["doc_id", "chunk_id", "n_tokens", "chunk_text"],
+        )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_size: int = 128,
     overlap: int = 16,
     content_col: str = "content",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Sliding-window token chunking (context-length preprocessing for a
     trainer): (doc_id, chunk_id, n_tokens, chunk_text) with windows of
-    `chunk_size` analyzer tokens advancing by chunk_size - overlap. Pure
-    Catalyst (sequence + posexplode + slice) — the explode multiplies row
-    count, not byte volume beyond the overlap factor, and runs map-side
-    with no shuffle."""
+    `chunk_size` analyzer tokens advancing by chunk_size - overlap.
+    Map-side with no shuffle in both shapes; rows identical.
+
+    use_arrow=True (r5): one mapInArrow kernel — RE2 tokenize over
+    contiguous buffers + vectorized window gather + binary_join, the same
+    anti-bandwidth design as the tf build kernel. use_arrow=False keeps
+    the pure-Catalyst shape (tokenize_expr + sequence + posexplode +
+    slice + concat_ws), the equivalence reference."""
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
+    if use_arrow:
+        return docs.select("doc_id", F.col(content_col).alias("content")).mapInArrow(
+            lambda it: _chunk_arrow_kernel(it, chunk_size, stride),
+            "doc_id long, chunk_id int, n_tokens int, chunk_text string",
+        )
     toks = tokenize_expr(content_col)
     d = (
         docs.select("doc_id", toks.alias("toks"))
@@ -605,3 +694,10 @@ def regex_search_indexed(
     if used == 0:
         return regex_search(docs, pattern, content_col)  # full scan, loudly flat plan
     return regex_search(pruned, pattern, content_col)
+
+
+# The chunk Arrow kernel ships to Python workers that may not have the
+# repo on sys.path — register the module pickle-by-value (see _pickle.py)
+from .._pickle import register_by_value as _rbv  # noqa: E402
+
+_rbv(__name__)
