@@ -253,32 +253,81 @@ def train_val_split(
     )
 
 
+def _pair_arrow_kernel(batches):
+    """Tokenize + adjacent-pair emission in ONE Arrow kernel: each token
+    yields (w, next-token-or-null) — null at doc end — exactly the
+    arrays_zip null-padded stream the Catalyst shape produces, with the
+    RE2 tokenizer over contiguous buffers instead of JVM regexps (the
+    same swap that cut chunk_documents 8x)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pa.set_cpu_count(1)
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        tbl = pa.Table.from_batches([rb])
+        c = tbl["content"].combine_chunks()
+        c = pc.replace_substring_regex(c, NON_ASCII, " ")
+        c = pc.replace_substring_regex(c, CAMEL_1, r"\1 \2")
+        c = pc.replace_substring_regex(c, CAMEL_2, r"\1 \2")
+        c = pc.utf8_lower(c)
+        toks = pc.split_pattern_regex(c, TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = parents[keep.to_numpy(zero_copy_only=False)]
+        n = len(flat)
+        if n == 0:
+            continue
+        same = np.concatenate((parents[1:] == parents[:-1], [False]))
+        idx = np.minimum(np.arange(n) + 1, n - 1)
+        shifted = pc.take(flat, pa.array(idx, type=pa.int64()))
+        nx = pc.if_else(pa.array(same), shifted, pa.scalar(None, pa.string()))
+        yield pa.record_batch([flat, nx], ["w", "nx"])
+
+
 def collocations(
-    docs: DataFrame, min_count: int = 5, content_col: str = "content"
+    docs: DataFrame, min_count: int = 5, content_col: str = "content",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Bigram collocation mining: (w1, w2, n_pair, pmi) for adjacent
     analyzer-token pairs with n_pair >= min_count. PMI computed against
     unigram occurrence counts over the same token stream:
     pmi = ln(n_pair * N_uni / (n_w1 * n_w2)) with N_uni = total tokens.
-    One tokenize, two aggregations — the classic corpus-statistics job,
-    all Catalyst (arrays_zip of shifted slices, no UDF)."""
-    toks = tokenize_expr(content_col)
-    d = docs.select(toks.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    One tokenize, two aggregations — the classic corpus-statistics job.
+    use_arrow=True (r5) emits the (w, nx) stream from an RE2 Arrow
+    kernel; use_arrow=False keeps the pure-Catalyst arrays_zip shape,
+    the equivalence reference."""
     # ONE corpus pass total (r4 scale fix: the former shape tokenized the
     # corpus once for the pairs and once PER USE of the unigram table — 4
-    # full passes; 1M docs blew the stress budget). arrays_zip pads the
-    # shifted slice with null, so each token emits exactly one (w, nx)
-    # struct — nx = following token, null at doc end — and the single
-    # (w, nx) aggregate contains everything: pair counts directly, and
-    # unigram counts as its per-w marginal (sum over nx INCLUDING null).
-    stream = d.select(
-        F.explode(
-            F.arrays_zip(
-                F.col("t").alias("w"),
-                F.slice(F.col("t"), 2, F.col("n") - 1).alias("nx"),
-            )
-        ).alias("p")
-    ).select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+    # full passes; 1M docs blew the stress budget). Each token emits
+    # exactly one (w, nx) row — nx = following token, null at doc end —
+    # and the single (w, nx) aggregate contains everything: pair counts
+    # directly, and unigram counts as its per-w marginal (sum over nx
+    # INCLUDING null).
+    if use_arrow:
+        stream = docs.select(F.col(content_col).alias("content")).mapInArrow(
+            _pair_arrow_kernel, "w string, nx string"
+        )
+    else:
+        toks = tokenize_expr(content_col)
+        d = (
+            docs.select(toks.alias("t"))
+            .withColumn("n", F.size("t"))
+            .filter(F.col("n") > 0)
+        )
+        stream = d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col("t").alias("w"),
+                    F.slice(F.col("t"), 2, F.col("n") - 1).alias("nx"),
+                )
+            ).alias("p")
+        ).select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
     # materialized once (localCheckpoint, NOT persist): consumed by pairs
     # + two PMI joins + the mass scalar; bounded by the DISTINCT-BIGRAM
     # count (the operator's output domain), never by corpus size; map-side

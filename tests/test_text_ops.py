@@ -313,3 +313,24 @@ def test_regex_search_indexed_uppercase_literal_sound(spark, tmp_path_factory):
         )
         assert fast == full, pat
         assert full, f"fixture must actually match {pat}"
+
+
+def test_collocations_arrow_matches_catalyst(spark):
+    """The r5 Arrow pair-stream kernel must emit exactly the arrays_zip
+    null-padded (w, nx) stream: identical (w1, w2, n_pair, pmi) rows."""
+    from ariadna_spark.operators.text import collocations
+
+    rows = [
+        (0, "new york city and new york state share new york"),
+        (1, "the quick brown fox and the quick brown dog"),
+        (2, "parseHTTPResponse handles the quick path in new york"),
+        (3, "one-token"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    a = collocations(docs, min_count=2, use_arrow=True).orderBy("w1", "w2").collect()
+    b = collocations(docs, min_count=2, use_arrow=False).orderBy("w1", "w2").collect()
+    assert [(r.w1, r.w2, r.n_pair) for r in a] == [(r.w1, r.w2, r.n_pair) for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.pmi == pytest.approx(rb.pmi, abs=1e-12)
+    assert a, "fixture must produce collocations"
