@@ -856,6 +856,73 @@ class IndexReader:
             return None
         return sorted(r["term"] for r in rows)
 
+    def fuzzy_terms(
+        self,
+        token: str,
+        max_dist: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+    ) -> list[str]:
+        """Vocabulary expansion for a fuzzy (edit-distance) query token:
+        index terms within Levenshtein distance <= max_dist of `token`,
+        sharing its first `prefix_len` characters (ES's fuzzy
+        prefix_length, which keeps the expansion anchored and cheap — the
+        delegated ES match surface accepts `fuzziness` on exactly this
+        contract, /root/reference/elastic/elastic.go:103-117's
+        Search passthrough). The scan touches only the TERMS tables (the
+        vocabulary — tiny next to the postings) with a pushed length-band
+        + prefix filter; levenshtein() is a Catalyst builtin, so the whole
+        expansion is one JVM-side job collecting at most max_terms rows.
+        Deterministic cap order: (distance ASC, term ASC) — df-free, so a
+        DuckDB oracle over the raw corpus replays it exactly."""
+        if not token:
+            return []
+        dirs = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            for b in range(st["n_buckets"]):
+                p = os.path.join(d, "terms", f"bucket={b}")
+                if os.path.exists(p):
+                    dirs.append(p)
+        if not dirs:
+            return []
+        cond = F.abs(F.length("term") - F.lit(len(token))) <= max_dist
+        if prefix_len > 0:
+            cond = cond & F.col("term").startswith(token[:prefix_len])
+        rows = (
+            self._read_parquet(dirs, "terms")
+            .filter(cond)
+            .select("term")
+            .distinct()
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(token)))
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.asc("term"))
+            .limit(max_terms)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def fuzzy_topk(
+        self,
+        query: str,
+        k: int = 10,
+        max_dist: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+        **kw,
+    ) -> DataFrame:
+        """Typo-tolerant top-k: each analyzed query token expands to its
+        fuzzy vocabulary variants (fuzzy_terms), and the union scores as a
+        disjunctive BM25 query through the block-max WAND kernel — each
+        expanded term with its own df/idf, the same query-expansion
+        semantics prefix_topk documents. Variants shared by two query
+        tokens count once (set union)."""
+        variants: set[str] = set()
+        for t in sorted(set(tokenize_py(query))):
+            variants.update(
+                self.fuzzy_terms(t, max_dist=max_dist, prefix_len=prefix_len, max_terms=max_terms)
+            )
+        return self._topk_terms(sorted(variants), k, **kw)
+
     def candidate_df_estimate(self, terms: list[str]) -> int:
         """Upper bound on the candidate-set size of an OR over `terms`:
         sum of n_docs over the pruned block METADATA rows — one tiny

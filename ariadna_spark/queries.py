@@ -1293,6 +1293,69 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_PREFIX_TOPK = _sql_prefix_topk()
 
 
+_FUZZY_Q = "mrege vectr"  # typo'd "merge vector"
+_FUZZY_DIST = 2
+_FUZZY_PREFIX = 1
+_FUZZY_MAX_TERMS = 64
+
+
+def q_fuzzy_topk(spark, sf_dir) -> DataFrame:
+    """E5 typo tolerance (the delegated ES match surface accepts
+    `fuzziness`; /root/reference/elastic/elastic.go search passthrough):
+    each query token expands to index-vocabulary terms within Levenshtein
+    distance <= 2 sharing its first character (ES prefix_length), then the
+    union scores as a disjunctive BM25 query through block-max WAND. The
+    oracle replays the expansion with DuckDB's levenshtein() over the
+    corpus-derived vocabulary and brute-force-scores the same BM25."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.fuzzy_topk(
+        _FUZZY_Q,
+        _WAND_K,
+        max_dist=_FUZZY_DIST,
+        prefix_len=_FUZZY_PREFIX,
+        max_terms=_FUZZY_MAX_TERMS,
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_fuzzy_topk() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    per_tok = []
+    for t in sorted(set(tokenize_py(_FUZZY_Q))):
+        per_tok.append(
+            f"""(SELECT term FROM (
+      SELECT term, levenshtein(term, '{t}') AS d FROM dfreq
+      WHERE term LIKE '{t[:_FUZZY_PREFIX]}%'
+        AND abs(length(term) - {len(t)}) <= {_FUZZY_DIST}
+    ) WHERE d <= {_FUZZY_DIST}
+    ORDER BY d ASC, term ASC LIMIT {_FUZZY_MAX_TERMS})"""
+        )
+    union = "\n  UNION\n  ".join(per_tok)
+    return (
+        _SQL_PRELUDE
+        + f"""
+, fz AS (
+  {union}
+),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM fz)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_FUZZY_TOPK = _sql_fuzzy_topk()
+
+
 def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
@@ -2328,6 +2391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_metrics": q_quality_metrics,
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
+    "fuzzy_topk": q_fuzzy_topk,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2396,6 +2460,7 @@ ORACLES: dict[str, str] = {
     "quality_metrics": SQL_QUALITY_METRICS,
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
+    "fuzzy_topk": SQL_FUZZY_TOPK,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

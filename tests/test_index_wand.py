@@ -318,3 +318,50 @@ def test_multifield_kernel_prunes_blocks():
     assert out["doc_id"].iloc[0] == (54 % 50) * 128  # the high-tf doc
     # exhaustive would decode all 100 blocks; the combined bound must not
     assert stats["n_blocks_decoded"] < stats["n_blocks_total"] / 2, stats
+
+
+def test_fuzzy_topk_expansion(spark, docs, index_dir):
+    """Fuzzy query (Levenshtein <= d, shared prefix) through the terms
+    table == brute-force OR over the python-expanded vocabulary."""
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.operators.topk import bm25_topk_from_stats
+    from ariadna_spark.stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    reader = IndexReader(spark, index_dir)
+    # expansion: every returned term shares the prefix and is within d
+    got_terms = reader.fuzzy_terms("mrege", max_dist=2, prefix_len=1)
+    assert "merge" in got_terms
+    assert all(t.startswith("m") and lev(t, "mrege") <= 2 for t in got_terms)
+    # python reference expansion over the true corpus vocabulary
+    vocab = set()
+    for r in docs.select("content").collect():
+        vocab.update(tokenize_py(r["content"]))
+    for tok in ["mrege", "vectr", "sream"]:
+        expect = sorted(t for t in vocab if t.startswith(tok[0]) and lev(t, tok) <= 2)
+        assert reader.fuzzy_terms(tok, max_dist=2, prefix_len=1) == expect
+
+    # end-to-end: fuzzy_topk == brute-force BM25 over the expanded union
+    union = sorted(
+        {t for tok in set(tokenize_py("mrege vectr"))
+         for t in reader.fuzzy_terms(tok, max_dist=2, prefix_len=1)}
+    )
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    n, avgdl = corpus_scalars(dl)
+    expected = bm25_topk_from_stats(tf, dfreq, dl, n, avgdl, union, 10).collect()
+    got = reader.fuzzy_topk("mrege vectr", 10, max_dist=2, prefix_len=1).collect()
+    assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+        (r["doc_id"], round(r["score"], 6)) for r in expected
+    ]
+    # no-variant token contributes nothing; all-miss query returns empty
+    assert reader.fuzzy_topk("zzznotaterm", 5, max_dist=1).count() == 0
