@@ -923,6 +923,65 @@ class IndexReader:
             )
         return self._topk_terms(sorted(variants), k, **kw)
 
+    def highlight_topk(
+        self,
+        docs: DataFrame,
+        query: str,
+        k: int = 10,
+        window: int = 5,
+        **kw,
+    ) -> DataFrame:
+        """Top-k with snippets — the ES highlight surface over the
+        delegated search endpoint (the reference's map UI renders the hit
+        source directly; ES highlighting is the standard upgrade). Ranking
+        comes from the pruned WAND top-k; ONLY the k winners are joined
+        back to the corpus (broadcast semi of k ids — the content scan
+        never touches non-winners at any corpus size) and re-analyzed
+        Catalyst-side to cut a deterministic snippet: the `window` tokens
+        on each side of the FIRST occurrence of any query term (earliest
+        token index; term-order tie-break is irrelevant since positions
+        are distinct), plus that matched term. Returns
+        (doc_id, score, first_term, snippet)."""
+        from ..analyze import tokenize_expr
+
+        terms = sorted(set(tokenize_py(query)))
+        top = self._topk_terms(terms, k, **kw).collect()  # O(k) rows
+        if not top:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, first_term string, snippet string"
+            )
+        scores = self.spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in top], "doc_id long, score double"
+        )
+        # the winner ids are a LITERAL IN-list, so the corpus scan prunes
+        # to k docs at the parquet reader (PushedFilters), instead of a
+        # full content read feeding a broadcast join
+        hits = docs.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in top])
+        ).join(F.broadcast(scores), "doc_id")
+        toks = tokenize_expr("content")
+        pos_arr = F.array(
+            *[F.array_position(F.col("t"), F.lit(t)) for t in terms]
+        )
+        first = F.array_min(F.filter(pos_arr, lambda p: p > 0))
+        start = F.greatest(first - window, F.lit(1))
+        length = first + window - start + 1
+        return (
+            hits.withColumn("t", toks)
+            .withColumn("first_pos", first)
+            .withColumn(
+                "first_term", F.element_at(F.col("t"), F.col("first_pos").cast("int"))
+            )
+            .withColumn(
+                "snippet",
+                F.concat_ws(
+                    " ", F.slice(F.col("t"), start.cast("int"), length.cast("int"))
+                ),
+            )
+            .select("doc_id", "score", "first_term", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def candidate_df_estimate(self, terms: list[str]) -> int:
         """Upper bound on the candidate-set size of an OR over `terms`:
         sum of n_docs over the pruned block METADATA rows — one tiny

@@ -1356,6 +1356,69 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_FUZZY_TOPK = _sql_fuzzy_topk()
 
 
+_HL_WINDOW = 5
+
+
+def q_highlight_topk(spark, sf_dir) -> DataFrame:
+    """E5 highlight surface (ES highlighting over the delegated search
+    endpoint): pruned WAND top-k, then ONLY the k winners join back to
+    the corpus (broadcast semi) and re-analyze to cut a deterministic
+    snippet — the 5 tokens either side of the first query-term
+    occurrence. The oracle recomputes ranking brute-force and cuts the
+    same snippet with DuckDB list ops."""
+    from .corpus import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.highlight_topk(docs, _WAND_QUERY, _WAND_K, window=_HL_WINDOW)
+    return out.select(
+        "doc_id", F.round("score", 4).alias("score_r"), "first_term", "snippet"
+    )
+
+
+def _sql_highlight_topk() -> str:
+    terms = sorted(set(tokenize_py(_WAND_QUERY)))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    poss = ", ".join(f"list_position(toks, '{t}')" for t in terms)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    w = _HL_WINDOW
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+),
+winners AS (
+  SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+),
+tok_docs AS (
+  SELECT doc_id, {_TOK} AS toks FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM winners)
+),
+cut AS (
+  SELECT doc_id, toks,
+         list_min(list_filter([{poss}], x -> x > 0)) AS fp
+  FROM tok_docs
+)
+SELECT w.doc_id, round(w.s, 4) AS score_r,
+       toks[fp] AS first_term,
+       array_to_string(toks[greatest(fp - {w}, 1) : fp + {w}], ' ') AS snippet
+FROM winners w JOIN cut USING (doc_id)
+ORDER BY w.s DESC, w.doc_id ASC
+"""
+    )
+
+
+SQL_HIGHLIGHT_TOPK = _sql_highlight_topk()
+
+
 def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
@@ -2392,6 +2455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
+    "highlight_topk": q_highlight_topk,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2461,6 +2525,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
+    "highlight_topk": SQL_HIGHLIGHT_TOPK,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

@@ -365,3 +365,34 @@ def test_fuzzy_topk_expansion(spark, docs, index_dir):
     ]
     # no-variant token contributes nothing; all-miss query returns empty
     assert reader.fuzzy_topk("zzznotaterm", 5, max_dist=1).count() == 0
+
+
+def test_highlight_topk_snippets(spark, docs, index_dir):
+    """Snippets: ranking == plain topk; snippet is the +-window token cut
+    around the first query-term occurrence; the winner fetch is a pushed
+    IN-list on the corpus scan, not a full content read."""
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.plans import physical_plan
+
+    reader = IndexReader(spark, index_dir)
+    q, w = "merge join", 3
+    plain = reader.topk(q, 5).collect()
+    # materialize docs as parquet so the pushdown is observable on a scan
+    hl_df = reader.highlight_topk(docs, q, 5, window=w)
+    hl = hl_df.collect()
+    assert [(r["doc_id"], r["score"]) for r in hl] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    content = {r["doc_id"]: r["content"] for r in docs.collect()}
+    terms = set(tokenize_py(q))
+    for r in hl:
+        toks = tokenize_py(content[r["doc_id"]])
+        fp = min(i for i, t in enumerate(toks) if t in terms)
+        assert r["first_term"] == toks[fp]
+        assert r["snippet"] == " ".join(toks[max(0, fp - w) : fp + w + 1])
+        assert r["first_term"] in r["snippet"].split()
+    # the winner ids appear as a literal IN-list filter (pushable to a
+    # parquet scan's PushedFilters when docs is file-backed)
+    assert " IN (" in physical_plan(hl_df), physical_plan(hl_df)
+    # empty query -> empty frame with the right schema
+    assert reader.highlight_topk(docs, "zzznotaterm", 5).count() == 0
