@@ -79,6 +79,10 @@ class SearchService:
                 rows = self.reader.near_topk(
                     q, window=window, k=k, with_docmap=docmap
                 ).collect()
+            elif mode == "fuzzy":
+                rows = self.reader.fuzzy_topk(
+                    q, k, max_dist=window, with_docmap=docmap
+                ).collect()
             else:
                 fn = {
                     "match": self.reader.topk,
@@ -86,6 +90,18 @@ class SearchService:
                     "phrase": self.reader.phrase_topk,
                 }[mode]
                 rows = fn(q, k, with_docmap=docmap).collect()
+        return [r.asDict() for r in rows]
+
+    def highlight(self, q: str, k: int = 10, window: int = 5) -> list[dict]:
+        """Snippeted search (the ES highlight surface): pruned top-k, then
+        an O(k) pushed IN-list fetch re-reads only the winners to cut the
+        deterministic +-window snippet. Needs --docs (the corpus)."""
+        if self._docs is None:
+            raise ValueError("no docs configured (--docs)")
+        with self._lock:
+            rows = self.reader.highlight_topk(
+                self._docs, q, k, window=window
+            ).collect()
         return [r.asDict() for r in rows]
 
     def reverse(self, lat: float, lon: float, k: int = 2) -> list[dict]:
@@ -229,7 +245,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
-                if u.path in ("/api/search", "/api/prefix", "/api/phrase", "/api/near"):
+                if u.path in ("/api/search", "/api/prefix", "/api/phrase", "/api/near", "/api/fuzzy"):
                     q = (qs.get("q") or [""])[0]
                     if not q:
                         return self._json(400, {"error": "missing q"})
@@ -240,8 +256,11 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         "/api/prefix": "prefix",
                         "/api/phrase": "phrase",
                         "/api/near": "near",
+                        "/api/fuzzy": "fuzzy",
                     }[u.path]
-                    window = int((qs.get("w") or ["8"])[0])
+                    # w = proximity window for /api/near, max edit
+                    # distance for /api/fuzzy
+                    window = int((qs.get("w") or ["8" if mode == "near" else "1"])[0])
                     rows = service.search(q, k, mode=mode, docmap=docmap, window=window)
                     return self._json(200, {"query": q, "k": k, "hits": rows})
                 if u.path.startswith("/api/reverse"):
@@ -257,6 +276,14 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["2"])[0])
                     rows = service.reverse(lat, lon, k=k)
                     return self._json(200, {"lat": lat, "lon": lon, "hits": rows})
+                if u.path == "/api/highlight":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    k = int((qs.get("k") or ["10"])[0])
+                    w = int((qs.get("w") or ["5"])[0])
+                    rows = service.highlight(q, k, window=w)
+                    return self._json(200, {"query": q, "k": k, "hits": rows})
                 if u.path == "/api/grep":
                     q = (qs.get("q") or [""])[0]
                     if not q:

@@ -250,3 +250,44 @@ def test_grep_endpoint_matches_batch(service, spark, docs):
             assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_fuzzy_and_highlight_endpoints(service, spark, docs):
+    """GET /api/fuzzy (w = max edit distance) and /api/highlight match
+    the batch operators behind the same warm reader."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/fuzzy?q=mrege+jion&k=3&w=2"
+        ) as r:
+            fz = json.loads(r.read())
+        want = service.reader.fuzzy_topk("mrege jion", 3, max_dist=2).collect()
+        assert [(h["doc_id"], h["score"]) for h in fz["hits"]] == [
+            (r2["doc_id"], r2["score"]) for r2 in want
+        ]
+        assert len(fz["hits"]) == 3
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/highlight?q=merge+join&k=3&w=4"
+        ) as r:
+            hl = json.loads(r.read())
+        want_hl = service.reader.highlight_topk(
+            service._docs, "merge join", 3, window=4
+        ).collect()
+        assert [
+            (h["doc_id"], h["score"], h["first_term"], h["snippet"])
+            for h in hl["hits"]
+        ] == [
+            (r2["doc_id"], r2["score"], r2["first_term"], r2["snippet"])
+            for r2 in want_hl
+        ]
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/highlight")
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
