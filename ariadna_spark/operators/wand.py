@@ -982,6 +982,66 @@ class IndexReader:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def more_like_this(
+        self,
+        docs: DataFrame,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 10,
+        **kw,
+    ) -> DataFrame:
+        """ES more_like_this over the delegated search surface: find docs
+        similar to a source doc. Deterministic contract: the source doc's
+        terms rank by tf_in_doc x BM25-idf (df summed off the TERMS
+        tables — index metadata, no corpus pass), the top max_query_terms
+        (score desc, term asc) form a disjunctive BM25 query, and the
+        source doc itself is excluded from the hits. Driver-side work is
+        O(1 doc + |doc terms| metadata rows): the source content fetch is
+        a pushed doc_id filter, the df fetch touches only the pruned
+        vocabulary rows."""
+        from collections import Counter
+
+        from ..functions.bm25 import idf_py
+
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        row = (
+            docs.filter(F.col("doc_id") == doc_id).select("content").collect()
+        )
+        if not row:
+            return empty
+        tf = Counter(tokenize_py(row[0]["content"]))
+        if not tf:
+            return empty
+        terms = sorted(tf)
+        dirs = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            for b in range(st["n_buckets"]):
+                p = os.path.join(d, "terms", f"bucket={b}")
+                if os.path.exists(p):
+                    dirs.append(p)
+        df_rows = (
+            self._read_parquet(dirs, "terms")
+            .filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        n = self.stats["N"]
+        dfm = {r["term"]: int(r["df"]) for r in df_rows}
+        ranked = sorted(
+            ((tf[t] * idf_py(dfm[t], n), t) for t in terms if t in dfm),
+            key=lambda st_: (-st_[0], st_[1]),
+        )
+        selected = sorted(t for _, t in ranked[:max_query_terms])
+        if not selected:
+            return empty
+        out = self._topk_terms(selected, k + 1, **kw)
+        return (
+            out.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def candidate_df_estimate(self, terms: list[str]) -> int:
         """Upper bound on the candidate-set size of an OR over `terms`:
         sum of n_docs over the pruned block METADATA rows — one tiny

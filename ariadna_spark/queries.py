@@ -1419,6 +1419,99 @@ ORDER BY w.s DESC, w.doc_id ASC
 SQL_HIGHLIGHT_TOPK = _sql_highlight_topk()
 
 
+_MLT_DOC = 42
+_MLT_TERMS = 10
+
+
+def q_more_like_this(spark, sf_dir) -> DataFrame:
+    """ES more_like_this (delegated search surface): the source doc's
+    terms rank by tf x BM25-idf, the top 10 form a disjunctive query,
+    the source doc is excluded. Index path: pushed-id content fetch +
+    terms-table df metadata + WAND; oracle replays the identical
+    selection and brute-force BM25 in DuckDB."""
+    from .corpus import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.more_like_this(docs, _MLT_DOC, _WAND_K, max_query_terms=_MLT_TERMS)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_more_like_this() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    sel_score = (
+        "src.tf * ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, src AS (
+  SELECT term, tf FROM tf WHERE doc_id = {_MLT_DOC}
+),
+sel AS (
+  SELECT src.term FROM src JOIN dfreq USING (term)
+  ORDER BY {sel_score} DESC, src.term ASC LIMIT {_MLT_TERMS}
+),
+scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id != {_MLT_DOC}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_MORE_LIKE_THIS = _sql_more_like_this()
+
+
+_FACET_Q = "merge join"
+
+
+def q_facet_counts(spark, sf_dir) -> DataFrame:
+    """ES terms-aggregation over a match query (the facet surface of the
+    delegated search endpoint): count matching docs per lang bucket.
+    Index path: candidate ids straight off the pruned posting blocks
+    (only doc_ids_varint decoded), then an id-only join to the lang
+    column — the content column is never read. Oracle counts the same
+    OR-match per lang over the raw corpus."""
+    from .corpus import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    reader = _wand_gate_reader(spark, sf_dir)
+    terms = sorted(set(tokenize_py(_FACET_Q)))
+    cands = reader.candidate_doc_ids(terms)
+    return (
+        docs.select("doc_id", "lang")
+        .join(cands, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+def _sql_facet_counts() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist}))
+GROUP BY d.lang ORDER BY lang
+"""
+    )
+
+
+SQL_FACET_COUNTS = _sql_facet_counts()
+
+
 def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
@@ -2456,6 +2549,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "highlight_topk": q_highlight_topk,
+    "more_like_this": q_more_like_this,
+    "facet_counts": q_facet_counts,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2526,6 +2621,8 @@ ORACLES: dict[str, str] = {
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "highlight_topk": SQL_HIGHLIGHT_TOPK,
+    "more_like_this": SQL_MORE_LIKE_THIS,
+    "facet_counts": SQL_FACET_COUNTS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

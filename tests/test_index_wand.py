@@ -396,3 +396,68 @@ def test_highlight_topk_snippets(spark, docs, index_dir):
     assert " IN (" in physical_plan(hl_df), physical_plan(hl_df)
     # empty query -> empty frame with the right schema
     assert reader.highlight_topk(docs, "zzznotaterm", 5).count() == 0
+
+
+def test_more_like_this(spark, docs, index_dir):
+    """MLT: deterministic term selection (tf x idf off the terms table),
+    disjunctive WAND over the selection, source doc excluded."""
+    import math
+    from collections import Counter
+
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.operators.topk import bm25_topk_from_stats
+    from ariadna_spark.stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs
+
+    reader = IndexReader(spark, index_dir)
+    src = 7
+    rows = {r["doc_id"]: r["content"] for r in docs.collect()}
+    tfc = Counter(tokenize_py(rows[src]))
+    n = docs.count()
+    dfm = Counter()
+    for c in rows.values():
+        dfm.update(set(tokenize_py(c)))
+    ranked = sorted(
+        ((t, tfc[t] * math.log(1.0 + (n - dfm[t] + 0.5) / (dfm[t] + 0.5))) for t in tfc),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    selected = sorted(t for t, _ in ranked[:10])
+
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    nn, avgdl = corpus_scalars(dl)
+    expected = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk_from_stats(tf, dfreq, dl, nn, avgdl, selected, 6).collect()
+        if r["doc_id"] != src
+    ][:5]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in reader.more_like_this(docs, src, 5, max_query_terms=10).collect()
+    ]
+    assert got == expected
+    assert src not in [d for d, _ in got]
+    # missing source doc -> empty
+    assert reader.more_like_this(docs, 10**9, 5).count() == 0
+
+
+def test_facet_counts_match_bruteforce(spark, docs, index_dir):
+    """Terms-agg facet: per-lang counts off candidate_doc_ids == per-lang
+    counts of a brute-force OR match."""
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    terms = sorted(set(tokenize_py("merge join")))
+    got = {
+        r["lang"]: r["n"]
+        for r in docs.select("doc_id", "lang")
+        .join(reader.candidate_doc_ids(terms), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {}
+    for r in docs.collect():
+        if set(tokenize_py(r["content"])) & set(terms):
+            want[r["lang"]] = want.get(r["lang"], 0) + 1
+    assert got == want and got
