@@ -131,6 +131,28 @@ def run_queries(spark, out_dir: str) -> dict:
     return timings
 
 
+def run_search_extras(spark, sf_dir: str, out_dir: str) -> dict:
+    """Round-5 search-surface extensions — informational (outside the
+    summed total for cross-round comparability): fuzzy expansion + WAND,
+    snippeted top-k with the O(k) pushed winner fetch, more-like-this."""
+    from ariadna_spark.corpus import load_docs
+    from ariadna_spark.operators.wand import IndexReader
+
+    docs = load_docs(spark, sf_dir)
+    reader = IndexReader(spark, out_dir)
+    out = {}
+    t0 = time.monotonic()
+    reader.fuzzy_topk("mrege vectr", 10, max_dist=2).collect()
+    out["query_fuzzy_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    reader.highlight_topk(docs, "merge join", 10, window=5).collect()
+    out["query_highlight_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    reader.more_like_this(docs, 42, 10).collect()
+    out["query_mlt_sec"] = round(time.monotonic() - t0, 4)
+    return out
+
+
 def run_aux(spark, sf_dir: str) -> dict:
     from ariadna_spark import queries as Q
 
@@ -525,6 +547,7 @@ def main():
         build = run_build(spark, args.sf_dir, out_dir, build_id="bench")
         qt = run_queries(spark, out_dir)
         aux = run_aux(spark, args.sf_dir)
+        extras = run_search_extras(spark, args.sf_dir, out_dir)
         regex = run_regex(spark, args.sf_dir, out_dir)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -551,6 +574,7 @@ def main():
         "query_prefix_sec": prefix_sec,
         "query_phrase_sec": phrase_sec,
         "query_phrase_stopword_sec": phrase_stop_sec,
+        **extras,
         **regex,
         "cpus": CPUS,
     }

@@ -291,3 +291,42 @@ def test_fuzzy_and_highlight_endpoints(service, spark, docs):
         assert exc.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_mlt_and_facets_endpoints(service, spark, docs):
+    """GET /api/mlt and /api/facets match the batch operators; facet 'by'
+    whitelist rejects unknown columns."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/mlt?doc=7&k=3"
+        ) as r:
+            mlt = json.loads(r.read())
+        want = service.reader.more_like_this(service._docs, 7, 3).collect()
+        assert [(h["doc_id"], h["score"]) for h in mlt["hits"]] == [
+            (r2["doc_id"], r2["score"]) for r2 in want
+        ]
+        assert all(h["doc_id"] != 7 for h in mlt["hits"])
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/facets?q=merge+join&by=lang"
+        ) as r:
+            fc = json.loads(r.read())
+        got = {b["lang"]: b["n_docs"] for b in fc["buckets"]}
+        assert sum(got.values()) > 0
+        want_fc = {
+            b["lang"]: b["n_docs"] for b in service.facets("merge join", by="lang")
+        }
+        assert got == want_fc
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/facets?q=x&by=content_sha"
+            )
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
