@@ -916,12 +916,69 @@ class IndexReader:
         expanded term with its own df/idf, the same query-expansion
         semantics prefix_topk documents. Variants shared by two query
         tokens count once (set union)."""
-        variants: set[str] = set()
-        for t in sorted(set(tokenize_py(query))):
-            variants.update(
-                self.fuzzy_terms(t, max_dist=max_dist, prefix_len=prefix_len, max_terms=max_terms)
+        variants = self.fuzzy_terms_many(
+            sorted(set(tokenize_py(query))),
+            max_dist=max_dist,
+            prefix_len=prefix_len,
+            max_terms=max_terms,
+        )
+        return self._topk_terms(sorted({t for ts in variants.values() for t in ts}), k, **kw)
+
+    def fuzzy_terms_many(
+        self,
+        tokens: list[str],
+        max_dist: int = 1,
+        prefix_len: int = 1,
+        max_terms: int = 64,
+    ) -> dict[str, list[str]]:
+        """Batched fuzzy expansion: ALL query tokens against the
+        vocabulary in ONE job (one terms-table scan, however many tokens),
+        instead of a scan per token — at a large-corpus vocabulary the
+        scan dominates, so a q-token query must not pay it q times. The
+        tiny token list broadcasts against the vocabulary with the pushed
+        length-band/prefix disjunction; per-token ranking is a
+        row_number window over (distance, term) — the window exchange
+        moves only rows already within some token's band."""
+        tokens = [t for t in tokens if t]
+        if not tokens:
+            return {}
+        dirs = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            for b in range(st["n_buckets"]):
+                p = os.path.join(d, "terms", f"bucket={b}")
+                if os.path.exists(p):
+                    dirs.append(p)
+        if not dirs:
+            return {t: [] for t in tokens}
+        prune = None
+        for t in tokens:
+            c = F.abs(F.length("term") - F.lit(len(t))) <= max_dist
+            if prefix_len > 0:
+                c = c & F.col("term").startswith(t[: prefix_len])
+            prune = c if prune is None else (prune | c)
+        tok_df = self.spark.createDataFrame([(t,) for t in tokens], "tok string")
+        vocab = self._read_parquet(dirs, "terms").filter(prune).select("term").distinct()
+        join_cond = F.abs(F.length("term") - F.length("tok")) <= max_dist
+        if prefix_len > 0:
+            join_cond = join_cond & (
+                F.substring("term", 1, prefix_len) == F.substring("tok", 1, prefix_len)
             )
-        return self._topk_terms(sorted(variants), k, **kw)
+        pairs = (
+            vocab.join(F.broadcast(tok_df), join_cond)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("tok")))
+            .filter(F.col("dist") <= max_dist)
+        )
+        w = Window.partitionBy("tok").orderBy(F.asc("dist"), F.asc("term"))
+        rows = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= max_terms)
+            .select("tok", "term")
+            .collect()
+        )
+        out: dict[str, list[str]] = {t: [] for t in tokens}
+        for r in rows:
+            out[r["tok"]].append(r["term"])
+        return {t: sorted(v) for t, v in out.items()}
 
     def highlight_topk(
         self,
@@ -1040,6 +1097,70 @@ class IndexReader:
             out.filter(F.col("doc_id") != doc_id)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def explain_score(self, doc_id: int, query: str) -> DataFrame:
+        """ES `_explain` parity: the per-term BM25 breakdown of one
+        (query, doc) pair — (term, tf, doc_len, df, idf, tf_norm, score).
+        Pruned end-to-end: bucket dirs + pushed `term IN` select the
+        query's blocks, the GLOBAL df window rides the pruned rows
+        (_blocks_for_terms), then a pushed first/last_doc_id range filter
+        keeps only blocks COVERING the doc (parquet min/max stats skip the
+        rest), and the Arrow kernel decodes just those few blocks to
+        locate the doc. Tombstoned versions: like every decode path, an
+        overwritten doc explains as absent only after compaction drops its
+        blocks; the live-version numbers are correct throughout."""
+        terms = sorted(set(tokenize_py(query)))
+        out_schema = (
+            "term string, tf long, doc_len long, df long, "
+            "idf double, tf_norm double, score double"
+        )
+        empty = self.spark.createDataFrame([], out_schema)
+        if not terms:
+            return empty
+        blocks = self._blocks_for_terms(terms)
+        if blocks is None:
+            return empty
+        covering = blocks.filter(
+            (F.col("first_doc_id") <= doc_id) & (F.col("last_doc_id") >= doc_id)
+        ).select("term", "df", "doc_ids_varint", "tfs_varint", "dls_varint")
+
+        def kernel(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                t_out, tf_out, dl_out, df_out = [], [], [], []
+                cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+                for i in range(rb.num_rows):
+                    ids = delta_decode_ids(cols["doc_ids_varint"][i].as_py())
+                    j = np.searchsorted(ids, doc_id)
+                    if j < len(ids) and ids[j] == doc_id:
+                        tfs = varint_decode(cols["tfs_varint"][i].as_py())
+                        dls = varint_decode(cols["dls_varint"][i].as_py())
+                        t_out.append(cols["term"][i].as_py())
+                        tf_out.append(int(tfs[j]))
+                        dl_out.append(int(dls[j]))
+                        df_out.append(int(cols["df"][i].as_py()))
+                if t_out:
+                    yield pa.record_batch(
+                        [
+                            pa.array(t_out, pa.string()),
+                            pa.array(tf_out, pa.int64()),
+                            pa.array(dl_out, pa.int64()),
+                            pa.array(df_out, pa.int64()),
+                        ],
+                        ["term", "tf", "doc_len", "df"],
+                    )
+
+        from ..functions.bm25 import idf_expr, tf_norm_expr
+
+        n, avgdl = self.stats["N"], self.stats["avgdl"]
+        hit = covering.mapInArrow(kernel, "term string, tf long, doc_len long, df long")
+        return (
+            hit.withColumn("idf", idf_expr(F.col("df"), n))
+            .withColumn("tf_norm", tf_norm_expr(F.col("tf"), F.col("doc_len"), avgdl))
+            .withColumn("score", F.col("idf") * F.col("tf_norm"))
+            .orderBy("term")
         )
 
     def candidate_df_estimate(self, terms: list[str]) -> int:

@@ -1356,6 +1356,67 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_FUZZY_TOPK = _sql_fuzzy_topk()
 
 
+_EXPLAIN_Q = "merge join"
+
+
+def q_explain_score(spark, sf_dir) -> DataFrame:
+    """E5/E6 scoring transparency (ES `GET /_explain` over the delegated
+    search surface, /root/reference/elastic/elastic.go search
+    passthrough): the per-term BM25 breakdown — (term, tf, doc_len, df,
+    idf, tf_norm, score) — of the top-1 document for a query. The doc is
+    located by the pruned WAND top-k (an O(1) collect of one id), then
+    explain_score decodes ONLY the blocks covering that id (pushed
+    first/last_doc_id range filter over the already term-pruned blocks).
+    The oracle replays both stages: brute-force BM25 picks the same
+    winner, then the tf/df/dl CTEs yield the same breakdown."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    doc_id = reader.topk(_EXPLAIN_Q, 1).collect()[0]["doc_id"]
+    out = reader.explain_score(doc_id, _EXPLAIN_Q)
+    return out.select(
+        "term",
+        "tf",
+        "doc_len",
+        "df",
+        F.round("idf", 6).alias("idf_r"),
+        F.round("tf_norm", 6).alias("tf_norm_r"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
+def _sql_explain_score() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    idf = "ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    from . import B, K1
+
+    tfn = f"(tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * ({1.0 - B} + {B} * dl.doc_len / (SELECT avgdl FROM stats)))"
+    terms = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_EXPLAIN_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+, win AS (
+  SELECT tf.doc_id FROM tf
+  JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({terms})
+  GROUP BY tf.doc_id
+  ORDER BY sum({score}) DESC, tf.doc_id ASC LIMIT 1
+)
+SELECT tf.term, CAST(tf.tf AS BIGINT) AS tf, dl.doc_len, dfreq.df,
+  round({idf}, 6) AS idf_r,
+  round({tfn}, 6) AS tf_norm_r,
+  round(({idf}) * ({tfn}), 6) AS score_r
+FROM tf
+JOIN dfreq USING (term) JOIN dl USING (doc_id)
+WHERE tf.doc_id = (SELECT doc_id FROM win) AND tf.term IN ({terms})
+ORDER BY tf.term
+"""
+    )
+
+
+SQL_EXPLAIN_SCORE = _sql_explain_score()
+
+
 _HL_WINDOW = 5
 
 
@@ -2548,6 +2609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
+    "explain_score": q_explain_score,
     "highlight_topk": q_highlight_topk,
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
@@ -2620,6 +2682,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
+    "explain_score": SQL_EXPLAIN_SCORE,
     "highlight_topk": SQL_HIGHLIGHT_TOPK,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "facet_counts": SQL_FACET_COUNTS,

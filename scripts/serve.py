@@ -141,6 +141,15 @@ class SearchService:
             "matches": [r.asDict() for r in rows],
         }
 
+    def explain(self, doc_id: int, q: str) -> list[dict]:
+        """GET /api/explain?doc=<id>&q=<query>: the ES `_explain` surface
+        — per-term BM25 breakdown (tf, doc_len, df, idf, tf_norm, score)
+        of one (query, doc) pair, decoding only the blocks covering the
+        doc id."""
+        with self._lock:
+            rows = self.reader.explain_score(doc_id, q).collect()
+        return [r.asDict() for r in rows]
+
     def more_like_this(self, doc_id: int, k: int = 10) -> list[dict]:
         """GET /api/mlt?doc=<id>: docs similar to a source doc (ES MLT —
         tf x idf term selection off the terms table, disjunctive WAND,
@@ -317,6 +326,21 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     w = int((qs.get("w") or ["5"])[0])
                     rows = service.highlight(q, k, window=w)
                     return self._json(200, {"query": q, "k": k, "hits": rows})
+                if u.path == "/api/explain":
+                    doc = (qs.get("doc") or [""])[0]
+                    q = (qs.get("q") or [""])[0]
+                    if not doc or not q:
+                        return self._json(400, {"error": "missing doc/q"})
+                    rows = service.explain(int(doc), q)
+                    return self._json(
+                        200,
+                        {
+                            "doc": int(doc),
+                            "query": q,
+                            "terms": rows,
+                            "score": sum(r["score"] for r in rows),
+                        },
+                    )
                 if u.path == "/api/mlt":
                     doc = (qs.get("doc") or [""])[0]
                     if not doc:

@@ -367,6 +367,60 @@ def test_fuzzy_topk_expansion(spark, docs, index_dir):
     assert reader.fuzzy_topk("zzznotaterm", 5, max_dist=1).count() == 0
 
 
+def test_fuzzy_terms_many_batched(spark, index_dir):
+    """One-job batched expansion == the per-token scans, token by token
+    (same (distance, term) cap order), including a no-variant token."""
+    reader = IndexReader(spark, index_dir)
+    toks = ["mrege", "vectr", "sream", "zzznotaterm"]
+    many = reader.fuzzy_terms_many(toks, max_dist=2, prefix_len=1)
+    assert set(many) == set(toks)
+    for t in toks:
+        assert many[t] == reader.fuzzy_terms(t, max_dist=2, prefix_len=1), t
+    # the cap binds identically in both paths
+    capped = reader.fuzzy_terms_many(["mrege"], max_dist=2, prefix_len=1, max_terms=2)
+    assert capped["mrege"] == reader.fuzzy_terms("mrege", max_dist=2, prefix_len=1, max_terms=2)
+    assert len(capped["mrege"]) <= 2
+    assert reader.fuzzy_terms_many([]) == {}
+
+
+def test_explain_score_breakdown(spark, docs, index_dir):
+    """ES _explain parity: per-term (tf, doc_len, df, idf, tf_norm)
+    breakdown of one (query, doc) pair; the term scores sum to exactly
+    the WAND top-k score of that doc, and tf/df/doc_len match the
+    brute-force corpus statistics."""
+    from ariadna_spark.stats import corpus_scalars, doc_freqs, doc_lengths, term_freqs
+
+    reader = IndexReader(spark, index_dir)
+    top = reader.topk("merge join", 1).collect()[0]
+    rows = reader.explain_score(top["doc_id"], "merge join").collect()
+    assert [r["term"] for r in rows] == sorted(r["term"] for r in rows)
+    assert sum(r["score"] for r in rows) == pytest.approx(top["score"], abs=1e-12)
+    for r in rows:
+        assert r["score"] == pytest.approx(r["idf"] * r["tf_norm"], abs=1e-12)
+
+    tf = term_freqs(docs)
+    dl = doc_lengths(tf)
+    dfreq = doc_freqs(tf)
+    n, avgdl = corpus_scalars(dl)
+    want_tf = {
+        r["term"]: r["tf"]
+        for r in tf.filter(F.col("doc_id") == top["doc_id"]).collect()
+    }
+    want_df = {r["term"]: r["df"] for r in dfreq.collect()}
+    want_dl = dl.filter(F.col("doc_id") == top["doc_id"]).collect()[0]["doc_len"]
+    for r in rows:
+        assert r["tf"] == want_tf[r["term"]]
+        assert r["df"] == want_df[r["term"]]
+        assert r["doc_len"] == want_dl
+    # a term absent from the doc contributes no row (but present terms stay)
+    part = reader.explain_score(top["doc_id"], "merge zzznotaterm").collect()
+    assert [r["term"] for r in part] == ["merge"]
+    # absent doc / empty query -> empty frame with the stable schema
+    assert reader.explain_score(10**9, "merge join").count() == 0
+    empty = reader.explain_score(top["doc_id"], "")
+    assert empty.count() == 0 and "tf_norm" in empty.columns
+
+
 def test_highlight_topk_snippets(spark, docs, index_dir):
     """Snippets: ranking == plain topk; snippet is the +-window token cut
     around the first query-term occurrence; the winner fetch is a pushed

@@ -289,6 +289,22 @@ def test_fuzzy_and_highlight_endpoints(service, spark, docs):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/api/highlight")
         assert exc.value.code == 400
+
+        # /api/explain: per-term breakdown sums to the doc's search score
+        top = service.reader.topk("merge join", 1).collect()[0]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/explain?doc={top['doc_id']}&q=merge+join"
+        ) as r:
+            ex = json.loads(r.read())
+        assert ex["doc"] == top["doc_id"]
+        assert ex["score"] == pytest.approx(top["score"], abs=1e-12)
+        want_ex = service.reader.explain_score(top["doc_id"], "merge join").collect()
+        assert [(h["term"], h["tf"], h["df"]) for h in ex["terms"]] == [
+            (r2["term"], r2["tf"], r2["df"]) for r2 in want_ex
+        ]
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/explain?doc=3")
+        assert exc.value.code == 400
     finally:
         httpd.shutdown()
 
