@@ -66,6 +66,8 @@ def _bmw_range_topk(
     lo: int,
     range_size: int,
     stride: int,
+    after: tuple[float, int] | None = None,
+    stride_mask: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Stride-level block-max WAND over ONE doc_id range, restricted to the
     posting-block rows indexed by `sub` (the shared core of wand_kernel and
@@ -79,6 +81,18 @@ def _bmw_range_topk(
     UB < the current k-th score (strict <, preserving doc_id tie-break
     rank-identity). Returns (doc_ids, scores) sorted by (-score, doc_id),
     at most k entries.
+
+    `after=(score, doc_id)` is the search_after cursor (ES deep-pagination
+    semantics): only docs strictly AFTER the cursor in (score desc, doc_id
+    asc) order qualify — score < cursor score, or equal score with a
+    larger doc_id. The cut happens after exact per-stride scoring (a
+    stride's bound says nothing about which side of the cursor its docs
+    land on), so block-max pruning still only compares against the
+    qualifying top-k threshold and stays sound.
+
+    `stride_mask` (bool, n_strides) zeroes the upper bound of strides a
+    caller has proven empty of eligible docs (e.g. no filter-allowed doc
+    falls inside) — they are never visited, so their blocks never decode.
     """
     n_strides = (range_size + stride - 1) // stride
     sub_fd, sub_ld = fd[sub], ld[sub]
@@ -99,6 +113,8 @@ def _bmw_range_topk(
             np.maximum(seg, bms[sub[j]], out=seg)
         ub += term_ub
 
+    if stride_mask is not None:
+        ub[~stride_mask] = 0.0
     order = np.argsort(-ub, kind="stable")
     heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     theta = 0.0
@@ -126,6 +142,12 @@ def _bmw_range_topk(
         uniq, inv = np.unique(all_ids, return_inverse=True)
         sums = np.zeros(uniq.shape, dtype=np.float64)
         np.add.at(sums, inv, all_sc)
+        if after is not None:
+            a_s, a_d = after
+            keep = (sums < a_s) | ((sums == a_s) & (uniq > a_d))
+            uniq, sums = uniq[keep], sums[keep]
+            if uniq.size == 0:
+                continue
         # Vectorized top-k merge: strides partition the doc_id space, so a
         # doc never appears in two visited strides — the running heap and
         # this stride's candidates are disjoint and can be merged with one
@@ -161,6 +183,7 @@ def wand_kernel(
     range_size: int,
     stride: int = STRIDE,
     prune_stats: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Blocks of all query terms for ONE doc_id range -> local top-k.
 
@@ -171,6 +194,22 @@ def wand_kernel(
     here — no driver-side stats round-trip per query.
     """
     rid = int(pdf["rid"].iloc[0])
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    # Filter-context pseudo-rows (is_filt=True, the ES bool-query filter):
+    # their first_doc_id values are THE allowed doc ids of this range —
+    # filtered_topk unions them into the same rid shuffle the blocks ride
+    # (the tombstone pattern), so the filter is never a driver-held set.
+    # Presence of the column means filter mode: a range with no allow rows
+    # has no eligible docs at all.
+    allow: np.ndarray | None = None
+    if "is_filt" in pdf.columns:
+        fm = pdf["is_filt"].to_numpy().astype(bool)
+        allow = np.sort(pdf.loc[fm, "first_doc_id"].to_numpy().astype(np.int64))
+        pdf = pdf[~fm].reset_index(drop=True)
+        if allow.size == 0 or pdf.empty:
+            return empty
     # Tombstone pseudo-rows (is_tomb=True) mark per-segment dead doc_ids
     # (overwritten versions): build the per-build dead sets, then drop the
     # markers before any block metadata is touched.
@@ -185,9 +224,7 @@ def wand_kernel(
             }
             pdf = pdf[~tm].reset_index(drop=True)
             if pdf.empty:
-                return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                    {"doc_id": "int64", "score": "float64"}
-                )
+                return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
     idf_by_term = {
@@ -218,11 +255,31 @@ def wand_kernel(
                 dd = dead.get(row_bid[i])
                 if dd is not None and dd.size:
                     m &= ~np.isin(ids, dd)  # overwritten versions never score
+            if allow is not None:
+                m &= np.isin(ids, allow)  # filter context: allowed docs only
             decoded[i] = (ids[m], sc[m])
         return decoded[i]
 
+    stride_mask = None
+    if allow is not None:
+        # strides holding no allowed doc can never produce a candidate:
+        # zero their bound so they are never visited (blocks never decode)
+        n_strides = (range_size + stride - 1) // stride
+        stride_mask = np.zeros(n_strides, dtype=bool)
+        stride_mask[np.unique((allow - lo) // stride)] = True
     d_out, s_out = _bmw_range_topk(
-        np.arange(len(pdf)), row_term, fd, ld, bms, decode, k, lo, range_size, stride
+        np.arange(len(pdf)),
+        row_term,
+        fd,
+        ld,
+        bms,
+        decode,
+        k,
+        lo,
+        range_size,
+        stride,
+        after=after,
+        stride_mask=stride_mask,
     )
     if prune_stats is not None:
         prune_stats["n_blocks_total"] = len(pdf)
@@ -1229,10 +1286,92 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
+        """`after=(score, doc_id)` is the ES search_after cursor: return
+        the k docs strictly after the cursor in (score desc, doc_id asc)
+        order — deep pagination without a from+size over-fetch. The cursor
+        cut runs inside the kernel, so every page is a normal pruned
+        top-k job, not a k*page scan."""
         return self._topk_terms(
-            sorted(set(tokenize_py(query))), k, range_size=range_size, with_docmap=with_docmap
+            sorted(set(tokenize_py(query))),
+            k,
+            range_size=range_size,
+            with_docmap=with_docmap,
+            after=after,
         )
+
+    def filtered_topk(
+        self,
+        query: str,
+        flt,
+        k: int = 10,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
+        """ES bool-query filter context (match `query` + `filter` over doc
+        attributes, the delegated search surface's filtered form): top-k
+        BM25 restricted to docs whose docmap row passes `flt` (a Catalyst
+        predicate over docmap columns — repo/path/commit/lang/doc_len).
+
+        Scale shape: the predicate pushes down into the docmap parquet
+        scan; only the SURVIVING doc ids enter the query, as allow-list
+        pseudo-rows riding the SAME rid shuffle as the posting blocks
+        (the tombstone pattern — never a driver-held set). Inside the
+        kernel the allow set masks candidates before scoring, strides
+        holding no allowed doc are never visited, and block-max pruning
+        stays sound: the threshold only ever reflects filtered survivors,
+        and stride bounds remain valid upper bounds for any subset.
+        docmap() is tombstone-masked, so an overwritten doc's live version
+        filters on its CURRENT attributes; dead versions are additionally
+        masked per-build as in every decode path."""
+        terms = sorted(set(tokenize_py(query)))
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not terms:
+            return empty
+        blocks = self._blocks_for_terms(terms)
+        if blocks is None:
+            return empty
+        n_docs = self.stats["N"]
+        avgdl = self.stats["avgdl"]
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = (
+            blocks.select("*", rid)
+            .withColumn("is_tomb", F.lit(False))
+            .withColumn("is_filt", F.lit(False))
+        )
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(
+                tomb.withColumn("is_filt", F.lit(False)), allowMissingColumns=True
+            )
+        allow = (
+            self.docmap()
+            .filter(flt)
+            .select(
+                F.col("doc_id").alias("first_doc_id"),
+                (F.col("doc_id") / range_size).cast("long").alias("rid"),
+                F.lit(False).alias("is_tomb"),
+                F.lit(True).alias("is_filt"),
+            )
+        )
+        ranged = ranged.unionByName(allow, allowMissingColumns=True)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+
+        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docmap:
+            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
 
     def phrase_topk(
         self,
@@ -1429,6 +1568,7 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
         if not terms:
@@ -1453,7 +1593,7 @@ class IndexReader:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+            return wand_kernel(pdf, n_docs, avgdl, k, range_size, after=after)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

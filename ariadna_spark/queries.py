@@ -1254,6 +1254,47 @@ def q_wand_topk(spark, sf_dir) -> DataFrame:
 SQL_WAND_TOPK = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K)
 
 
+def q_search_after(spark, sf_dir) -> DataFrame:
+    """E5 deep pagination (the delegated ES search surface's search_after;
+    /root/reference/elastic/elastic.go search passthrough): fetch page 1
+    through the pruned WAND path, then page 2 via the (score, doc_id)
+    cursor — NOT a from+size over-fetch. The cursor cut runs inside the
+    kernel, so page 2 is itself a block-max-pruned top-k job. Oracle:
+    brute-force BM25 with OFFSET k — rank AND score identity for the
+    second page end-to-end."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    p1 = reader.topk(_WAND_QUERY, _WAND_K).collect()  # O(k) rows
+    last = p1[-1]
+    out = reader.topk(_WAND_QUERY, _WAND_K, after=(last["score"], last["doc_id"]))
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_SEARCH_AFTER = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K).replace(
+    f"LIMIT {_WAND_K}", f"LIMIT {_WAND_K} OFFSET {_WAND_K}"
+)
+
+
+_FILT_LANG = "fr"
+
+
+def q_filtered_bm25(spark, sf_dir) -> DataFrame:
+    """E5 filter context (the ES bool query's non-scoring `filter` clause;
+    /root/reference/elastic/elastic.go search passthrough): BM25 top-k
+    restricted to docs whose docmap row passes `lang = 'fr'`. Corpus
+    statistics (N, avgdl, df) stay GLOBAL — a filter never changes
+    scoring, exactly the ES semantics — so the oracle is the full-corpus
+    brute-force BM25 with a WHERE on the documents table."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.filtered_topk(_WAND_QUERY, F.col("lang") == _FILT_LANG, _WAND_K)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_FILTERED_BM25 = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K).replace(
+    "FROM scored ORDER BY",
+    f"FROM scored WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = '{_FILT_LANG}')\nORDER BY",
+)
+
+
 _PREFIX_Q = "sc"
 
 
@@ -2607,6 +2648,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "quality_metrics": q_quality_metrics,
     "wand_topk": q_wand_topk,
+    "search_after": q_search_after,
+    "filtered_bm25": q_filtered_bm25,
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -2680,6 +2723,8 @@ ORACLES: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_metrics": SQL_QUALITY_METRICS,
     "wand_topk": SQL_WAND_TOPK,
+    "search_after": SQL_SEARCH_AFTER,
+    "filtered_bm25": SQL_FILTERED_BM25,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,

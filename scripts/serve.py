@@ -70,10 +70,18 @@ class SearchService:
             else:
                 self._ann = ivf_index_read(spark, ann_dir)  # flat ivf_index_write
 
+    # docmap attributes a filter clause may constrain (ES bool-filter
+    # terms over doc metadata); an allowlist, never raw expressions
+    FILTERABLE = ("repo", "path", "commit", "lang")
+
     def search(
         self, q: str, k: int = 10, mode: str = "match", docmap: bool = False,
-        window: int = 8,
+        window: int = 8, after: tuple[float, int] | None = None,
+        filters: dict[str, str] | None = None,
     ) -> list[dict]:
+        """`after=(score, doc_id)` = ES search_after cursor (match mode).
+        `filters={col: value}` = ES bool-filter terms over docmap
+        attributes (match mode); conjunctive equality only."""
         with self._lock:
             if mode == "near":
                 rows = self.reader.near_topk(
@@ -83,9 +91,24 @@ class SearchService:
                 rows = self.reader.fuzzy_topk(
                     q, k, max_dist=window, with_docmap=docmap
                 ).collect()
+            elif mode == "match" and filters:
+                from pyspark.sql import functions as F
+
+                bad = set(filters) - set(self.FILTERABLE)
+                if bad:
+                    raise ValueError(f"unfilterable column(s): {sorted(bad)}")
+                flt = F.lit(True)
+                for c, v in filters.items():
+                    flt = flt & (F.col(c) == v)
+                rows = self.reader.filtered_topk(
+                    q, flt, k, with_docmap=docmap
+                ).collect()
+            elif mode == "match":
+                rows = self.reader.topk(
+                    q, k, with_docmap=docmap, after=after
+                ).collect()
             else:
                 fn = {
-                    "match": self.reader.topk,
                     "prefix": self.reader.prefix_topk,
                     "phrase": self.reader.phrase_topk,
                 }[mode]
@@ -303,8 +326,28 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     # w = proximity window for /api/near, max edit
                     # distance for /api/fuzzy
                     window = int((qs.get("w") or ["8" if mode == "near" else "1"])[0])
-                    rows = service.search(q, k, mode=mode, docmap=docmap, window=window)
-                    return self._json(200, {"query": q, "k": k, "hits": rows})
+                    # ?after=<score>,<doc_id> — search_after cursor
+                    # (match mode): deep pagination, page N is a normal
+                    # pruned top-k job, never a from+size over-fetch
+                    after = None
+                    if qs.get("after"):
+                        s, _, d = qs["after"][0].partition(",")
+                        after = (float(s), int(d))
+                    # ?lang=fr&repo=... — ES bool-filter terms over
+                    # docmap attributes (match mode, allowlisted)
+                    filters = {
+                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
+                    } or None
+                    rows = service.search(
+                        q, k, mode=mode, docmap=docmap, window=window,
+                        after=after, filters=filters,
+                    )
+                    resp = {"query": q, "k": k, "hits": rows}
+                    if rows and mode == "match":
+                        # cursor for the NEXT page (echo-back protocol)
+                        last = rows[-1]
+                        resp["next_after"] = f"{last['score']!r},{last['doc_id']}"
+                    return self._json(200, resp)
                 if u.path.startswith("/api/reverse"):
                     # reference route style /api/reverse/:lat/:lon
                     # (osm.go:182); ?lat=&lon= also accepted

@@ -515,3 +515,82 @@ def test_facet_counts_match_bruteforce(spark, docs, index_dir):
         if set(tokenize_py(r["content"])) & set(terms):
             want[r["lang"]] = want.get(r["lang"], 0) + 1
     assert got == want and got
+
+
+def test_search_after_paginates(spark, index_dir):
+    """Page 1 + cursor-paged page 2 == one top-2k run, exactly (ES
+    search_after semantics: strictly after (score desc, doc_id asc))."""
+    reader = IndexReader(spark, index_dir)
+    full = [(r["doc_id"], r["score"]) for r in reader.topk("merge join", 20).collect()]
+    p1 = reader.topk("merge join", 10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = reader.topk("merge join", 10, after=cur).collect()
+    got = [(r["doc_id"], r["score"]) for r in list(p1) + list(p2)]
+    assert got == full
+    assert len(p2) == 10
+
+
+def test_search_after_exhausted(spark, index_dir):
+    """A cursor at the very last match yields an empty page, not junk."""
+    reader = IndexReader(spark, index_dir)
+    allr = reader.topk("merge join", 10**6).collect()
+    cur = (allr[-1]["score"], allr[-1]["doc_id"])
+    assert reader.topk("merge join", 5, after=cur).count() == 0
+
+
+def test_filtered_topk_matches_bruteforce(spark, docs, index_dir):
+    """Filter context == post-filter of the exhaustive ranking; corpus
+    stats stay global (the ES non-scoring filter clause)."""
+    reader = IndexReader(spark, index_dir)
+    q = "merge join"
+    allowed = {r["doc_id"] for r in docs.filter(F.col("lang") == "fr").collect()}
+    full = reader.topk(q, 10**6).collect()
+    exp = [(r["doc_id"], r["score"]) for r in full if r["doc_id"] in allowed][:5]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in reader.filtered_topk(q, F.col("lang") == "fr", 5).collect()
+    ]
+    assert got == exp and got
+
+
+def test_filtered_topk_empty_filter(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    assert reader.filtered_topk("merge join", F.col("lang") == "zz", 5).count() == 0
+
+
+def test_filtered_kernel_skips_strides():
+    """Strides holding no allowed doc are never visited: with one allowed
+    doc, exactly one block decodes out of 50."""
+    from ariadna_spark.functions.varint import delta_encode_ids, varint_encode
+
+    n_docs, avgdl = 100_000, 100.0
+    rows = []
+    for bi in range(50):
+        ids = np.arange(bi * 1000, bi * 1000 + 128, dtype=np.int64)
+        tfs = np.full(128, 1, dtype=np.uint64)
+        dls = np.full(128, 100, dtype=np.uint64)
+        rows.append(
+            {
+                "rid": 0,
+                "term": "x",
+                "df": 6400,
+                "block_id": bi,
+                "n_docs": 128,
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "block_max_tf": 1,
+                "block_max_tfnorm": 2.2 / (1 + 1.2),
+                "doc_ids_varint": delta_encode_ids(ids),
+                "tfs_varint": varint_encode(tfs),
+                "dls_varint": varint_encode(dls),
+                "is_filt": False,
+            }
+        )
+    rows.append({"rid": 0, "first_doc_id": 7005, "is_filt": True})
+    pdf = pd.DataFrame(rows)
+    stats = {}
+    out = wand_kernel(
+        pdf, n_docs, avgdl, k=3, range_size=64000, stride=1024, prune_stats=stats
+    )
+    assert list(out["doc_id"]) == [7005]
+    assert stats["n_blocks_decoded"] == 1, stats

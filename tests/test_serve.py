@@ -346,3 +346,45 @@ def test_mlt_and_facets_endpoints(service, spark, docs):
         assert exc.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_pagination_and_filter_endpoints(service, spark, docs):
+    """GET /api/search with ?after= pages through results identically to
+    one big-k run; ?lang= restricts hits to the filtered docs; unknown
+    filter columns are rejected in the service layer."""
+    from urllib.parse import quote
+
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        full = [
+            (h["doc_id"], h["score"]) for h in service.search("merge join", k=6)
+        ]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/search?q=merge+join&k=3"
+        ) as r:
+            p1 = json.loads(r.read())
+        assert "next_after" in p1
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/search?q=merge+join&k=3"
+            f"&after={quote(p1['next_after'])}"
+        ) as r:
+            p2 = json.loads(r.read())
+        got = [(h["doc_id"], h["score"]) for h in p1["hits"] + p2["hits"]]
+        assert got == full
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/search?q=merge+join&k=4&lang=fr&docmap=1"
+        ) as r:
+            flt = json.loads(r.read())
+        fr_ids = {r2["doc_id"] for r2 in docs.filter("lang = 'fr'").collect()}
+        assert flt["hits"] and {h["doc_id"] for h in flt["hits"]} <= fr_ids
+
+        with pytest.raises(ValueError):
+            service.search("merge join", k=3, filters={"content_sha": "x"})
+    finally:
+        httpd.shutdown()
