@@ -289,6 +289,199 @@ def wand_kernel(
     )
 
 
+def bool_kernel(
+    pdf: pd.DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    range_size: int,
+    must_terms: list[str],
+    should_terms: list[str],
+    not_terms: list[str],
+    msm: int = 0,
+    stride: int = STRIDE,
+    prune_stats: dict | None = None,
+) -> pd.DataFrame:
+    """ES bool-query kernel for ONE doc_id range: top-k over docs that
+    contain EVERY must term, at least `msm` distinct should terms, and NO
+    must_not term; score = BM25 sum over must+should occurrences (the ES
+    bool semantics — filter context rides the existing is_filt rows).
+
+    Pruning stays block-max sound and gains a conjunctive rule: a stride
+    not covered by ≥1 block of EVERY must term cannot hold a qualifying
+    doc (a doc's posting for each must term lives in a block spanning its
+    id), so its bound is zeroed and its blocks never decode — the
+    dominant win for selective conjunctions. must_not blocks never
+    contribute to bounds; they decode only in strides actually visited.
+
+    Clause term sets must be disjoint (asserted in bool_topk)."""
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    rid = int(pdf["rid"].iloc[0])
+    allow: np.ndarray | None = None
+    if "is_filt" in pdf.columns:
+        fm = pdf["is_filt"].to_numpy().astype(bool)
+        allow = np.sort(pdf.loc[fm, "first_doc_id"].to_numpy().astype(np.int64))
+        pdf = pdf[~fm].reset_index(drop=True)
+        if allow.size == 0 or pdf.empty:
+            return empty
+    dead: dict = {}
+    if "is_tomb" in pdf.columns:
+        tm = pdf["is_tomb"].to_numpy()
+        if tm.any():
+            trows = pdf[tm]
+            dead = {
+                b: g["first_doc_id"].to_numpy().astype(np.int64)
+                for b, g in trows.groupby("bid")
+            }
+            pdf = pdf[~tm].reset_index(drop=True)
+    if pdf.empty:
+        return empty
+    must_s, should_s, not_s = set(must_terms), set(should_terms), set(not_terms)
+    present = set(pdf["term"])
+    # a must term with no block in this range -> nothing here qualifies
+    # (and if the term is absent from the whole index, EVERY range hits
+    # this branch — the globally correct empty result)
+    if must_s - present:
+        return empty
+
+    row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
+    tdf = pdf[["term", "df"]].drop_duplicates("term")
+    idf_by_term = {
+        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+        for t, d in zip(tdf["term"], tdf["df"])
+    }
+    lo, hi = rid * range_size, (rid + 1) * range_size
+    fd = pdf["first_doc_id"].to_numpy()
+    ld = pdf["last_doc_id"].to_numpy()
+    scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else np.ones(len(pdf))
+    row_term = pdf["term"].to_numpy()
+    is_not = np.asarray([t in not_s for t in row_term])
+    is_must = np.asarray([t in must_s for t in row_term])
+    bms = (
+        pdf["block_max_tfnorm"].to_numpy()
+        * pdf["term"].map(idf_by_term).to_numpy()
+        * scale
+    )
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in decoded:
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
+            m = (ids >= lo) & (ids < hi)
+            if dead and row_bid is not None:
+                dd = dead.get(row_bid[i])
+                if dd is not None and dd.size:
+                    m &= ~np.isin(ids, dd)
+            if allow is not None:
+                m &= np.isin(ids, allow)
+            decoded[i] = (ids[m], sc[m])
+        return decoded[i]
+
+    n_strides = (range_size + stride - 1) // stride
+    s_lo = np.maximum((fd - lo) // stride, 0).astype(np.int64)
+    s_hi = np.minimum((ld - lo) // stride, n_strides - 1).astype(np.int64)
+    # upper bound: scoring (must+should) terms only, max-per-term summed
+    ub = np.zeros(n_strides, dtype=np.float64)
+    for t in dict.fromkeys(row_term[~is_not]):
+        term_ub = np.zeros(n_strides, dtype=np.float64)
+        for j in np.flatnonzero((row_term == t) & ~is_not):
+            a, b_ = int(s_lo[j]), int(s_hi[j])
+            if b_ < 0 or a >= n_strides:
+                continue
+            seg = term_ub[a : b_ + 1]
+            np.maximum(seg, bms[j], out=seg)
+        ub += term_ub
+    # conjunctive coverage: zero strides missing any must term's blocks
+    for t in must_s:
+        cov = np.zeros(n_strides, dtype=bool)
+        for j in np.flatnonzero(row_term == t):
+            a, b_ = int(s_lo[j]), int(s_hi[j])
+            if b_ < 0 or a >= n_strides:
+                continue
+            cov[a : b_ + 1] = True
+        ub[~cov] = 0.0
+    if allow is not None:
+        amask = np.zeros(n_strides, dtype=bool)
+        amask[np.unique((allow - lo) // stride)] = True
+        ub[~amask] = 0.0
+
+    n_must = len(must_s)
+    order = np.argsort(-ub, kind="stable")
+    heap: list[tuple[float, int]] = []
+    theta = 0.0
+    for si in order:
+        if ub[si] <= 0.0:
+            break
+        if len(heap) >= k and ub[si] < theta:
+            break
+        st_lo, st_hi = lo + si * stride, lo + (si + 1) * stride
+        overlap = np.flatnonzero((fd < st_hi) & (ld >= st_lo))
+        sc_ids, sc_sc, sc_must, sc_should = [], [], [], []
+        ex_ids = []
+        for j in overlap:
+            ids, sc = decode(int(j))
+            m = (ids >= st_lo) & (ids < st_hi)
+            if not m.any():
+                continue
+            if is_not[j]:
+                ex_ids.append(ids[m])
+            else:
+                sc_ids.append(ids[m])
+                sc_sc.append(sc[m])
+                sc_must.append(np.full(int(m.sum()), is_must[j]))
+                sc_should.append(np.full(int(m.sum()), not is_must[j]))
+        if not sc_ids:
+            continue
+        all_ids = np.concatenate(sc_ids)
+        all_sc = np.concatenate(sc_sc)
+        all_must = np.concatenate(sc_must).astype(np.int64)
+        all_should = np.concatenate(sc_should).astype(np.int64)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.zeros(uniq.shape, dtype=np.float64)
+        np.add.at(sums, inv, all_sc)
+        mcnt = np.zeros(uniq.shape, dtype=np.int64)
+        np.add.at(mcnt, inv, all_must)  # one posting per (term, doc)
+        scnt = np.zeros(uniq.shape, dtype=np.int64)
+        np.add.at(scnt, inv, all_should)
+        keep = (mcnt == n_must) & (scnt >= msm)
+        if ex_ids:
+            keep &= ~np.isin(uniq, np.concatenate(ex_ids))
+        uniq, sums = uniq[keep], sums[keep]
+        if uniq.size == 0:
+            continue
+        if heap:
+            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
+            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
+            all_s = np.concatenate([hs, sums])
+            all_d = np.concatenate([hd, uniq])
+        else:
+            all_s, all_d = sums, uniq
+        if all_d.size > k:
+            top = np.lexsort((all_d, -all_s))[:k]
+            all_s, all_d = all_s[top], all_d[top]
+        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
+        heapq.heapify(heap)
+        if len(heap) >= k:
+            theta = heap[0][0]
+
+    if prune_stats is not None:
+        prune_stats["n_blocks_total"] = len(pdf)
+        prune_stats["n_blocks_decoded"] = len(decoded)
+    pairs = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+    if not pairs:
+        return empty
+    d_out, s_out = zip(*pairs)
+    return pd.DataFrame(
+        {"doc_id": np.asarray(d_out, dtype=np.int64), "score": np.asarray(s_out)}
+    ).astype({"doc_id": "int64", "score": "float64"})
+
+
 def _two_pass_positions(
     pdf: pd.DataFrame,
     uniq_terms: list[str],
@@ -1364,6 +1557,81 @@ class IndexReader:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+
+        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docmap:
+            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
+
+    def bool_topk(
+        self,
+        must: str = "",
+        should: str = "",
+        must_not: str = "",
+        flt=None,
+        msm: int = 0,
+        k: int = 10,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
+        """The full ES bool query (the delegated search surface's composed
+        form; /root/reference/elastic/elastic.go search passthrough):
+        docs must contain every `must` token, >= `msm` distinct `should`
+        tokens, no `must_not` token, and (optionally) pass the `flt`
+        docmap predicate (non-scoring filter context). Score = BM25 over
+        must+should occurrences, global corpus stats — ES semantics
+        throughout.
+
+        Plan shape: ONE pruned-bucket block read covering all three
+        clauses' terms, one rid shuffle (filter ids ride it as pseudo-rows
+        when flt is set), one Arrow kernel pass. The kernel adds a
+        conjunctive stride rule — strides missing any must term's blocks
+        are never visited — so selective conjunctions decode a small
+        fraction of blocks (test_bool_kernel_conjunctive_prune)."""
+        m_terms = sorted(set(tokenize_py(must)))
+        s_terms = sorted(set(tokenize_py(should)))
+        n_terms = sorted(set(tokenize_py(must_not)))
+        overlap = (set(m_terms) & set(s_terms)) | (set(m_terms) | set(s_terms)) & set(n_terms)
+        if overlap:
+            raise ValueError(f"bool clauses must be disjoint, got {sorted(overlap)} twice")
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not (m_terms or s_terms):
+            return empty
+        blocks = self._blocks_for_terms(sorted(set(m_terms + s_terms + n_terms)))
+        if blocks is None:
+            return empty
+        n_docs = self.stats["N"]
+        avgdl = self.stats["avgdl"]
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+        if flt is not None:
+            ranged = ranged.withColumn("is_filt", F.lit(False)).unionByName(
+                self.docmap()
+                .filter(flt)
+                .select(
+                    F.col("doc_id").alias("first_doc_id"),
+                    (F.col("doc_id") / range_size).cast("long").alias("rid"),
+                    F.lit(False).alias("is_tomb"),
+                    F.lit(True).alias("is_filt"),
+                ),
+                allowMissingColumns=True,
+            )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return bool_kernel(
+                pdf, n_docs, avgdl, k, range_size, m_terms, s_terms, n_terms, msm
+            )
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1295,6 +1295,61 @@ SQL_FILTERED_BM25 = _bm25_sql(tokenize_py(_WAND_QUERY), _WAND_K).replace(
 )
 
 
+_BOOL_MUST = "table scan"
+_BOOL_SHOULD = "filter group merge"
+_BOOL_NOT = "window"
+_BOOL_MSM = 1
+
+
+def q_bool_topk(spark, sf_dir) -> DataFrame:
+    """E5 composed bool query (ES must/should/must_not +
+    minimum_should_match; /root/reference/elastic/elastic.go search
+    passthrough): docs containing every must token, >=1 should token and
+    no must_not token, BM25-scored over must+should with GLOBAL stats.
+    One pruned block read + one rid shuffle + one Arrow kernel pass; the
+    kernel's conjunctive stride rule skips strides missing any must
+    term's blocks."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.bool_topk(
+        _BOOL_MUST, _BOOL_SHOULD, _BOOL_NOT, msm=_BOOL_MSM, k=_WAND_K
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_bool_topk() -> str:
+    m = sorted(set(tokenize_py(_BOOL_MUST)))
+    s = sorted(set(tokenize_py(_BOOL_SHOULD)))
+    n = sorted(set(tokenize_py(_BOOL_NOT)))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    q = lambda ts: ", ".join(f"'{t}'" for t in ts)  # noqa: E731
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term IN ({q(m + s)}) THEN {score} ELSE 0 END) AS s,
+         count(DISTINCT CASE WHEN tf.term IN ({q(m)}) THEN tf.term END) AS n_must,
+         count(DISTINCT CASE WHEN tf.term IN ({q(s)}) THEN tf.term END) AS n_should,
+         max(CASE WHEN tf.term IN ({q(n)}) THEN 1 ELSE 0 END) AS hit_not
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  WHERE tf.term IN ({q(m + s + n)})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored
+WHERE n_must = {len(m)} AND n_should >= {_BOOL_MSM} AND hit_not = 0
+ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_BOOL_TOPK = _sql_bool_topk()
+
+
 _PREFIX_Q = "sc"
 
 
@@ -2650,6 +2705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_topk": q_wand_topk,
     "search_after": q_search_after,
     "filtered_bm25": q_filtered_bm25,
+    "bool_topk": q_bool_topk,
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -2725,6 +2781,7 @@ ORACLES: dict[str, str] = {
     "wand_topk": SQL_WAND_TOPK,
     "search_after": SQL_SEARCH_AFTER,
     "filtered_bm25": SQL_FILTERED_BM25,
+    "bool_topk": SQL_BOOL_TOPK,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,

@@ -115,6 +115,29 @@ class SearchService:
                 rows = fn(q, k, with_docmap=docmap).collect()
         return [r.asDict() for r in rows]
 
+    def bool_search(
+        self, must: str = "", should: str = "", must_not: str = "",
+        msm: int = 0, k: int = 10, docmap: bool = False,
+        filters: dict[str, str] | None = None,
+    ) -> list[dict]:
+        """GET /api/bool: the composed ES bool query (must/should/
+        must_not + minimum_should_match + non-scoring filter terms)."""
+        flt = None
+        if filters:
+            from pyspark.sql import functions as F
+
+            bad = set(filters) - set(self.FILTERABLE)
+            if bad:
+                raise ValueError(f"unfilterable column(s): {sorted(bad)}")
+            flt = F.lit(True)
+            for c, v in filters.items():
+                flt = flt & (F.col(c) == v)
+        with self._lock:
+            rows = self.reader.bool_topk(
+                must, should, must_not, flt=flt, msm=msm, k=k, with_docmap=docmap
+            ).collect()
+        return [r.asDict() for r in rows]
+
     def highlight(self, q: str, k: int = 10, window: int = 5) -> list[dict]:
         """Snippeted search (the ES highlight surface): pruned top-k, then
         an O(k) pushed IN-list fetch re-reads only the winners to cut the
@@ -361,6 +384,27 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["2"])[0])
                     rows = service.reverse(lat, lon, k=k)
                     return self._json(200, {"lat": lat, "lon": lon, "hits": rows})
+                if u.path == "/api/bool":
+                    must = (qs.get("must") or [""])[0]
+                    should = (qs.get("should") or [""])[0]
+                    must_not = (qs.get("not") or [""])[0]
+                    if not (must or should):
+                        return self._json(400, {"error": "missing must/should"})
+                    k = int((qs.get("k") or ["10"])[0])
+                    msm = int((qs.get("msm") or ["0"])[0])
+                    docmap = (qs.get("docmap") or ["0"])[0] in ("1", "true")
+                    filters = {
+                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
+                    } or None
+                    rows = service.bool_search(
+                        must, should, must_not, msm=msm, k=k, docmap=docmap,
+                        filters=filters,
+                    )
+                    return self._json(
+                        200,
+                        {"must": must, "should": should, "must_not": must_not,
+                         "msm": msm, "k": k, "hits": rows},
+                    )
                 if u.path == "/api/highlight":
                     q = (qs.get("q") or [""])[0]
                     if not q:

@@ -594,3 +594,139 @@ def test_filtered_kernel_skips_strides():
     )
     assert list(out["doc_id"]) == [7005]
     assert stats["n_blocks_decoded"] == 1, stats
+
+
+def _bool_bruteforce(docs, must, should, must_not, msm, flt_lang=None):
+    """Driver-side reference for the ES bool query over the tiny fixture."""
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.operators.topk import bm25_topk
+
+    m = set(tokenize_py(must))
+    s = set(tokenize_py(should))
+    n = set(tokenize_py(must_not))
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, " ".join(sorted(m | s)), 10**6).collect()
+    }
+    out = []
+    for r in docs.collect():
+        toks = set(tokenize_py(r["content"]))
+        if m - toks or (toks & n) or len(toks & s) < msm:
+            continue
+        if flt_lang is not None and r["lang"] != flt_lang:
+            continue
+        if r["doc_id"] in scored:
+            out.append((r["doc_id"], scored[r["doc_id"]]))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+@pytest.mark.parametrize(
+    "must,should,must_not,msm",
+    [
+        ("merge join", "", "", 0),
+        ("merge", "sort window", "", 1),
+        ("", "merge join sort", "", 2),
+        ("merge", "", "window", 0),
+        ("merge join", "stream", "sort", 0),
+    ],
+)
+def test_bool_topk_matches_bruteforce(spark, docs, index_dir, must, should, must_not, msm):
+    reader = IndexReader(spark, index_dir)
+    exp = _bool_bruteforce(docs, must, should, must_not, msm)[:7]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in reader.bool_topk(must, should, must_not, msm=msm, k=7).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp], (must, should, must_not, msm)
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_bool_topk_with_filter(spark, docs, index_dir):
+    reader = IndexReader(spark, index_dir)
+    exp = _bool_bruteforce(docs, "merge", "join", "", 0, flt_lang="fr")[:5]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in reader.bool_topk(
+            "merge", "join", flt=F.col("lang") == "fr", k=5
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in exp] and got
+
+
+def test_bool_topk_rejects_overlapping_clauses(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    with pytest.raises(ValueError):
+        reader.bool_topk("merge", "merge join", "")
+    with pytest.raises(ValueError):
+        reader.bool_topk("merge", "", "merge")
+
+
+def test_bool_topk_missing_must_term_is_empty(spark, index_dir):
+    reader = IndexReader(spark, index_dir)
+    assert reader.bool_topk("merge zzznotaterm", "", "").count() == 0
+
+
+def test_bool_kernel_conjunctive_prune():
+    """A rare must term confines visits to its strides: blocks of the
+    common term outside those strides never decode."""
+    from ariadna_spark.functions.varint import delta_encode_ids, varint_encode
+    from ariadna_spark.operators.wand import bool_kernel
+
+    n_docs, avgdl = 100_000, 100.0
+    rows = []
+    # common term: 50 blocks across the whole range
+    for bi in range(50):
+        ids = np.arange(bi * 1000, bi * 1000 + 128, dtype=np.int64)
+        rows.append(
+            {
+                "rid": 0,
+                "term": "common",
+                "df": 6400,
+                "block_id": bi,
+                "n_docs": 128,
+                "first_doc_id": int(ids[0]),
+                "last_doc_id": int(ids[-1]),
+                "block_max_tf": 1,
+                "block_max_tfnorm": 2.2 / (1 + 1.2),
+                "doc_ids_varint": delta_encode_ids(ids),
+                "tfs_varint": varint_encode(np.full(128, 1, dtype=np.uint64)),
+                "dls_varint": varint_encode(np.full(128, 100, dtype=np.uint64)),
+            }
+        )
+    # rare must term: one block, 3 docs inside block 7's doc range
+    rare_ids = np.array([7001, 7050, 7100], dtype=np.int64)
+    rows.append(
+        {
+            "rid": 0,
+            "term": "rare",
+            "df": 3,
+            "block_id": 999,
+            "n_docs": 3,
+            "first_doc_id": 7001,
+            "last_doc_id": 7100,
+            "block_max_tf": 1,
+            "block_max_tfnorm": 2.2 / (1 + 1.2),
+            "doc_ids_varint": delta_encode_ids(rare_ids),
+            "tfs_varint": varint_encode(np.full(3, 1, dtype=np.uint64)),
+            "dls_varint": varint_encode(np.full(3, 100, dtype=np.uint64)),
+        }
+    )
+    stats = {}
+    out = bool_kernel(
+        pd.DataFrame(rows),
+        n_docs,
+        avgdl,
+        k=10,
+        range_size=64000,
+        must_terms=["rare", "common"],
+        should_terms=[],
+        not_terms=[],
+        stride=1024,
+        prune_stats=stats,
+    )
+    assert sorted(out["doc_id"]) == [7001, 7050, 7100]
+    # only the strides the rare block covers are visited: the rare block
+    # plus the overlapping common block(s), not all 51
+    assert stats["n_blocks_decoded"] <= 3, stats

@@ -388,3 +388,40 @@ def test_pagination_and_filter_endpoints(service, spark, docs):
             service.search("merge join", k=3, filters={"content_sha": "x"})
     finally:
         httpd.shutdown()
+
+
+def test_bool_endpoint(service, spark, docs):
+    """GET /api/bool matches the batch bool_topk operator, including a
+    filter term; missing clauses are rejected."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/bool?must=merge&should=join+sort"
+            f"&not=window&msm=1&k=5"
+        ) as r:
+            body = json.loads(r.read())
+        want = service.reader.bool_topk(
+            "merge", "join sort", "window", msm=1, k=5
+        ).collect()
+        assert [(h["doc_id"], h["score"]) for h in body["hits"]] == [
+            (r2["doc_id"], r2["score"]) for r2 in want
+        ]
+        assert body["hits"]
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/bool?must=merge&lang=fr&docmap=1"
+        ) as r:
+            fb = json.loads(r.read())
+        fr_ids = {r2["doc_id"] for r2 in docs.filter("lang = 'fr'").collect()}
+        assert fb["hits"] and {h["doc_id"] for h in fb["hits"]} <= fr_ids
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/bool?not=window")
+        assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
