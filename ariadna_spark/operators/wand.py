@@ -1466,6 +1466,91 @@ class IndexReader:
 
         return blocks.mapInArrow(ids_kernel, "doc_id long").distinct()
 
+    def match_aggs(
+        self,
+        query: str,
+        ranges: list[tuple[str, int | None, int | None]] | None = None,
+        interval: int = 25,
+    ) -> DataFrame:
+        """ES aggregation suite over an OR-match (range + histogram +
+        stats + cardinality, the non-terms half of the aggs surface;
+        terms aggs = facets()). Returns (agg, bucket, n_docs, metric)
+        rows. Index path: candidate ids straight off the pruned posting
+        blocks (only doc_ids_varint decodes), one id-only semi-join to
+        the docmap's (lang, doc_len) — content is never read, and each
+        agg is a Catalyst partial-aggregation (map-side combine) over the
+        SAME cached candidate frame. Cardinality is exact countDistinct
+        here; at 100-TB fan-in swap approx_count_distinct (HLL — exactly
+        ES's cardinality agg semantics)."""
+        from ..analyze import tokenize_py as _tok
+
+        ranges = ranges or [("short", None, 40), ("medium", 40, 80), ("long", 80, None)]
+        out_schema = "agg string, bucket string, n_docs long, metric double"
+        terms = sorted(set(_tok(query)))
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        bucket = None
+        for name, lo_b, hi_b in ranges:
+            cond = F.lit(True)
+            if lo_b is not None:
+                cond = cond & (F.col("doc_len") >= lo_b)
+            if hi_b is not None:
+                cond = cond & (F.col("doc_len") < hi_b)
+            bucket = F.when(cond, name) if bucket is None else bucket.when(cond, name)
+        dm = (
+            self.docmap()
+            .select("doc_id", "lang", "doc_len")
+            .join(self.candidate_doc_ids(terms), "doc_id", "left_semi")
+            .select(
+                "lang",
+                "doc_len",
+                bucket.alias("rb"),
+                (F.floor(F.col("doc_len") / interval) * interval)
+                .cast("long")
+                .cast("string")
+                .alias("hb"),
+            )
+        )
+        # ONE shuffle for all four aggs: GROUPING SETS ((rb), (hb), ())
+        # over the single candidate pass — the candidate decode + semi-join
+        # never re-runs per agg. grouping_id bits (rb,hb): 1 = range
+        # buckets, 2 = histogram buckets, 3 = the global stats row.
+        a = (
+            dm.groupingSets([["rb"], ["hb"], []], "rb", "hb")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.min("doc_len").cast("double").alias("mn"),
+                F.max("doc_len").cast("double").alias("mx"),
+                F.sum("doc_len").cast("double").alias("sm"),
+                F.round(F.avg("doc_len"), 4).alias("av"),
+                F.countDistinct("lang").cast("double").alias("card"),
+                F.grouping_id().alias("gid"),
+            )
+        )
+        null_m = F.lit(None).cast("double")
+        rng = a.filter(F.col("gid") == 1).select(
+            F.lit("range").alias("agg"), F.col("rb").alias("bucket"), "n_docs", null_m.alias("metric")
+        )
+        hist = a.filter(F.col("gid") == 2).select(
+            F.lit("histogram").alias("agg"), F.col("hb").alias("bucket"), "n_docs", null_m.alias("metric")
+        )
+        g = a.filter(F.col("gid") == 3)
+        stats = None
+        for b, c in [("min", "mn"), ("max", "mx"), ("sum", "sm"), ("avg", "av")]:
+            row = g.select(
+                F.lit("stats").alias("agg"), F.lit(b).alias("bucket"), "n_docs", F.col(c).alias("metric")
+            )
+            stats = row if stats is None else stats.unionByName(row)
+        card = g.select(
+            F.lit("cardinality").alias("agg"), F.lit("lang").alias("bucket"), "n_docs", F.col("card").alias("metric")
+        )
+        return (
+            rng.unionByName(hist)
+            .unionByName(stats)
+            .unionByName(card)
+            .orderBy("agg", "bucket")
+        )
+
     def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
         """Top-k BM25 for a prefix query: OR over the expanded terms (each
         expanded term scores with its own df/idf — standard query

@@ -1669,6 +1669,58 @@ GROUP BY d.lang ORDER BY lang
 SQL_FACET_COUNTS = _sql_facet_counts()
 
 
+def q_match_aggs(spark, sf_dir) -> DataFrame:
+    """ES aggregation suite over an OR-match (range + histogram + stats +
+    cardinality — the non-terms half of the aggs surface; terms aggs =
+    facet_counts). Index path: candidate ids off the pruned posting
+    blocks, one id-only semi-join to the docmap, then ONE GROUPING SETS
+    shuffle computes every agg — the candidate pass never re-runs per
+    agg (the identical exchange is reused across the union branches)."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.match_aggs(_FACET_Q)
+
+
+def _sql_match_aggs() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+, md AS (
+  SELECT d.lang, dl.doc_len
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist}))
+)
+SELECT * FROM (
+  SELECT 'range' AS agg,
+         CASE WHEN doc_len < 40 THEN 'short'
+              WHEN doc_len >= 40 AND doc_len < 80 THEN 'medium'
+              WHEN doc_len >= 80 THEN 'long' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS metric
+  FROM md GROUP BY 2
+  UNION ALL
+  SELECT 'histogram', CAST(CAST(floor(doc_len / 25) * 25 AS BIGINT) AS VARCHAR),
+         CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM md GROUP BY 2
+  UNION ALL
+  SELECT 'stats', 'min', CAST(count(*) AS BIGINT), CAST(min(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'stats', 'max', CAST(count(*) AS BIGINT), CAST(max(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'stats', 'sum', CAST(count(*) AS BIGINT), CAST(sum(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'stats', 'avg', CAST(count(*) AS BIGINT), round(avg(doc_len), 4) FROM md
+  UNION ALL
+  SELECT 'cardinality', 'lang', CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT lang) AS DOUBLE) FROM md
+)
+ORDER BY agg, bucket
+"""
+    )
+
+
+SQL_MATCH_AGGS = _sql_match_aggs()
+
+
 def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
@@ -2712,6 +2764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlight_topk": q_highlight_topk,
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
+    "match_aggs": q_match_aggs,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2788,6 +2841,7 @@ ORACLES: dict[str, str] = {
     "highlight_topk": SQL_HIGHLIGHT_TOPK,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "facet_counts": SQL_FACET_COUNTS,
+    "match_aggs": SQL_MATCH_AGGS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

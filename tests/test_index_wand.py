@@ -730,3 +730,46 @@ def test_bool_kernel_conjunctive_prune():
     # only the strides the rare block covers are visited: the rare block
     # plus the overlapping common block(s), not all 51
     assert stats["n_blocks_decoded"] <= 3, stats
+
+
+def test_match_aggs_values_and_single_pass(spark, docs, index_dir):
+    """Range/histogram/stats/cardinality aggs match a brute-force pass
+    over the corpus, and the grouping-sets exchange is REUSED across the
+    union branches — the candidate decode runs once, not per agg."""
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    df = reader.match_aggs("merge join")
+    rows = df.collect()
+    got = {(r["agg"], r["bucket"]): (r["n_docs"], r["metric"]) for r in rows}
+
+    terms = set(tokenize_py("merge join"))
+    lens, langs = [], set()
+    for r in docs.collect():
+        toks = tokenize_py(r["content"])
+        if set(toks) & terms:
+            lens.append(len(toks))
+            langs.add(r["lang"])
+    n = len(lens)
+    assert got[("cardinality", "lang")] == (n, float(len(langs)))
+    assert got[("stats", "min")] == (n, float(min(lens)))
+    assert got[("stats", "max")] == (n, float(max(lens)))
+    assert got[("stats", "sum")] == (n, float(sum(lens)))
+    assert got[("stats", "avg")][1] == pytest.approx(sum(lens) / n, abs=1e-4)
+    want_rng = {}
+    for L in lens:
+        b = "short" if L < 40 else ("medium" if L < 80 else "long")
+        want_rng[b] = want_rng.get(b, 0) + 1
+    for b, c in want_rng.items():
+        assert got[("range", b)][0] == c
+    want_hist = {}
+    for L in lens:
+        want_hist[str(L // 25 * 25)] = want_hist.get(str(L // 25 * 25), 0) + 1
+    for b, c in want_hist.items():
+        assert got[("histogram", b)][0] == c
+    # every agg appears; no spurious buckets
+    assert {a for a, _ in got} == {"range", "histogram", "stats", "cardinality"}
+    assert len([1 for a, _ in got if a == "range"]) == len(want_rng)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "grouping-sets exchange not reused"

@@ -425,3 +425,27 @@ def test_bool_endpoint(service, spark, docs):
         assert exc.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_aggs_endpoint(service):
+    """GET /api/aggs matches the batch match_aggs operator."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/aggs?q=merge+join"
+        ) as r:
+            body = json.loads(r.read())
+        want = service.reader.match_aggs("merge join").collect()
+        assert [(a["agg"], a["bucket"], a["n_docs"]) for a in body["aggs"]] == [
+            (r2["agg"], r2["bucket"], r2["n_docs"]) for r2 in want
+        ]
+        assert {a["agg"] for a in body["aggs"]} == {
+            "range", "histogram", "stats", "cardinality"
+        }
+    finally:
+        httpd.shutdown()
