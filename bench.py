@@ -150,6 +150,29 @@ def run_search_extras(spark, sf_dir: str, out_dir: str) -> dict:
     t0 = time.monotonic()
     reader.more_like_this(docs, 42, 10).collect()
     out["query_mlt_sec"] = round(time.monotonic() - t0, 4)
+    # composed bool query (must/should/must_not + msm): the conjunctive
+    # stride rule should keep this near the plain match wall even though
+    # it reads three clauses' blocks
+    t0 = time.monotonic()
+    reader.bool_topk("table scan", "filter group merge", "window", msm=1, k=10).collect()
+    out["query_bool_sec"] = round(time.monotonic() - t0, 4)
+    # filter context: lang-filtered top-k (allow ids ride the rid shuffle;
+    # strides without allowed docs never decode)
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    reader.filtered_topk("merge join", F.col("lang") == "fr", 10).collect()
+    out["query_filtered_sec"] = round(time.monotonic() - t0, 4)
+    # search_after page 2 (cursor cut in-kernel; a pruned top-k job, not
+    # a from+size over-fetch)
+    p1 = reader.topk("merge join", 10).collect()
+    t0 = time.monotonic()
+    reader.topk("merge join", 10, after=(p1[-1]["score"], p1[-1]["doc_id"])).collect()
+    out["query_page2_sec"] = round(time.monotonic() - t0, 4)
+    # aggregation suite: one candidate pass + one GROUPING SETS shuffle
+    t0 = time.monotonic()
+    reader.match_aggs("merge join").collect()
+    out["query_aggs_sec"] = round(time.monotonic() - t0, 4)
     return out
 
 
