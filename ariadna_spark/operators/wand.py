@@ -1466,6 +1466,47 @@ class IndexReader:
 
         return blocks.mapInArrow(ids_kernel, "doc_id long").distinct()
 
+    def sorted_topk(
+        self,
+        query: str,
+        sort_col: str = "path",
+        asc: bool = True,
+        k: int = 10,
+        after: tuple | None = None,
+        flt=None,
+    ) -> DataFrame:
+        """ES sort-by-field search (`sort: [{field: asc}]` +
+        `search_after` on the field sort key): the k matching docs
+        ordered by a docmap attribute instead of relevance.
+
+        Plan shape: candidate ids off the pruned posting blocks (only
+        doc_ids_varint decodes), id-only semi-join to the docmap, then
+        orderBy+limit — Catalyst compiles it to TakeOrderedAndProject,
+        so only k rows per partition survive the exchange; there is no
+        full sort at any scale. The `after=(sort_value, doc_id)` cursor
+        becomes a pushed row-filter (strictly after in (sort_col
+        asc|desc, doc_id asc) order), so page N reads the same plan as
+        page 1. `flt` optionally adds a non-scoring docmap predicate
+        (filter context), pushed into the same scan."""
+        from ..analyze import tokenize_py as _tok
+
+        terms = sorted(set(_tok(query)))
+        dm = self.docmap().select("doc_id", "repo", "path", "lang", "doc_len")
+        if sort_col not in dm.columns:
+            raise ValueError(f"unsortable column {sort_col!r}")
+        empty = self.spark.createDataFrame([], dm.schema)
+        if not terms:
+            return empty
+        if flt is not None:
+            dm = dm.filter(flt)
+        dm = dm.join(self.candidate_doc_ids(terms), "doc_id", "left_semi")
+        if after is not None:
+            a_v, a_d = after
+            nxt = F.col(sort_col) > a_v if asc else F.col(sort_col) < a_v
+            dm = dm.filter(nxt | ((F.col(sort_col) == a_v) & (F.col("doc_id") > a_d)))
+        key = F.asc(sort_col) if asc else F.desc(sort_col)
+        return dm.orderBy(key, F.asc("doc_id")).limit(k)
+
     def match_aggs(
         self,
         query: str,

@@ -1669,6 +1669,40 @@ GROUP BY d.lang ORDER BY lang
 SQL_FACET_COUNTS = _sql_facet_counts()
 
 
+def q_sorted_search(spark, sf_dir) -> DataFrame:
+    """ES sort-by-field + search_after on the field sort key: page 2 of
+    the OR-match result set ordered by (doc_len desc, doc_id asc). The
+    Spark side pages via the (sort_value, doc_id) cursor (a pushed row
+    filter over the TakeOrdered plan — no from+size over-fetch); the
+    oracle replays it as ORDER BY ... OFFSET k."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    p1 = reader.sorted_topk(_FACET_Q, "doc_len", asc=False, k=_WAND_K).collect()
+    last = p1[-1]
+    return reader.sorted_topk(
+        _FACET_Q, "doc_len", asc=False, k=_WAND_K, after=(last["doc_len"], last["doc_id"])
+    )
+
+
+def _sql_sorted_search() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+, md AS (
+  SELECT d.doc_id, 'corpus/' || d.source AS repo,
+         'docs/' || d.lang || '/doc_' || d.doc_id || '.txt' AS path,
+         d.lang, dl.doc_len
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist}))
+)
+SELECT * FROM md ORDER BY doc_len DESC, doc_id ASC LIMIT {_WAND_K} OFFSET {_WAND_K}
+"""
+    )
+
+
+SQL_SORTED_SEARCH = _sql_sorted_search()
+
+
 def q_match_aggs(spark, sf_dir) -> DataFrame:
     """ES aggregation suite over an OR-match (range + histogram + stats +
     cardinality — the non-terms half of the aggs surface; terms aggs =
@@ -2765,6 +2799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
     "match_aggs": q_match_aggs,
+    "sorted_search": q_sorted_search,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2842,6 +2877,7 @@ ORACLES: dict[str, str] = {
     "more_like_this": SQL_MORE_LIKE_THIS,
     "facet_counts": SQL_FACET_COUNTS,
     "match_aggs": SQL_MATCH_AGGS,
+    "sorted_search": SQL_SORTED_SEARCH,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

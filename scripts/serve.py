@@ -229,6 +229,28 @@ class SearchService:
             )
         return [r.asDict() for r in rows]
 
+    def sorted_search(
+        self, q: str, by: str = "path", order: str = "asc", k: int = 10,
+        after: tuple | None = None, filters: dict[str, str] | None = None,
+    ) -> list[dict]:
+        """GET /api/sorted: ES sort-by-field + search_after on the field
+        sort key (TakeOrdered plan — no full sort, no over-fetch)."""
+        flt = None
+        if filters:
+            from pyspark.sql import functions as F
+
+            bad = set(filters) - set(self.FILTERABLE)
+            if bad:
+                raise ValueError(f"unfilterable column(s): {sorted(bad)}")
+            flt = F.lit(True)
+            for c, v in filters.items():
+                flt = flt & (F.col(c) == v)
+        with self._lock:
+            rows = self.reader.sorted_topk(
+                q, by, asc=(order != "desc"), k=k, after=after, flt=flt
+            ).collect()
+        return [r.asDict() for r in rows]
+
     def aggs(self, q: str, interval: int = 25) -> list[dict]:
         """GET /api/aggs?q=&interval=: the non-terms agg suite (range /
         histogram / stats / cardinality) over an OR match — one pruned
@@ -443,6 +465,27 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["10"])[0])
                     rows = service.more_like_this(int(doc), k)
                     return self._json(200, {"doc": int(doc), "k": k, "hits": rows})
+                if u.path == "/api/sorted":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    by = (qs.get("by") or ["path"])[0]
+                    order = (qs.get("order") or ["asc"])[0]
+                    k = int((qs.get("k") or ["10"])[0])
+                    after = None
+                    if qs.get("after"):
+                        v, _, d = qs["after"][0].rpartition(",")
+                        after = (int(v) if by == "doc_len" else v, int(d))
+                    filters = {
+                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
+                    } or None
+                    rows = service.sorted_search(
+                        q, by=by, order=order, k=k, after=after, filters=filters
+                    )
+                    resp = {"query": q, "by": by, "order": order, "hits": rows}
+                    if rows:
+                        resp["next_after"] = f"{rows[-1][by]},{rows[-1]['doc_id']}"
+                    return self._json(200, resp)
                 if u.path == "/api/aggs":
                     q = (qs.get("q") or [""])[0]
                     if not q:

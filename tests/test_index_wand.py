@@ -773,3 +773,39 @@ def test_match_aggs_values_and_single_pass(spark, docs, index_dir):
 
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, "grouping-sets exchange not reused"
+
+
+def test_sorted_topk_pages_and_plan(spark, docs, index_dir):
+    """Field-sorted search: page1+page2 == one 2k run; matches a brute
+    force; the plan is TakeOrdered (no full sort)."""
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    terms = set(tokenize_py("merge join"))
+    want = sorted(
+        (
+            (len(tokenize_py(r["content"])), r["doc_id"])
+            for r in docs.collect()
+            if set(tokenize_py(r["content"])) & terms
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    full = reader.sorted_topk("merge join", "doc_len", asc=False, k=12)
+    got = [(r["doc_len"], r["doc_id"]) for r in full.collect()]
+    assert got == want[:12]
+    p1 = reader.sorted_topk("merge join", "doc_len", asc=False, k=6).collect()
+    cur = (p1[-1]["doc_len"], p1[-1]["doc_id"])
+    p2 = reader.sorted_topk("merge join", "doc_len", asc=False, k=6, after=cur).collect()
+    assert [(r["doc_len"], r["doc_id"]) for r in list(p1) + list(p2)] == want[:12]
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+    # ascending + filter context compose
+    fr = reader.sorted_topk(
+        "merge join", "doc_len", asc=True, k=5, flt=F.col("lang") == "fr"
+    ).collect()
+    fr_ids = {r["doc_id"] for r in docs.filter("lang = 'fr'").collect()}
+    assert {r["doc_id"] for r in fr} <= fr_ids
+    lens = [r["doc_len"] for r in fr]
+    assert lens == sorted(lens)
+    with pytest.raises(ValueError):
+        reader.sorted_topk("merge join", "content_sha")

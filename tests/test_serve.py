@@ -449,3 +449,30 @@ def test_aggs_endpoint(service):
         }
     finally:
         httpd.shutdown()
+
+
+def test_sorted_endpoint(service):
+    """GET /api/sorted pages with the echoed next_after cursor."""
+    from urllib.parse import quote
+
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        full = service.sorted_search("merge join", by="doc_len", order="desc", k=8)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/sorted?q=merge+join&by=doc_len&order=desc&k=4"
+        ) as r:
+            p1 = json.loads(r.read())
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/sorted?q=merge+join&by=doc_len&order=desc"
+            f"&k=4&after={quote(p1['next_after'])}"
+        ) as r:
+            p2 = json.loads(r.read())
+        got = [(h["doc_len"], h["doc_id"]) for h in p1["hits"] + p2["hits"]]
+        assert got == [(h["doc_len"], h["doc_id"]) for h in full]
+    finally:
+        httpd.shutdown()
