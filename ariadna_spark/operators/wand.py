@@ -1413,6 +1413,42 @@ class IndexReader:
             .orderBy("term")
         )
 
+    def term_vectors(self, docs: DataFrame, doc_id: int) -> DataFrame:
+        """ES `_termvectors` parity: one doc's (term, tf, df, positions).
+        Like ES for non-stored fields, the source doc is RE-ANALYZED —
+        a pushed doc_id point lookup fetches the one content row (parquet
+        min/max skip everything else), the driver tokenizes that single
+        doc (O(doc_len), the same analyzer the index used, so positions
+        match the index's positions stream), and df comes from the
+        index's terms tables under a pushed `term IN` over bucket-pruned
+        dirs. Terms the index has not (yet) seen report df=0 — exactly
+        the stale-df window any per-segment stats API has."""
+        out_schema = "term string, tf long, df long, positions array<int>"
+        empty = self.spark.createDataFrame([], out_schema)
+        rows = docs.filter(F.col("doc_id") == doc_id).select("content").collect()
+        if not rows:
+            return empty
+        toks = tokenize_py(rows[0]["content"])
+        if not toks:
+            return empty
+        by_term: dict[str, list[int]] = {}
+        for p, t in enumerate(toks):
+            by_term.setdefault(t, []).append(p)
+        local = self.spark.createDataFrame(
+            [(t, len(ps), ps) for t, ps in sorted(by_term.items())],
+            "term string, tf long, positions array<int>",
+        )
+        dfs = self._df_for_terms(sorted(by_term))
+        if dfs is None:
+            return local.select(
+                "term", "tf", F.lit(0).cast("long").alias("df"), "positions"
+            ).orderBy("term")
+        return (
+            local.join(F.broadcast(dfs), "term", "left")
+            .select("term", "tf", F.coalesce("df", F.lit(0)).cast("long").alias("df"), "positions")
+            .orderBy("term")
+        )
+
     def candidate_df_estimate(self, terms: list[str]) -> int:
         """Upper bound on the candidate-set size of an OR over `terms`:
         sum of n_docs over the pruned block METADATA rows — one tiny

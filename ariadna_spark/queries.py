@@ -1703,6 +1703,43 @@ SELECT * FROM md ORDER BY doc_len DESC, doc_id ASC LIMIT {_WAND_K} OFFSET {_WAND
 SQL_SORTED_SEARCH = _sql_sorted_search()
 
 
+_TV_DOC = 42
+
+
+def q_term_vectors(spark, sf_dir) -> DataFrame:
+    """ES `_termvectors` parity for one doc: (term, tf, df, positions).
+    The source doc is re-analyzed (ES's own behavior for non-stored
+    fields) via a pushed point lookup; df rides a pushed `term IN` over
+    the index's bucket-pruned terms tables."""
+    from .corpus import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.term_vectors(docs, _TV_DOC)
+
+
+def _sql_term_vectors() -> str:
+    return (
+        _SQL_PRELUDE
+        + f"""
+, one AS (
+  SELECT {_TOK} AS tok FROM documents WHERE doc_id = {_TV_DOC}
+),
+tp AS (
+  SELECT unnest(tok) AS term, unnest(range(len(tok))) AS pos FROM one
+)
+SELECT tp.term, CAST(count(*) AS BIGINT) AS tf,
+       CAST(coalesce(any_value(dfreq.df), 0) AS BIGINT) AS df,
+       list_sort(list(tp.pos)) AS positions
+FROM tp LEFT JOIN dfreq ON tp.term = dfreq.term
+GROUP BY tp.term ORDER BY tp.term
+"""
+    )
+
+
+SQL_TERM_VECTORS = _sql_term_vectors()
+
+
 def q_match_aggs(spark, sf_dir) -> DataFrame:
     """ES aggregation suite over an OR-match (range + histogram + stats +
     cardinality — the non-terms half of the aggs surface; terms aggs =
@@ -2800,6 +2837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_counts": q_facet_counts,
     "match_aggs": q_match_aggs,
     "sorted_search": q_sorted_search,
+    "term_vectors": q_term_vectors,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2878,6 +2916,7 @@ ORACLES: dict[str, str] = {
     "facet_counts": SQL_FACET_COUNTS,
     "match_aggs": SQL_MATCH_AGGS,
     "sorted_search": SQL_SORTED_SEARCH,
+    "term_vectors": SQL_TERM_VECTORS,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

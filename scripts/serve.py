@@ -251,6 +251,15 @@ class SearchService:
             ).collect()
         return [r.asDict() for r in rows]
 
+    def term_vectors(self, doc_id: int) -> list[dict]:
+        """GET /api/termvectors?doc=: one doc's (term, tf, df, positions)
+        — the ES `_termvectors` surface. Needs --docs (re-analysis)."""
+        if self._docs is None:
+            raise ValueError("no docs configured (--docs)")
+        with self._lock:
+            rows = self.reader.term_vectors(self._docs, doc_id).collect()
+        return [r.asDict() for r in rows]
+
     def aggs(self, q: str, interval: int = 25) -> list[dict]:
         """GET /api/aggs?q=&interval=: the non-terms agg suite (range /
         histogram / stats / cardinality) over an OR match — one pruned
@@ -465,6 +474,12 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["10"])[0])
                     rows = service.more_like_this(int(doc), k)
                     return self._json(200, {"doc": int(doc), "k": k, "hits": rows})
+                if u.path == "/api/termvectors":
+                    doc = (qs.get("doc") or [""])[0]
+                    if not doc:
+                        return self._json(400, {"error": "missing doc"})
+                    rows = service.term_vectors(int(doc))
+                    return self._json(200, {"doc_id": int(doc), "terms": rows})
                 if u.path == "/api/sorted":
                     q = (qs.get("q") or [""])[0]
                     if not q:

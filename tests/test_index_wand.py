@@ -809,3 +809,24 @@ def test_sorted_topk_pages_and_plan(spark, docs, index_dir):
     assert lens == sorted(lens)
     with pytest.raises(ValueError):
         reader.sorted_topk("merge join", "content_sha")
+
+
+def test_term_vectors(spark, docs, index_dir):
+    """_termvectors: tf/positions match a re-analysis, df matches the
+    terms table; missing doc -> empty."""
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    src = docs.filter(F.col("doc_id") == 3).collect()[0]["content"]
+    toks = tokenize_py(src)
+    got = {r["term"]: r for r in reader.term_vectors(docs, 3).collect()}
+    assert set(got) == set(toks)
+    for t in set(toks):
+        assert got[t]["tf"] == toks.count(t)
+        assert got[t]["positions"] == [i for i, x in enumerate(toks) if x == t]
+    # df agrees with the driver-side diagnostic lookup
+    dfs = reader._df_for_terms(sorted(set(toks))).collect()
+    want_df = {r["term"]: r["df"] for r in dfs}
+    for t in set(toks):
+        assert got[t]["df"] == want_df[t] > 0
+    assert reader.term_vectors(docs, 10**9).count() == 0

@@ -476,3 +476,24 @@ def test_sorted_endpoint(service):
         assert got == [(h["doc_len"], h["doc_id"]) for h in full]
     finally:
         httpd.shutdown()
+
+
+def test_termvectors_endpoint(service, spark, docs):
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/termvectors?doc=3"
+        ) as r:
+            body = json.loads(r.read())
+        want = service.reader.term_vectors(service._docs, 3).collect()
+        assert [(h["term"], h["tf"], h["df"], h["positions"]) for h in body["terms"]] == [
+            (r2["term"], r2["tf"], r2["df"], list(r2["positions"])) for r2 in want
+        ]
+        assert body["terms"]
+    finally:
+        httpd.shutdown()
