@@ -1413,6 +1413,26 @@ class IndexReader:
             .orderBy("term")
         )
 
+    def match_count(self, query: str) -> DataFrame:
+        """ES `_count` parity: the exact number of docs matching an OR
+        query, without scoring or top-k. Candidate ids off the pruned
+        posting blocks (only doc_ids_varint decodes — for an OR match a
+        candidate IS a match), masked to live docs by an id-only
+        semi-join against the tombstone-filtered docmap, then count(*) —
+        a partial-aggregated scalar, no sort anywhere."""
+        from ..analyze import tokenize_py as _tok
+
+        terms = sorted(set(_tok(query)))
+        out_schema = "n_docs long"
+        if not terms:
+            return self.spark.createDataFrame([(0,)], out_schema)
+        return (
+            self.docmap()
+            .select("doc_id")
+            .join(self.candidate_doc_ids(terms), "doc_id", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        )
+
     def term_vectors(self, docs: DataFrame, doc_id: int) -> DataFrame:
         """ES `_termvectors` parity: one doc's (term, tf, df, positions).
         Like ES for non-stored fields, the source doc is RE-ANALYZED —

@@ -1703,6 +1703,27 @@ SELECT * FROM md ORDER BY doc_len DESC, doc_id ASC LIMIT {_WAND_K} OFFSET {_WAND
 SQL_SORTED_SEARCH = _sql_sorted_search()
 
 
+def q_match_count(spark, sf_dir) -> DataFrame:
+    """ES `_count`: exact OR-match doc count off the pruned blocks —
+    no scoring, no sort, one partial-aggregated scalar."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.match_count(_FACET_Q)
+
+
+def _sql_match_count() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tf WHERE term IN ({tlist})
+"""
+    )
+
+
+SQL_MATCH_COUNT = _sql_match_count()
+
+
 _TV_DOC = 42
 
 
@@ -2838,6 +2859,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_aggs": q_match_aggs,
     "sorted_search": q_sorted_search,
     "term_vectors": q_term_vectors,
+    "match_count": q_match_count,
     "phrase_topk": q_phrase_topk,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -2917,6 +2939,7 @@ ORACLES: dict[str, str] = {
     "match_aggs": SQL_MATCH_AGGS,
     "sorted_search": SQL_SORTED_SEARCH,
     "term_vectors": SQL_TERM_VECTORS,
+    "match_count": SQL_MATCH_COUNT,
     "phrase_topk": SQL_PHRASE_TOPK,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

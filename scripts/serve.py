@@ -251,6 +251,11 @@ class SearchService:
             ).collect()
         return [r.asDict() for r in rows]
 
+    def count(self, q: str) -> int:
+        """GET /api/count?q=: exact OR-match doc count (ES `_count`)."""
+        with self._lock:
+            return int(self.reader.match_count(q).collect()[0]["n_docs"])
+
     def term_vectors(self, doc_id: int) -> list[dict]:
         """GET /api/termvectors?doc=: one doc's (term, tf, df, positions)
         — the ES `_termvectors` surface. Needs --docs (re-analysis)."""
@@ -474,6 +479,11 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["10"])[0])
                     rows = service.more_like_this(int(doc), k)
                     return self._json(200, {"doc": int(doc), "k": k, "hits": rows})
+                if u.path == "/api/count":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    return self._json(200, {"query": q, "count": service.count(q)})
                 if u.path == "/api/termvectors":
                     doc = (qs.get("doc") or [""])[0]
                     if not doc:

@@ -830,3 +830,15 @@ def test_term_vectors(spark, docs, index_dir):
     for t in set(toks):
         assert got[t]["df"] == want_df[t] > 0
     assert reader.term_vectors(docs, 10**9).count() == 0
+
+
+def test_match_count(spark, docs, index_dir):
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    terms = set(tokenize_py("merge join"))
+    want = sum(
+        1 for r in docs.collect() if set(tokenize_py(r["content"])) & terms
+    )
+    assert reader.match_count("merge join").collect()[0]["n_docs"] == want
+    assert reader.match_count("zzznotaterm").collect()[0]["n_docs"] == 0

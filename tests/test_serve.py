@@ -497,3 +497,20 @@ def test_termvectors_endpoint(service, spark, docs):
         assert body["terms"]
     finally:
         httpd.shutdown()
+
+
+def test_count_endpoint(service):
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/count?q=merge+join"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["count"] == service.count("merge join") > 0
+    finally:
+        httpd.shutdown()
