@@ -747,3 +747,191 @@ def load_manifest(out_dir: str, build_id: str | None = None) -> dict:
         raise FileNotFoundError(f"no live build published under {out_dir}")
     with open(os.path.join(store.build_dir(build_id), "manifest.json")) as f:
         return json.load(f)
+
+
+def verify_index(spark: SparkSession, out_dir: str) -> dict:
+    """Index fsck (the operational dual of the build's per-partition
+    lineage): validate every live build's physical artifacts against its
+    manifest and the format invariants, WITHOUT trusting any of them.
+
+    Checks, per live build:
+      structure  — build dir + manifest.json present and complete=True;
+                   every manifest bucket's dir and _bucket marker exist
+      blocks     — DISTRIBUTED mapInArrow pass over every posting block:
+                   ids strictly increasing, ids[0]/ids[-1] == stored
+                   first/last_doc_id, len(ids) == n_docs == len(tfs),
+                   max(tf) == block_max_tf, varint streams decode clean
+      terms      — per-term df in the terms table == sum of its blocks'
+                   n_docs (the C1 invariant)
+      docmap     — doc count == manifest total_docs; doc_id unique
+      tombstones — every dead_build referenced is a live build
+
+    Returns a report dict {ok, builds: {bid: {...}}, errors: [...]};
+    never raises on corruption — the caller decides (scripts/fsck.py
+    exits non-zero). The block pass is one Spark job over the same
+    pruned columns a query would read; nothing collects but counters."""
+    report: dict = {"ok": True, "builds": {}, "errors": []}
+
+    def err(msg: str) -> None:
+        report["ok"] = False
+        report["errors"].append(msg)
+
+    store = SegmentStore(out_dir)
+    live = store.live_builds()
+    if not live:
+        err("no live builds in MANIFEST")
+        return report
+    for bid in live:
+        bdir = store.build_dir(bid)
+        b: dict = {}
+        report["builds"][bid] = b
+        mpath = os.path.join(bdir, "manifest.json")
+        if not os.path.exists(mpath):
+            err(f"{bid}: manifest.json missing")
+            continue
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if not manifest.get("complete"):
+            err(f"{bid}: manifest not complete")
+        n_buckets = len(manifest.get("partitions", []))
+        b["n_buckets"] = n_buckets
+        bucket_dirs = []
+        for p in manifest.get("partitions", []):
+            bk = p["bucket"]
+            d = os.path.join(bdir, f"bucket={bk}")
+            if not os.path.exists(d):
+                err(f"{bid}: bucket dir missing: bucket={bk}")
+                continue
+            if not os.path.exists(os.path.join(bdir, f"_bucket_{bk}.json")):
+                err(f"{bid}: bucket marker missing: _bucket_{bk}.json")
+            bucket_dirs.append(d)
+        if not bucket_dirs:
+            continue
+
+        blocks = spark.read.parquet(*bucket_dirs)
+
+        # imported HERE (not in the kernel) so cloudpickle captures the
+        # decoders by value in the closure — workers never re-import the
+        # package, keeping the /tmp-cwd contract (see _pickle.py)
+        import numpy as np
+
+        from ..functions.varint import delta_decode_ids, varint_decode
+
+        def check_kernel(batches):
+            import pyarrow as pa
+
+            for rb in batches:
+                cols = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+                bad_mono = bad_bounds = bad_len = bad_max = bad_decode = 0
+                n = rb.num_rows
+                postings = 0
+                for i in range(n):
+                    try:
+                        ids = delta_decode_ids(cols["doc_ids_varint"][i].as_py())
+                        tfs = varint_decode(cols["tfs_varint"][i].as_py())
+                        dls = varint_decode(cols["dls_varint"][i].as_py())
+                    except Exception:
+                        bad_decode += 1
+                        continue
+                    postings += len(ids)
+                    if len(ids) > 1 and not bool((np.diff(ids) > 0).all()):
+                        bad_mono += 1
+                    if len(ids) and (
+                        int(ids[0]) != cols["first_doc_id"][i].as_py()
+                        or int(ids[-1]) != cols["last_doc_id"][i].as_py()
+                    ):
+                        bad_bounds += 1
+                    if not (len(ids) == cols["n_docs"][i].as_py() == len(tfs) == len(dls)):
+                        bad_len += 1
+                    if len(tfs) and int(tfs.max()) != cols["block_max_tf"][i].as_py():
+                        bad_max += 1
+                yield pa.record_batch(
+                    [
+                        pa.array([n], pa.int64()),
+                        pa.array([postings], pa.int64()),
+                        pa.array([bad_mono], pa.int64()),
+                        pa.array([bad_bounds], pa.int64()),
+                        pa.array([bad_len], pa.int64()),
+                        pa.array([bad_max], pa.int64()),
+                        pa.array([bad_decode], pa.int64()),
+                    ],
+                    [
+                        "blocks", "postings", "bad_monotone", "bad_bounds",
+                        "bad_len", "bad_maxtf", "bad_decode",
+                    ],
+                )
+
+        sums = (
+            blocks.select(
+                "term", "n_docs", "first_doc_id", "last_doc_id", "block_max_tf",
+                "doc_ids_varint", "tfs_varint", "dls_varint",
+            )
+            .mapInArrow(
+                check_kernel,
+                "blocks long, postings long, bad_monotone long, bad_bounds long, "
+                "bad_len long, bad_maxtf long, bad_decode long",
+            )
+            .groupBy()
+            .sum()
+            .collect()[0]
+        )
+        stats = {k.replace("sum(", "").rstrip(")"): int(v or 0) for k, v in sums.asDict().items()}
+        b["blocks"] = stats
+        for k in ("bad_monotone", "bad_bounds", "bad_len", "bad_maxtf", "bad_decode"):
+            if stats.get(k):
+                err(f"{bid}: {stats[k]} blocks fail {k}")
+        if manifest.get("total_postings") not in (None, stats["postings"]):
+            err(
+                f"{bid}: manifest total_postings {manifest['total_postings']} "
+                f"!= decoded {stats['postings']}"
+            )
+
+        # C1 invariant: terms-table df == per-term posting count in blocks
+        terms_dir = os.path.join(bdir, "terms")
+        if os.path.exists(terms_dir):
+            per_term = blocks.groupBy("term").agg(
+                F.sum("n_docs").cast("long").alias("n_post")
+            )
+            tt = spark.read.parquet(terms_dir).groupBy("term").agg(
+                F.sum("df").cast("long").alias("df")
+            )
+            bad_df = (
+                per_term.join(tt, "term", "full")
+                .filter(
+                    F.col("df").isNull()
+                    | F.col("n_post").isNull()
+                    | (F.col("df") != F.col("n_post"))
+                )
+                .count()
+            )
+            b["df_mismatch_terms"] = int(bad_df)
+            if bad_df:
+                err(f"{bid}: {bad_df} terms fail df == sum(blocks.n_docs)")
+        else:
+            err(f"{bid}: terms table missing")
+
+        # docmap: count matches manifest, doc_id unique
+        dm_dirs = docmap_dirs(store, [bid])
+        if dm_dirs:
+            dm = spark.read.parquet(*dm_dirs)
+            n_docs = dm.count()
+            n_uniq = dm.select("doc_id").distinct().count()
+            b["docmap_docs"] = n_docs
+            if n_docs != n_uniq:
+                err(f"{bid}: docmap has {n_docs - n_uniq} duplicate doc_ids")
+            mdocs = manifest.get("stats", {}).get("N")
+            if mdocs not in (None, n_docs):
+                err(f"{bid}: manifest stats.N {mdocs} != docmap {n_docs}")
+        else:
+            err(f"{bid}: docmap missing")
+
+    # tombstones: every referenced dead_build must be a live build
+    t_dirs = tombstone_dirs(store, live)
+    if t_dirs:
+        t = spark.read.parquet(*t_dirs)
+        refs = {r["dead_build"] for r in t.select("dead_build").distinct().collect()}
+        dangling = refs - set(live)
+        if dangling:
+            report["builds"].setdefault("_tombstones", {})["dangling"] = sorted(dangling)
+            err(f"tombstones reference non-live builds: {sorted(dangling)}")
+    return report

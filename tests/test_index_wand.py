@@ -842,3 +842,42 @@ def test_match_count(spark, docs, index_dir):
     )
     assert reader.match_count("merge join").collect()[0]["n_docs"] == want
     assert reader.match_count("zzznotaterm").collect()[0]["n_docs"] == 0
+
+
+def test_fsck_clean_and_corrupted(spark, docs, index_dir, tmp_path):
+    """verify_index is green on a fresh build, and catches a tampered
+    block (first_doc_id shifted) plus a deleted bucket marker."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ariadna_spark.sources.segments import verify_index
+
+    rep = verify_index(spark, index_dir)
+    assert rep["ok"], rep["errors"]
+    b = rep["builds"]["t1"]
+    assert b["blocks"]["blocks"] > 0 and b["blocks"]["postings"] > 0
+    assert b["df_mismatch_terms"] == 0 and b["docmap_docs"] == docs.count()
+
+    # corrupt a copy: shift one block's first_doc_id and drop a marker
+    out = str(tmp_path / "corrupt")
+    shutil.copytree(index_dir, out)
+    f = sorted(glob.glob(f"{out}/builds/t1/bucket=0/*.parquet"))[0]
+    t = pq.read_table(f)
+    import pyarrow as pa
+
+    fdi = t.column("first_doc_id").to_pylist()
+    fdi[0] = fdi[0] + 1
+    cols = {n: t.column(n) for n in t.schema.names}
+    cols["first_doc_id"] = pa.array(fdi, type=pa.int64())
+    pq.write_table(pa.table(cols), f)
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):  # stale Hadoop checksum sidecar from copytree
+        os.remove(crc)
+    os.remove(f"{out}/builds/t1/_bucket_1.json")
+
+    rep2 = verify_index(spark, out)
+    assert not rep2["ok"]
+    msgs = "\n".join(rep2["errors"])
+    assert "bad_bounds" in msgs and "_bucket_1.json" in msgs

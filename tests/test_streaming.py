@@ -318,3 +318,32 @@ def test_tomb_ratio_trigger(spark, tmp_path):
     assert compaction_due(out, max_segments=10, max_tomb_ratio=0.25) is None
     got = IndexReader(spark, out).topk("v1 shared", 10).collect()
     assert sorted(r["doc_id"] for r in got) == [10, 11, 12, 13]
+
+
+def test_fsck_incremental_store(spark, overwrite_corpus, tmp_path):
+    """verify_index is green across a base+append store with tombstones,
+    and flags a dangling tombstone if the target build is dropped from
+    the live list."""
+    import json
+
+    from ariadna_spark.sources.segments import (
+        SegmentStore,
+        append_segment,
+        verify_index,
+    )
+
+    base, upd, _ = overwrite_corpus
+    out = str(tmp_path / "ovr")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd", n_buckets=2)
+
+    rep = verify_index(spark, out)
+    assert rep["ok"], rep["errors"]
+    assert set(rep["builds"]) == {"base", "upd"}
+
+    # drop 'base' from the live list without GC'ing its files: the upd
+    # build's tombstone now references a non-live build
+    SegmentStore(out).publish_many(["upd"])
+    rep2 = verify_index(spark, out)
+    assert not rep2["ok"]
+    assert any("non-live" in e for e in rep2["errors"]), rep2["errors"]
