@@ -266,6 +266,70 @@ def stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
         spark.stop()
 
 
+def query_stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
+    """Query-path scale stress: build a 1M-doc index once, then measure
+    the round-5 query surface's warm latencies at that scale — match,
+    search_after page 2, filter context, composed bool, field-sorted,
+    aggregation suite, count. The point is the SHAPE: every path must
+    stay a pruned/pushed plan whose latency tracks the candidate set,
+    not the corpus size."""
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.corpus import synth_code_corpus_distributed
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.sources.segments import build_index
+
+    cores = cores or CPUS
+    spark = _mk_spark(cores, "ariadna-bench-qstress")
+    work = _fast_tmp("qstress_")
+    out = {"qstress_docs": n_docs}
+    try:
+        corpus = os.path.join(work, "docs")
+        synth_code_corpus_distributed(spark, n_docs).write.mode("overwrite").parquet(corpus)
+        docs = spark.read.parquet(corpus)
+        idx = os.path.join(work, "idx")
+        t0 = time.monotonic()
+        build_index(spark, docs, idx, build_id="qs")
+        out["qstress_build_sec"] = round(time.monotonic() - t0, 2)
+        reader = IndexReader(spark, idx)
+        q = "binary search hashMap"
+
+        def timed(tag, fn):
+            t0 = time.monotonic()
+            fn()
+            out[f"qstress_{tag}_sec"] = round(time.monotonic() - t0, 4)
+
+        timed("match", lambda: reader.topk(q, 10).collect())
+        p1 = reader.topk(q, 10).collect()
+        timed(
+            "page2",
+            lambda: reader.topk(q, 10, after=(p1[-1]["score"], p1[-1]["doc_id"])).collect(),
+        )
+        timed(
+            "filtered",
+            lambda: reader.filtered_topk(q, F.col("lang") == "go", 10).collect(),
+        )
+        timed(
+            "bool",
+            lambda: reader.bool_topk(
+                "binary search", "result index", "foo", msm=1, k=10
+            ).collect(),
+        )
+        timed(
+            "sorted",
+            lambda: reader.sorted_topk(q, "doc_len", asc=False, k=10).collect(),
+        )
+        timed("aggs", lambda: reader.match_aggs(q).collect())
+        timed("count", lambda: reader.match_count(q).collect())
+        out["qstress_count_docs"] = int(
+            reader.match_count(q).collect()[0]["n_docs"]
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def _build_once(corpus_dir: str, cores: int) -> dict:
     """One cold measurement: fresh session, build, report. Invoked in a
     fresh subprocess per cluster size so JVM heap/GC state cannot leak
@@ -560,6 +624,8 @@ def main():
     ap.add_argument("--stress", action="store_true",
                     help="also scale-stress the training-data operators")
     ap.add_argument("--stress-docs", type=int, default=1_000_000)
+    ap.add_argument("--query-stress", action="store_true",
+                    help="also scale-stress the query surface at --stress-docs")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
@@ -609,6 +675,8 @@ def main():
         result["executor_scaling"] = executor_scaling_run(n_docs=args.executor_scaling_docs)
     if args.stress:
         result["stress"] = stress_run(n_docs=args.stress_docs)
+    if args.query_stress:
+        result["query_stress"] = query_stress_run(n_docs=args.stress_docs)
     print(json.dumps(result))
 
 
