@@ -148,31 +148,87 @@ def _bmw_range_topk(
             uniq, sums = uniq[keep], sums[keep]
             if uniq.size == 0:
                 continue
-        # Vectorized top-k merge: strides partition the doc_id space, so a
-        # doc never appears in two visited strides — the running heap and
-        # this stride's candidates are disjoint and can be merged with one
-        # lexsort (doc_id asc breaks score ties) instead of a per-doc
-        # Python loop.
-        if heap:
-            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
-            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
-            all_s = np.concatenate([hs, sums])
-            all_d = np.concatenate([hd, uniq])
-        else:
-            all_s, all_d = sums, uniq
-        if all_d.size > k:
-            top = np.lexsort((all_d, -all_s))[:k]
-            all_s, all_d = all_s[top], all_d[top]
-        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
-        heapq.heapify(heap)
-        if len(heap) >= k:
-            theta = heap[0][0]
+        heap, theta = _merge_stride_topk(heap, uniq, sums, k)
 
     pairs = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
     if not pairs:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     d_out, s_out = zip(*pairs)
     return np.asarray(d_out, dtype=np.int64), np.asarray(s_out, dtype=np.float64)
+
+
+_EMPTY_TOPK = {"doc_id": "int64", "score": "float64"}
+
+
+def _split_pseudo_rows(pdf: pd.DataFrame) -> tuple[pd.DataFrame, np.ndarray | None, dict]:
+    """Strip the two pseudo-row families that ride the rid shuffle and
+    return (block_rows, allow, dead). `allow` (sorted int64 ids, or None
+    when no filter context) comes from is_filt rows — the ES bool-filter
+    allow-list; `dead` maps build id -> dead doc_ids from is_tomb rows —
+    the per-segment overwrite tombstones. Shared by every kernel that
+    consumes the ranged union (wand_kernel, bool_kernel)."""
+    allow: np.ndarray | None = None
+    if "is_filt" in pdf.columns:
+        fm = pdf["is_filt"].to_numpy().astype(bool)
+        allow = np.sort(pdf.loc[fm, "first_doc_id"].to_numpy().astype(np.int64))
+        pdf = pdf[~fm].reset_index(drop=True)
+    dead: dict = {}
+    if not pdf.empty and "is_tomb" in pdf.columns:
+        tm = pdf["is_tomb"].to_numpy()
+        if tm.any():
+            trows = pdf[tm]
+            dead = {
+                b: g["first_doc_id"].to_numpy().astype(np.int64)
+                for b, g in trows.groupby("bid")
+            }
+            pdf = pdf[~tm].reset_index(drop=True)
+    return pdf, allow, dead
+
+
+def _make_decoder(pdf, idf_by_term, row_term, lo, hi, dead, row_bid, allow, avgdl):
+    """Lazy per-block decode closure: ids masked to [lo, hi), dead
+    versions and filter-context exclusions applied, scores precomputed.
+    Memoized — a block decodes at most once per kernel invocation; the
+    memo dict doubles as the decode counter for prune_stats."""
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
+        if i not in decoded:
+            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
+            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
+            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
+            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
+            m = (ids >= lo) & (ids < hi)
+            if dead and row_bid is not None:
+                dd = dead.get(row_bid[i])
+                if dd is not None and dd.size:
+                    m &= ~np.isin(ids, dd)  # overwritten versions never score
+            if allow is not None:
+                m &= np.isin(ids, allow)  # filter context: allowed docs only
+            decoded[i] = (ids[m], sc[m])
+        return decoded[i]
+
+    return decode, decoded
+
+
+def _merge_stride_topk(heap, uniq, sums, k):
+    """Merge one stride's qualifying (uniq ids, summed scores) into the
+    running top-k heap. Strides partition the doc_id space, so the heap
+    and this stride's candidates are disjoint — one lexsort (doc_id asc
+    breaks score ties) replaces a per-doc loop. Returns (heap, theta)."""
+    if heap:
+        hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
+        hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
+        all_s = np.concatenate([hs, sums])
+        all_d = np.concatenate([hd, uniq])
+    else:
+        all_s, all_d = sums, uniq
+    if all_d.size > k:
+        top = np.lexsort((all_d, -all_s))[:k]
+        all_s, all_d = all_s[top], all_d[top]
+    heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
+    heapq.heapify(heap)
+    return heap, (heap[0][0] if len(heap) >= k else 0.0)
 
 
 def wand_kernel(
@@ -194,37 +250,13 @@ def wand_kernel(
     here — no driver-side stats round-trip per query.
     """
     rid = int(pdf["rid"].iloc[0])
-    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-        {"doc_id": "int64", "score": "float64"}
-    )
-    # Filter-context pseudo-rows (is_filt=True, the ES bool-query filter):
-    # their first_doc_id values are THE allowed doc ids of this range —
-    # filtered_topk unions them into the same rid shuffle the blocks ride
-    # (the tombstone pattern), so the filter is never a driver-held set.
-    # Presence of the column means filter mode: a range with no allow rows
-    # has no eligible docs at all.
-    allow: np.ndarray | None = None
-    if "is_filt" in pdf.columns:
-        fm = pdf["is_filt"].to_numpy().astype(bool)
-        allow = np.sort(pdf.loc[fm, "first_doc_id"].to_numpy().astype(np.int64))
-        pdf = pdf[~fm].reset_index(drop=True)
-        if allow.size == 0 or pdf.empty:
-            return empty
-    # Tombstone pseudo-rows (is_tomb=True) mark per-segment dead doc_ids
-    # (overwritten versions): build the per-build dead sets, then drop the
-    # markers before any block metadata is touched.
-    dead: dict = {}
-    if "is_tomb" in pdf.columns:
-        tm = pdf["is_tomb"].to_numpy()
-        if tm.any():
-            trows = pdf[tm]
-            dead = {
-                b: g["first_doc_id"].to_numpy().astype(np.int64)
-                for b, g in trows.groupby("bid")
-            }
-            pdf = pdf[~tm].reset_index(drop=True)
-            if pdf.empty:
-                return empty
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY_TOPK)
+    # Pseudo-rows ride the same rid shuffle as the blocks (never a
+    # driver-held set): is_filt rows carry the ES filter-context
+    # allow-list, is_tomb rows the per-segment overwrite tombstones.
+    pdf, allow, dead = _split_pseudo_rows(pdf)
+    if (allow is not None and allow.size == 0) or pdf.empty:
+        return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
     idf_by_term = {
@@ -241,24 +273,9 @@ def wand_kernel(
     scale = pdf["scale"].to_numpy() if "scale" in pdf.columns else 1.0
     bms = pdf["block_max_tfnorm"].to_numpy() * pdf["term"].map(idf_by_term).to_numpy() * scale
     row_term = pdf["term"].to_numpy()
-
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # row idx -> (ids, scores)
-
-    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
-        if i not in decoded:
-            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
-            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
-            m = (ids >= lo) & (ids < hi)  # mask to this range partition
-            if dead and row_bid is not None:
-                dd = dead.get(row_bid[i])
-                if dd is not None and dd.size:
-                    m &= ~np.isin(ids, dd)  # overwritten versions never score
-            if allow is not None:
-                m &= np.isin(ids, allow)  # filter context: allowed docs only
-            decoded[i] = (ids[m], sc[m])
-        return decoded[i]
+    decode, decoded = _make_decoder(
+        pdf, idf_by_term, row_term, lo, hi, dead, row_bid, allow, avgdl
+    )
 
     stride_mask = None
     if allow is not None:
@@ -315,28 +332,10 @@ def bool_kernel(
     contribute to bounds; they decode only in strides actually visited.
 
     Clause term sets must be disjoint (asserted in bool_topk)."""
-    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-        {"doc_id": "int64", "score": "float64"}
-    )
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY_TOPK)
     rid = int(pdf["rid"].iloc[0])
-    allow: np.ndarray | None = None
-    if "is_filt" in pdf.columns:
-        fm = pdf["is_filt"].to_numpy().astype(bool)
-        allow = np.sort(pdf.loc[fm, "first_doc_id"].to_numpy().astype(np.int64))
-        pdf = pdf[~fm].reset_index(drop=True)
-        if allow.size == 0 or pdf.empty:
-            return empty
-    dead: dict = {}
-    if "is_tomb" in pdf.columns:
-        tm = pdf["is_tomb"].to_numpy()
-        if tm.any():
-            trows = pdf[tm]
-            dead = {
-                b: g["first_doc_id"].to_numpy().astype(np.int64)
-                for b, g in trows.groupby("bid")
-            }
-            pdf = pdf[~tm].reset_index(drop=True)
-    if pdf.empty:
+    pdf, allow, dead = _split_pseudo_rows(pdf)
+    if (allow is not None and allow.size == 0) or pdf.empty:
         return empty
     must_s, should_s, not_s = set(must_terms), set(should_terms), set(not_terms)
     present = set(pdf["term"])
@@ -365,23 +364,9 @@ def bool_kernel(
         * scale
     )
 
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-
-    def decode(i: int) -> tuple[np.ndarray, np.ndarray]:
-        if i not in decoded:
-            ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
-            tfs = varint_decode(pdf["tfs_varint"].iloc[i]).astype(np.float64)
-            dls = varint_decode(pdf["dls_varint"].iloc[i]).astype(np.float64)
-            sc = _score_block(tfs, dls, idf_by_term[row_term[i]], avgdl)
-            m = (ids >= lo) & (ids < hi)
-            if dead and row_bid is not None:
-                dd = dead.get(row_bid[i])
-                if dd is not None and dd.size:
-                    m &= ~np.isin(ids, dd)
-            if allow is not None:
-                m &= np.isin(ids, allow)
-            decoded[i] = (ids[m], sc[m])
-        return decoded[i]
+    decode, decoded = _make_decoder(
+        pdf, idf_by_term, row_term, lo, hi, dead, row_bid, allow, avgdl
+    )
 
     n_strides = (range_size + stride - 1) // stride
     s_lo = np.maximum((fd - lo) // stride, 0).astype(np.int64)
@@ -455,20 +440,7 @@ def bool_kernel(
         uniq, sums = uniq[keep], sums[keep]
         if uniq.size == 0:
             continue
-        if heap:
-            hs = np.fromiter((s for s, _ in heap), dtype=np.float64, count=len(heap))
-            hd = np.fromiter((-d for _, d in heap), dtype=np.int64, count=len(heap))
-            all_s = np.concatenate([hs, sums])
-            all_d = np.concatenate([hd, uniq])
-        else:
-            all_s, all_d = sums, uniq
-        if all_d.size > k:
-            top = np.lexsort((all_d, -all_s))[:k]
-            all_s, all_d = all_s[top], all_d[top]
-        heap = [(s, -d) for s, d in zip(all_s.tolist(), all_d.tolist())]
-        heapq.heapify(heap)
-        if len(heap) >= k:
-            theta = heap[0][0]
+        heap, theta = _merge_stride_topk(heap, uniq, sums, k)
 
     if prune_stats is not None:
         prune_stats["n_blocks_total"] = len(pdf)
@@ -1420,9 +1392,7 @@ class IndexReader:
         candidate IS a match), masked to live docs by an id-only
         semi-join against the tombstone-filtered docmap, then count(*) —
         a partial-aggregated scalar, no sort anywhere."""
-        from ..analyze import tokenize_py as _tok
-
-        terms = sorted(set(_tok(query)))
+        terms = sorted(set(tokenize_py(query)))
         out_schema = "n_docs long"
         if not terms:
             return self.spark.createDataFrame([(0,)], out_schema)
@@ -1492,35 +1462,77 @@ class IndexReader:
         return int(row["nd"] or 0)
 
     def candidate_doc_ids(self, terms: list[str]) -> DataFrame:
-        """DISTINCT doc_ids whose postings hold ANY of `terms`, straight
-        off the pruned blocks: bucket-dir pruning + pushed `term IN`, and
-        ONLY the doc_ids_varint column decoded (Catalyst prunes tf/dl/
-        positions from the parquet scan). This is the index side of the
-        accelerated-grep semi-join. May include tombstoned (overwritten)
-        doc_ids — prefilter callers re-verify against live corpus rows, so
-        stale candidates cost work, never correctness."""
+        """DISTINCT LIVE doc_ids whose postings hold ANY of `terms`,
+        straight off the pruned blocks: bucket-dir pruning + pushed
+        `term IN`, and ONLY the doc_ids_varint column decoded (Catalyst
+        prunes tf/dl/positions from the parquet scan). This is the index
+        side of the accelerated-grep semi-join AND the exact match set
+        behind count/facets/aggs/sorted search.
+
+        Tombstone-exact: with overwrites present, each decoded id carries
+        its segment (bid from the file path) and dead (bid, doc_id)
+        pairs are anti-joined away — a doc whose OLD version matched but
+        whose live version does not is NOT a candidate (its own build's
+        postings never held the term), matching every scoring path's
+        dead-masking. Single-build stores skip all of it (no extra
+        column, no join)."""
         empty = self.spark.range(0).select(F.col("id").alias("doc_id"))
         if not terms:
             return empty
         dirs = self._bucket_dirs(terms)
         if not dirs:
             return empty
-        blocks = (
-            self._read_parquet(dirs, "blocks")
-            .filter(F.col("term").isin(terms))
-            .select("doc_ids_varint")
+        blocks = self._read_parquet(dirs, "blocks").filter(F.col("term").isin(terms))
+        tomb = self._tombstones_df()
+        if tomb is None:
+            blocks = blocks.select("doc_ids_varint")
+
+            def ids_kernel(batches):
+                import pyarrow as pa
+
+                for rb in batches:
+                    parts = [delta_decode_ids(v.as_py()) for v in rb.column(0)]
+                    if parts:
+                        u = np.unique(np.concatenate(parts))
+                        yield pa.record_batch([pa.array(u, type=pa.int64())], ["doc_id"])
+
+            return blocks.mapInArrow(ids_kernel, "doc_id long").distinct()
+
+        from ..sources.segments import BID_PATTERN
+
+        blocks = blocks.select(
+            F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1).alias("bid"),
+            "doc_ids_varint",
         )
 
-        def ids_kernel(batches):
+        def ids_bid_kernel(batches):
             import pyarrow as pa
 
             for rb in batches:
-                parts = [delta_decode_ids(v.as_py()) for v in rb.column(0)]
-                if parts:
-                    u = np.unique(np.concatenate(parts))
-                    yield pa.record_batch([pa.array(u, type=pa.int64())], ["doc_id"])
+                bids, ids = [], []
+                for b, v in zip(rb.column(0), rb.column(1)):
+                    d = delta_decode_ids(v.as_py())
+                    ids.append(d)
+                    bids.extend([b.as_py()] * len(d))
+                if ids:
+                    yield pa.record_batch(
+                        [
+                            pa.array(bids, pa.string()),
+                            pa.array(np.concatenate(ids), pa.int64()),
+                        ],
+                        ["bid", "doc_id"],
+                    )
 
-        return blocks.mapInArrow(ids_kernel, "doc_id long").distinct()
+        cands = blocks.mapInArrow(ids_bid_kernel, "bid string, doc_id long")
+        return (
+            cands.join(
+                tomb.select(F.col("dead_build").alias("bid"), "doc_id"),
+                ["bid", "doc_id"],
+                "left_anti",
+            )
+            .select("doc_id")
+            .distinct()
+        )
 
     def sorted_topk(
         self,
@@ -1544,9 +1556,7 @@ class IndexReader:
         asc|desc, doc_id asc) order), so page N reads the same plan as
         page 1. `flt` optionally adds a non-scoring docmap predicate
         (filter context), pushed into the same scan."""
-        from ..analyze import tokenize_py as _tok
-
-        terms = sorted(set(_tok(query)))
+        terms = sorted(set(tokenize_py(query)))
         dm = self.docmap().select("doc_id", "repo", "path", "lang", "doc_len")
         if sort_col not in dm.columns:
             raise ValueError(f"unsortable column {sort_col!r}")
@@ -1579,11 +1589,9 @@ class IndexReader:
         SAME cached candidate frame. Cardinality is exact countDistinct
         here; at 100-TB fan-in swap approx_count_distinct (HLL — exactly
         ES's cardinality agg semantics)."""
-        from ..analyze import tokenize_py as _tok
-
         ranges = ranges or [("short", None, 40), ("medium", 40, 80), ("long", 80, None)]
         out_schema = "agg string, bucket string, n_docs long, metric double"
-        terms = sorted(set(_tok(query)))
+        terms = sorted(set(tokenize_py(query)))
         if not terms:
             return self.spark.createDataFrame([], out_schema)
         bucket = None
@@ -1683,6 +1691,7 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """ES bool-query filter context (match `query` + `filter` over doc
         attributes, the delegated search surface's filtered form): top-k
@@ -1738,7 +1747,7 @@ class IndexReader:
         ranged = ranged.unionByName(allow, allowMissingColumns=True)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return wand_kernel(pdf, n_docs, avgdl, k, range_size)
+            return wand_kernel(pdf, n_docs, avgdl, k, range_size, after=after)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

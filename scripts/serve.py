@@ -74,6 +74,21 @@ class SearchService:
     # terms over doc metadata); an allowlist, never raw expressions
     FILTERABLE = ("repo", "path", "commit", "lang")
 
+    def _filter_expr(self, filters: dict[str, str] | None):
+        """{col: value} -> conjunctive Catalyst equality predicate over
+        allowlisted docmap columns (None passes through)."""
+        if not filters:
+            return None
+        from pyspark.sql import functions as F
+
+        bad = set(filters) - set(self.FILTERABLE)
+        if bad:
+            raise ValueError(f"unfilterable column(s): {sorted(bad)}")
+        flt = F.lit(True)
+        for c, v in filters.items():
+            flt = flt & (F.col(c) == v)
+        return flt
+
     def search(
         self, q: str, k: int = 10, mode: str = "match", docmap: bool = False,
         window: int = 8, after: tuple[float, int] | None = None,
@@ -81,7 +96,9 @@ class SearchService:
     ) -> list[dict]:
         """`after=(score, doc_id)` = ES search_after cursor (match mode).
         `filters={col: value}` = ES bool-filter terms over docmap
-        attributes (match mode); conjunctive equality only."""
+        attributes (match mode); conjunctive equality only. Cursor and
+        filters compose — a filtered page 2 stays a pruned top-k job."""
+        flt = self._filter_expr(filters)
         with self._lock:
             if mode == "near":
                 rows = self.reader.near_topk(
@@ -91,17 +108,9 @@ class SearchService:
                 rows = self.reader.fuzzy_topk(
                     q, k, max_dist=window, with_docmap=docmap
                 ).collect()
-            elif mode == "match" and filters:
-                from pyspark.sql import functions as F
-
-                bad = set(filters) - set(self.FILTERABLE)
-                if bad:
-                    raise ValueError(f"unfilterable column(s): {sorted(bad)}")
-                flt = F.lit(True)
-                for c, v in filters.items():
-                    flt = flt & (F.col(c) == v)
+            elif mode == "match" and flt is not None:
                 rows = self.reader.filtered_topk(
-                    q, flt, k, with_docmap=docmap
+                    q, flt, k, with_docmap=docmap, after=after
                 ).collect()
             elif mode == "match":
                 rows = self.reader.topk(
@@ -122,16 +131,7 @@ class SearchService:
     ) -> list[dict]:
         """GET /api/bool: the composed ES bool query (must/should/
         must_not + minimum_should_match + non-scoring filter terms)."""
-        flt = None
-        if filters:
-            from pyspark.sql import functions as F
-
-            bad = set(filters) - set(self.FILTERABLE)
-            if bad:
-                raise ValueError(f"unfilterable column(s): {sorted(bad)}")
-            flt = F.lit(True)
-            for c, v in filters.items():
-                flt = flt & (F.col(c) == v)
+        flt = self._filter_expr(filters)
         with self._lock:
             rows = self.reader.bool_topk(
                 must, should, must_not, flt=flt, msm=msm, k=k, with_docmap=docmap
@@ -235,16 +235,7 @@ class SearchService:
     ) -> list[dict]:
         """GET /api/sorted: ES sort-by-field + search_after on the field
         sort key (TakeOrdered plan — no full sort, no over-fetch)."""
-        flt = None
-        if filters:
-            from pyspark.sql import functions as F
-
-            bad = set(filters) - set(self.FILTERABLE)
-            if bad:
-                raise ValueError(f"unfilterable column(s): {sorted(bad)}")
-            flt = F.lit(True)
-            for c, v in filters.items():
-                flt = flt & (F.col(c) == v)
+        flt = self._filter_expr(filters)
         with self._lock:
             rows = self.reader.sorted_topk(
                 q, by, asc=(order != "desc"), k=k, after=after, flt=flt
@@ -334,6 +325,10 @@ class SearchService:
 
 
 def make_handler(service: SearchService, public_dir: str | None = None):
+    def _parse_filters(qs: dict) -> dict[str, str] | None:
+        """?lang=fr&repo=... -> {col: value} over the service allowlist."""
+        return {c: qs[c][0] for c in service.FILTERABLE if qs.get(c)} or None
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -402,9 +397,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         after = (float(s), int(d))
                     # ?lang=fr&repo=... — ES bool-filter terms over
                     # docmap attributes (match mode, allowlisted)
-                    filters = {
-                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
-                    } or None
+                    filters = _parse_filters(qs)
                     rows = service.search(
                         q, k, mode=mode, docmap=docmap, window=window,
                         after=after, filters=filters,
@@ -437,9 +430,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     k = int((qs.get("k") or ["10"])[0])
                     msm = int((qs.get("msm") or ["0"])[0])
                     docmap = (qs.get("docmap") or ["0"])[0] in ("1", "true")
-                    filters = {
-                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
-                    } or None
+                    filters = _parse_filters(qs)
                     rows = service.bool_search(
                         must, should, must_not, msm=msm, k=k, docmap=docmap,
                         filters=filters,
@@ -501,9 +492,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     if qs.get("after"):
                         v, _, d = qs["after"][0].rpartition(",")
                         after = (int(v) if by == "doc_len" else v, int(d))
-                    filters = {
-                        c: qs[c][0] for c in service.FILTERABLE if qs.get(c)
-                    } or None
+                    filters = _parse_filters(qs)
                     rows = service.sorted_search(
                         q, by=by, order=order, k=k, after=after, filters=filters
                     )
@@ -538,6 +527,8 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                 if public_dir and not u.path.startswith("/api/"):
                     return self._static(u.path)
                 return self._json(404, {"error": "unknown endpoint"})
+            except ValueError as e:  # malformed params -> client error
+                return self._json(400, {"error": str(e)})
             except Exception as e:  # surface errors as JSON, keep serving
                 return self._json(500, {"error": str(e)})
 
