@@ -51,6 +51,20 @@ STRIDE = 1024  # doc_ids per pruning stride inside a range
 WAND_OUT_SCHEMA = "doc_id long, score double"
 
 
+def _idf_map(tdf, n_docs: int) -> dict[str, float]:
+    """BM25 idf per term off the (term, df) block rows. df is clamped to
+    the live doc count N: per-term df stays overcounted for tombstoned
+    docs until compaction (the documented Lucene deleted-docs drift), and
+    after a large delete_by_query df can exceed N — which would flip idf
+    negative and zero every block-max upper bound, pruning ALL results.
+    min(df, N) keeps idf positive and is bit-identical to the unclamped
+    form whenever there is no drift (df <= N)."""
+    return {
+        t: float(np.log(1.0 + (n_docs - min(int(d), n_docs) + 0.5) / (min(int(d), n_docs) + 0.5)))
+        for t, d in zip(tdf["term"], tdf["df"])
+    }
+
+
 def _score_block(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
     return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
@@ -259,10 +273,7 @@ def wand_kernel(
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-        for t, d in zip(tdf["term"], tdf["df"])
-    }
+    idf_by_term = _idf_map(tdf, n_docs)
     lo, hi = rid * range_size, (rid + 1) * range_size
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
@@ -347,10 +358,7 @@ def bool_kernel(
 
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-        for t, d in zip(tdf["term"], tdf["df"])
-    }
+    idf_by_term = _idf_map(tdf, n_docs)
     lo, hi = rid * range_size, (rid + 1) * range_size
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
@@ -571,10 +579,7 @@ def phrase_kernel(
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-        for t, d in zip(tdf["term"], tdf["df"])
-    }
+    idf_by_term = _idf_map(tdf, n_docs)
     lo, hi = rid * range_size, (rid + 1) * range_size
     uniq_terms = sorted(set(terms_ordered))
     row_term = pdf["term"].to_numpy()
@@ -678,10 +683,7 @@ def near_kernel(
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-        for t, d in zip(tdf["term"], tdf["df"])
-    }
+    idf_by_term = _idf_map(tdf, n_docs)
     lo, hi = rid * range_size, (rid + 1) * range_size
     uniq_terms = sorted(set(terms))
     m = len(uniq_terms)
@@ -761,10 +763,7 @@ def multiquery_kernel(
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
     tdf = pdf[["term", "df"]].drop_duplicates("term")
-    idf_by_term = {
-        t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-        for t, d in zip(tdf["term"], tdf["df"])
-    }
+    idf_by_term = _idf_map(tdf, n_docs)
     lo, hi = rid * range_size, (rid + 1) * range_size
     fd = pdf["first_doc_id"].to_numpy()
     ld = pdf["last_doc_id"].to_numpy()
@@ -975,8 +974,10 @@ class IndexReader:
         dirs = self._bucket_dirs(terms)
         if not dirs:
             return None
+        # tombstone-only builds (delete_by_query) have avgdl == 0 and no
+        # blocks — their scale is never consulted, any finite value works
         scale_by_build = {
-            bid: max(1.0, avgdl_q / st["avgdl"])
+            bid: max(1.0, avgdl_q / st["avgdl"]) if st["avgdl"] > 0 else 1.0
             for bid, st in zip(self.build_ids, self.build_stats)
         }
         from ..sources.segments import BID_PATTERN
@@ -1006,10 +1007,11 @@ class IndexReader:
         dfs = self._df_for_terms(terms)
         if dfs is None:
             return {}
-        return {
-            r["term"]: float(np.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5)))
-            for r in dfs.collect()
-        }
+        rows = dfs.collect()
+        return _idf_map(
+            {"term": [r["term"] for r in rows], "df": [int(r["df"]) for r in rows]},
+            n_docs,
+        )
 
     def _prefix_terms_df(self, prefix: str, max_terms: int = 256) -> DataFrame | None:
         """Edge-ngram prefix expansion AS A PLAN: ngram-bucket read with a
@@ -2107,9 +2109,15 @@ def multifield_kernel(
     # idf per (field, term): df is field-local (window-summed over that
     # field's pruned blocks), N is the field's corpus size
     ft = pdf[["field", "term", "df"]].drop_duplicates(["field", "term"])
+    # df clamped to the field's N — same deleted-docs-drift guard as
+    # _idf_map (a negative idf would zero the combined BM25F bound)
     idf_by_ft = {
         (int(f), t): float(
-            np.log(1.0 + (metas[int(f)][0] - d + 0.5) / (d + 0.5))
+            np.log(
+                1.0
+                + (metas[int(f)][0] - min(int(d), metas[int(f)][0]) + 0.5)
+                / (min(int(d), metas[int(f)][0]) + 0.5)
+            )
         )
         for f, t, d in zip(ft["field"], ft["term"], ft["df"])
     }

@@ -1978,6 +1978,127 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_OVERWRITE_REINDEX = _sql_overwrite_reindex()
 
 
+_DEL_CACHE: dict[str, tuple] = {}
+_DEL_MOD = 7
+_DEL_MATCH = "merge"
+_DEL_QUERY = "merge join window"
+
+
+def q_delete_by_query(spark, sf_dir) -> DataFrame:
+    """ES _delete_by_query end to end (the maintenance verb on the
+    delegated search surface, /root/reference/main.go:26): build, delete
+    every doc that BOTH matches the analyzed term '{merge}' AND has
+    doc_id % 7 == 2 (filter + match, AND semantics) as a tombstone-only
+    build, then top-k BM25 in BOTH lifecycle phases:
+
+      phase='masked'    — merge-on-read, pre-compaction: deleted docs must
+                          never score; N/avgdl corrected immediately from
+                          the marker; per-term df stays the full-corpus
+                          count (documented Lucene deleted-docs drift,
+                          clamped at N) — the oracle replays EXACTLY that
+                          drifted statistics regime in SQL;
+      phase='compacted' — after compact() physically drops the dead docs:
+                          statistics equal a corpus that never held them.
+
+    A leaked posting, a stats mis-subtraction, or a drift mismatch in
+    either phase breaks the hash."""
+    from .operators.wand import IndexReader
+    from .sources.segments import build_index, compact, delete_by_query
+
+    cols = ("doc_id", "score_r")
+    if sf_dir not in _DEL_CACHE:
+        out = _gate_tmp("del_gate_")
+        docs = load_docs(spark, sf_dir)
+        build_index(spark, docs, out, build_id="base", n_buckets=8)
+        delete_by_query(
+            spark,
+            out,
+            flt=(F.col("doc_id") % _DEL_MOD == 2),
+            query=_DEL_MATCH,
+            build_id="del",
+        )
+        masked = [
+            (r["doc_id"], r["score_r"])
+            for r in IndexReader(spark, out)
+            .topk(_DEL_QUERY, _WAND_K)
+            .select("doc_id", F.round("score", 4).alias("score_r"))
+            .collect()
+        ]
+        compact(spark, out, build_id="final", n_buckets=8)
+        _DEL_CACHE[sf_dir] = (out, masked)
+    out, masked = _DEL_CACHE[sf_dir]
+    pre = spark.createDataFrame(masked, "doc_id long, score_r double").withColumn(
+        "phase", F.lit("masked")
+    )
+    post = (
+        IndexReader(spark, out)
+        .topk(_DEL_QUERY, _WAND_K)
+        .select("doc_id", F.round("score", 4).alias("score_r"))
+        .withColumn("phase", F.lit("compacted"))
+    )
+    return pre.unionByName(post)
+
+
+def _sql_delete_by_query() -> str:
+    del_terms = sorted(set(tokenize_py(_DEL_MATCH)))
+    q_terms = sorted(set(tokenize_py(_DEL_QUERY)))
+    del_tlist = ", ".join(f"'{t}'" for t in del_terms)
+    q_tlist = ", ".join(f"'{t}'" for t in q_terms)
+    tok = duckdb_tokenize_sql("text")
+    # masked phase: df from the FULL corpus (blocks untouched by the
+    # delete), clamped at live N exactly as the kernel clamps; N/avgdl
+    # from live docs only
+    score_masked = duckdb_bm25_sql(
+        "tf.tf",
+        "LEAST(dff.df, (SELECT n FROM stats_live))",
+        "dl.doc_len",
+        "(SELECT n FROM stats_live)",
+        "(SELECT avgdl FROM stats_live)",
+    )
+    score_compacted = duckdb_bm25_sql(
+        "tf.tf",
+        "dfl.df",
+        "dl.doc_len",
+        "(SELECT n FROM stats_live)",
+        "(SELECT avgdl FROM stats_live)",
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+del AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE doc_id % {_DEL_MOD} = 2 AND term IN ({del_tlist})
+),
+tf_full AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks GROUP BY doc_id, term),
+dff AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_full GROUP BY term),
+tf AS (SELECT * FROM tf_full WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+dfl AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY doc_id),
+stats_live AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(doc_len) AS avgdl FROM dl),
+masked AS (
+  SELECT tf.doc_id, sum({score_masked}) AS s
+  FROM tf JOIN dff USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({q_tlist}) GROUP BY tf.doc_id
+),
+compacted AS (
+  SELECT tf.doc_id, sum({score_compacted}) AS s
+  FROM tf JOIN dfl USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({q_tlist}) GROUP BY tf.doc_id
+)
+SELECT * FROM (
+  SELECT doc_id, round(s, 4) AS score_r, 'masked' AS phase
+  FROM masked ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+)
+UNION ALL
+SELECT * FROM (
+  SELECT doc_id, round(s, 4) AS score_r, 'compacted' AS phase
+  FROM compacted ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+)
+"""
+
+
+SQL_DELETE_BY_QUERY = _sql_delete_by_query()
+
+
 def q_multifield_bm25(spark, sf_dir) -> DataFrame:
     """E8 multi-field search: BM25 over content plus a boosted BM25 over
     the path field (each field with its own df/dl/avgdl statistics, the
@@ -2864,6 +2985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
+    "delete_by_query": q_delete_by_query,
     "multifield_bm25": q_multifield_bm25,
     "multifield_indexed": q_multifield_indexed,
     "theta_containment": q_theta_containment,
@@ -2944,6 +3066,7 @@ ORACLES: dict[str, str] = {
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,
+    "delete_by_query": SQL_DELETE_BY_QUERY,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "multifield_indexed": SQL_MULTIFIELD_BM25,

@@ -551,6 +551,110 @@ def append_segment(
     return manifest
 
 
+def delete_by_query(
+    spark: SparkSession,
+    out_dir: str,
+    flt=None,
+    query: str | None = None,
+    build_id: str | None = None,
+) -> dict:
+    """ES `_delete_by_query` over the delegated search surface
+    (/root/reference/main.go:26 serves the index ES manages; deleting by
+    query is the standard ES maintenance verb on that surface): mark every
+    LIVE doc matching `flt` (a Catalyst predicate over docmap columns —
+    the non-scoring filter context) and/or `query` (an analyzed OR-match,
+    the ES default `match` semantics) dead, without rewriting a single
+    posting.
+
+    Deletes are a TOMBSTONE-ONLY build: a new build dir holding just
+    kb-bucketed (dead_build, doc_id) tombstones plus zeroed stats, atomically
+    appended to the live list. Every reader path already merges tombstones
+    across live builds (postings mask at decode, docmap/candidates
+    anti-join), so the deletion is visible at the next query with ZERO
+    segment rewrites — Lucene's deleted-docs model. N/avgdl correct
+    immediately via the marker; per-term df stays overcounted until
+    compaction (documented wand.py semantics), and compaction (manual or
+    the auto policy, which counts this build toward max_segments and its
+    rows toward the tombstone ratio) drops the dead docs physically and
+    retires the deletion build.
+
+    Scale shape: one pruned docmap scan (+ the candidate semi-join off
+    pruned posting blocks when `query` is given) and one tombstone write —
+    cost proportional to the match set, never the corpus. Victims already
+    dead (overwritten or previously deleted) are anti-joined away so stats
+    are never double-subtracted. Idempotent per build_id (marker
+    short-circuits replays).
+
+    Returns {"build_id", "deleted", "doc_len_sum"}.
+    """
+    if flt is None and query is None:
+        raise ValueError("delete_by_query needs flt and/or query")
+    store = SegmentStore(out_dir)
+    live = store.live_builds()
+    if not live:
+        raise FileNotFoundError(f"no live build in {out_dir}")
+    build_id = build_id or f"del_{uuid.uuid4().hex[:8]}"
+    bdir = store.build_dir(build_id)
+    marker = os.path.join(bdir, "_tombstones.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        return {"build_id": build_id, "deleted": meta["n"], "doc_len_sum": meta["doc_len_sum"]}
+
+    dm_dirs = docmap_dirs(store, live)
+    if not dm_dirs:
+        raise RuntimeError(f"live builds {live} in {out_dir} have no kb=<b> docmap buckets")
+    bid = F.regexp_extract(F.col("_metadata.file_path"), BID_PATTERN, 1)
+    dm = spark.read.parquet(*dm_dirs).withColumn("dead_build", bid)
+    prior = _tombstones_union(spark, store, live)
+    if prior is not None:
+        dm = dm.join(
+            prior.select("dead_build", "doc_id"), ["dead_build", "doc_id"], "left_anti"
+        )
+    if flt is not None:
+        dm = dm.filter(flt)
+    if query is not None:
+        from ..analyze import tokenize_py
+        from ..operators.wand import IndexReader
+
+        terms = sorted(set(tokenize_py(query)))
+        cand = IndexReader(spark, out_dir).candidate_doc_ids(terms)
+        dm = dm.join(cand, "doc_id", "left_semi")
+    dead = dm.select("dead_build", "doc_id", "doc_len", key_bucket_expr().alias("kb"))
+
+    os.makedirs(bdir, exist_ok=True)
+    dead.write.partitionBy("kb").mode("overwrite").parquet(os.path.join(bdir, "tombstones"))
+    written = _tombstones_union(spark, store, [build_id])
+    n, dl_sum = 0, 0
+    if written is not None:
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl"),
+        ).collect()[0]
+        n, dl_sum = int(agg["n"]), int(agg["dl"])
+    live_stats = []
+    for b in live:
+        with open(os.path.join(store.build_dir(b), "stats.json")) as f:
+            live_stats.append(json.load(f))
+    _atomic_write_json(
+        os.path.join(bdir, "stats.json"),
+        {
+            "N": 0,
+            "avgdl": 0.0,
+            "total_tokens": 0,
+            "build_id": build_id,
+            "n_buckets": 1,  # no posting buckets exist; 1 keeps hash math valid
+            "block_size": live_stats[-1].get("block_size"),
+            # a tombstone-only build contributes no blocks, so it must not
+            # flip the live set's positions capability either way
+            "positions": all(st.get("positions") for st in live_stats),
+        },
+    )
+    _atomic_write_json(marker, {"n": n, "doc_len_sum": dl_sum})
+    store.append_live(build_id)
+    return {"build_id": build_id, "deleted": n, "doc_len_sum": dl_sum}
+
+
 def compaction_due(
     out_dir: str, max_segments: int = 8, max_tomb_ratio: float = 0.25
 ) -> dict | None:
@@ -787,6 +891,24 @@ def verify_index(spark: SparkSession, out_dir: str) -> dict:
         report["builds"][bid] = b
         mpath = os.path.join(bdir, "manifest.json")
         if not os.path.exists(mpath):
+            # tombstone-only deletion build (delete_by_query): no segments
+            # and no manifest by design — verify the marker's count against
+            # the actual tombstone rows, then move on. The cross-build
+            # referential checks below still cover its rows.
+            tomb_marker = os.path.join(bdir, "_tombstones.json")
+            has_buckets = any(
+                d.startswith("bucket=") for d in os.listdir(bdir) if os.path.isdir(bdir)
+            )
+            if os.path.exists(tomb_marker) and not has_buckets:
+                with open(tomb_marker) as f:
+                    tm = json.load(f)
+                td = tombstone_dirs(store, [bid])
+                n_rows = spark.read.parquet(*td).count() if td else 0
+                b["tombstone_only"] = True
+                b["tombstones"] = n_rows
+                if n_rows != tm["n"]:
+                    err(f"{bid}: tombstone marker n {tm['n']} != rows {n_rows}")
+                continue
             err(f"{bid}: manifest.json missing")
             continue
         with open(mpath) as f:
@@ -934,4 +1056,24 @@ def verify_index(spark: SparkSession, out_dir: str) -> dict:
         if dangling:
             report["builds"].setdefault("_tombstones", {})["dangling"] = sorted(dangling)
             err(f"tombstones reference non-live builds: {sorted(dangling)}")
+        else:
+            # row-level referential integrity: every (dead_build, doc_id)
+            # must name a real docmap row of that build — a tombstone for
+            # a doc that never existed means stats were mis-subtracted
+            dm_all = docmap_dirs(store, live)
+            if dm_all:
+                dm = spark.read.parquet(*dm_all).select(
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), BID_PATTERN, 1
+                    ).alias("dead_build"),
+                    "doc_id",
+                )
+                orphan = (
+                    t.select("dead_build", "doc_id")
+                    .join(dm, ["dead_build", "doc_id"], "left_anti")
+                    .count()
+                )
+                report["tombstone_orphan_rows"] = int(orphan)
+                if orphan:
+                    err(f"{orphan} tombstone rows reference doc_ids absent from their build's docmap")
     return report

@@ -347,3 +347,45 @@ def test_fsck_incremental_store(spark, overwrite_corpus, tmp_path):
     rep2 = verify_index(spark, out)
     assert not rep2["ok"]
     assert any("non-live" in e for e in rep2["errors"]), rep2["errors"]
+
+
+def test_delete_by_query(spark, overwrite_corpus, tmp_path):
+    """ES _delete_by_query: filter-context and match-query deletes become
+    tombstone-only builds — visible at the next query with zero segment
+    rewrites, exact N/avgdl accounting, idempotent replay, fsck-green,
+    and physically dropped (build retired) at compaction."""
+    from ariadna_spark.sources.segments import compact, delete_by_query, verify_index
+
+    base, _, _ = overwrite_corpus
+    out = str(tmp_path / "del")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+
+    res = delete_by_query(spark, out, flt=(F.col("lang") == "go"), build_id="del1")
+    assert res["deleted"] == 1
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 2
+    assert reader.topk("gamma", 5).count() == 0  # deleted doc never scores
+    assert {r["doc_id"] for r in reader.topk("shared", 5).collect()} == {0, 1}
+    assert reader.docmap().count() == 2
+
+    # idempotent: replaying the same deletion build is a no-op
+    res2 = delete_by_query(spark, out, flt=(F.col("lang") == "go"), build_id="del1")
+    assert res2["deleted"] == 1
+    assert IndexReader(spark, out).stats["N"] == 2
+
+    # match-query delete (OR semantics; already-dead docs never recounted)
+    res3 = delete_by_query(spark, out, query="beta window", build_id="del2")
+    assert res3["deleted"] == 1
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 1
+    assert reader.topk("beta", 5).count() == 0
+    assert [r["doc_id"] for r in reader.topk("shared", 5).collect()] == [0]
+
+    rep = verify_index(spark, out)
+    assert rep["ok"], rep["errors"]
+
+    compact(spark, out, build_id="final", n_buckets=2)
+    reader2 = IndexReader(spark, out)
+    assert reader2.stats["N"] == 1
+    assert not reader2.has_tombstones
+    assert [r["doc_id"] for r in reader2.topk("shared", 5).collect()] == [0]
