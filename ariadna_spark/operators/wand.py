@@ -874,6 +874,18 @@ class IndexReader:
         self._schemas[kind] = df.schema
         return df
 
+    def _terms_dirs(self) -> list[str]:
+        """Every terms bucket dir across live segments (the vocabulary —
+        tiny next to the postings); shared by the full-vocabulary scans
+        (fuzzy/suggest/MLT/substring expansion)."""
+        dirs = []
+        for d, st in zip(self.bdirs, self.build_stats):
+            for b in range(st["n_buckets"]):
+                p = os.path.join(d, "terms", f"bucket={b}")
+                if os.path.exists(p):
+                    dirs.append(p)
+        return dirs
+
     def _tombstones_df(self) -> DataFrame | None:
         if not self.has_tombstones:
             return None
@@ -1060,12 +1072,7 @@ class IndexReader:
         Returns None when more than max_terms match: a capped expansion
         would be UNSOUND as a prefilter (a dropped term drops its docs), so
         the caller must fall back to the full scan."""
-        dirs = []
-        for d, st in zip(self.bdirs, self.build_stats):
-            for b in range(st["n_buckets"]):
-                p = os.path.join(d, "terms", f"bucket={b}")
-                if os.path.exists(p):
-                    dirs.append(p)
+        dirs = self._terms_dirs()
         if not dirs:
             return []
         rows = (
@@ -1101,12 +1108,7 @@ class IndexReader:
         DuckDB oracle over the raw corpus replays it exactly."""
         if not token:
             return []
-        dirs = []
-        for d, st in zip(self.bdirs, self.build_stats):
-            for b in range(st["n_buckets"]):
-                p = os.path.join(d, "terms", f"bucket={b}")
-                if os.path.exists(p):
-                    dirs.append(p)
+        dirs = self._terms_dirs()
         if not dirs:
             return []
         cond = F.abs(F.length("term") - F.lit(len(token))) <= max_dist
@@ -1166,12 +1168,7 @@ class IndexReader:
         tokens = [t for t in tokens if t]
         if not tokens:
             return {}
-        dirs = []
-        for d, st in zip(self.bdirs, self.build_stats):
-            for b in range(st["n_buckets"]):
-                p = os.path.join(d, "terms", f"bucket={b}")
-                if os.path.exists(p):
-                    dirs.append(p)
+        dirs = self._terms_dirs()
         if not dirs:
             return {t: [] for t in tokens}
         prune = None
@@ -1203,6 +1200,85 @@ class IndexReader:
         for r in rows:
             out[r["tok"]].append(r["term"])
         return {t: sorted(v) for t, v in out.items()}
+
+    def suggest_terms(self, prefix: str, size: int = 10) -> DataFrame:
+        """ES completion suggester over the index vocabulary (the suggest
+        half of the delegated search surface,
+        /root/reference/elastic/elastic.go search passthrough): terms
+        completing the analyzed prefix, ranked by corpus document
+        frequency — (term, df), df desc then term asc.
+
+        Plan: when the prefix fits an indexed edge-ngram, the ngram
+        buckets are partition-pruned driver-side and the `ng =` equality
+        pushes into the scan (_prefix_terms_df — the same machinery
+        prefix search uses); longer prefixes fall back to ONE terms-table
+        scan with a pushed startswith range filter. Either way df sums
+        across live segments and the cap compiles to TakeOrdered — only
+        `size` rows reach the driver. Like every vocabulary read, df
+        counts tombstoned docs until compaction (documented drift)."""
+        from ..analyze import NGRAM_MAX, NGRAM_MIN, tokenize_py as _tok
+
+        empty = self.spark.createDataFrame([], "term string, df long")
+        norm = _tok(prefix)
+        if not norm:
+            return empty
+        p = norm[0]
+        if NGRAM_MIN <= len(p) <= NGRAM_MAX:
+            ranked = self._prefix_terms_df(p, max_terms=size)
+            if ranked is None:
+                return empty
+            return ranked.select("term", F.col("df").cast("long").alias("df"))
+        dirs = self._terms_dirs()
+        if not dirs:
+            return empty
+        return (
+            self._read_parquet(dirs, "terms")
+            .filter(F.col("term").startswith(p))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
+        )
+
+    def suggest_corrections(
+        self,
+        token: str,
+        size: int = 10,
+        max_dist: int = 2,
+        prefix_len: int = 1,
+    ) -> DataFrame:
+        """ES term suggester (did-you-mean): vocabulary terms within
+        Levenshtein `max_dist` of the analyzed token and sharing its
+        `prefix_len`-character prefix (the ES prefix_length contract),
+        ranked (distance asc, df desc, term asc) — (term, dist, df).
+
+        ONE pruned vocabulary scan: the length band + prefix conjunction
+        pushes into the terms read, per-term df aggregates across live
+        segments map-side-first, distance evaluates on the AGGREGATED
+        vocabulary rows (codegen levenshtein over |vocab| rows, never
+        |vocab| x segments), and the cap compiles to TakeOrdered."""
+        empty = self.spark.createDataFrame([], "term string, dist int, df long")
+        norm = tokenize_py(token)
+        if not norm:
+            return empty
+        t = norm[0]
+        dirs = self._terms_dirs()
+        if not dirs:
+            return empty
+        cond = F.abs(F.length("term") - F.lit(len(t))) <= max_dist
+        if prefix_len > 0:
+            cond = cond & F.col("term").startswith(t[:prefix_len])
+        return (
+            self._read_parquet(dirs, "terms")
+            .filter(cond)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(t)).cast("int"))
+            .filter(F.col("dist") <= max_dist)
+            .select("term", "dist", "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(size)
+        )
 
     def highlight_topk(
         self,
@@ -1294,12 +1370,7 @@ class IndexReader:
         if not tf:
             return empty
         terms = sorted(tf)
-        dirs = []
-        for d, st in zip(self.bdirs, self.build_stats):
-            for b in range(st["n_buckets"]):
-                p = os.path.join(d, "terms", f"bucket={b}")
-                if os.path.exists(p):
-                    dirs.append(p)
+        dirs = self._terms_dirs()
         df_rows = (
             self._read_parquet(dirs, "terms")
             .filter(F.col("term").isin(terms))

@@ -1452,6 +1452,75 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_FUZZY_TOPK = _sql_fuzzy_topk()
 
 
+_SUGG_PREFIXES = ["s", "sm"]  # 1-char = terms-scan path; 2-char = edge-ngram path
+_SUGG_TYPO = "smal"  # typo'd "small"; also within 2 of "scan"
+_SUGG_K = 10
+_SUGG_DIST = 2
+_SUGG_PREFIX_LEN = 1
+
+
+def q_suggest_complete(spark, sf_dir) -> DataFrame:
+    """ES completion suggester (suggest surface of the delegated search
+    endpoint): vocabulary terms completing each prefix, ranked by document
+    frequency. The two prefixes gate BOTH plans — the 1-char prefix runs
+    the pushed-startswith terms scan, the 2-char prefix the
+    partition-pruned edge-ngram read. The oracle re-derives the
+    vocabulary + df from the corpus and replays the prefix match with
+    LIKE."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    parts = [
+        reader.suggest_terms(p, size=_SUGG_K).withColumn("prefix", F.lit(p))
+        for p in _SUGG_PREFIXES
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+SQL_SUGGEST_COMPLETE = (
+    _SQL_PRELUDE
+    + "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT term, df, '{p}' AS prefix FROM dfreq
+  WHERE term LIKE '{p}%'
+  ORDER BY df DESC, term ASC LIMIT {_SUGG_K}
+)"""
+        for p in _SUGG_PREFIXES
+    )
+)
+
+
+def q_suggest_fuzzy(spark, sf_dir) -> DataFrame:
+    """ES term suggester (did-you-mean): vocabulary terms within
+    Levenshtein {dist} of the typo'd token sharing its first character
+    (prefix_length), ranked (distance, df desc, term). The oracle replays
+    the band + prefix prune and DuckDB's levenshtein over the
+    corpus-derived vocabulary."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.suggest_corrections(
+        _SUGG_TYPO, size=_SUGG_K, max_dist=_SUGG_DIST, prefix_len=_SUGG_PREFIX_LEN
+    )
+
+
+def _sql_suggest_fuzzy() -> str:
+    t = tokenize_py(_SUGG_TYPO)[0]
+    return (
+        _SQL_PRELUDE
+        + f"""
+SELECT term, CAST(levenshtein(term, '{t}') AS INT) AS dist, df
+FROM dfreq
+WHERE term LIKE '{t[:_SUGG_PREFIX_LEN]}%'
+  AND abs(length(term) - {len(t)}) <= {_SUGG_DIST}
+  AND levenshtein(term, '{t}') <= {_SUGG_DIST}
+ORDER BY dist ASC, df DESC, term ASC LIMIT {_SUGG_K}
+"""
+    )
+
+
+SQL_SUGGEST_FUZZY = _sql_suggest_fuzzy()
+
+
 _EXPLAIN_Q = "merge join"
 
 
@@ -2986,6 +3055,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
     "delete_by_query": q_delete_by_query,
+    "suggest_complete": q_suggest_complete,
+    "suggest_fuzzy": q_suggest_fuzzy,
     "multifield_bm25": q_multifield_bm25,
     "multifield_indexed": q_multifield_indexed,
     "theta_containment": q_theta_containment,
@@ -3067,6 +3138,8 @@ ORACLES: dict[str, str] = {
     "wand_queryset": SQL_BM25_QUERYSET,
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,
     "delete_by_query": SQL_DELETE_BY_QUERY,
+    "suggest_complete": SQL_SUGGEST_COMPLETE,
+    "suggest_fuzzy": SQL_SUGGEST_FUZZY,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multifield_bm25": SQL_MULTIFIELD_BM25,
     "multifield_indexed": SQL_MULTIFIELD_BM25,

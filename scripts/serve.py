@@ -187,6 +187,23 @@ class SearchService:
             "matches": [r.asDict() for r in rows],
         }
 
+    def suggest(self, prefix: str, k: int = 10) -> list[dict]:
+        """GET /api/suggest?prefix=: ES completion suggester — vocabulary
+        terms completing the analyzed prefix ranked by df, off the
+        partition-pruned edge-ngram buckets (terms-scan fallback for
+        prefixes outside the indexed gram lengths)."""
+        with self._lock:
+            rows = self.reader.suggest_terms(prefix, size=k).collect()
+        return [r.asDict() for r in rows]
+
+    def didyoumean(self, q: str, k: int = 5, dist: int = 2) -> list[dict]:
+        """GET /api/didyoumean?q=: ES term suggester — vocabulary terms
+        within Levenshtein `dist` sharing the first character, ranked
+        (distance, df desc, term)."""
+        with self._lock:
+            rows = self.reader.suggest_corrections(q, size=k, max_dist=dist).collect()
+        return [r.asDict() for r in rows]
+
     def explain(self, doc_id: int, q: str) -> list[dict]:
         """GET /api/explain?doc=<id>&q=<query>: the ES `_explain` surface
         — per-term BM25 breakdown (tf, doc_len, df, idf, tf_norm, score)
@@ -522,6 +539,24 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         return self._json(400, {"error": "missing q"})
                     limit = int((qs.get("limit") or ["100"])[0])
                     return self._json(200, service.grep(q, limit=limit))
+                if u.path == "/api/suggest":
+                    p = (qs.get("prefix") or qs.get("q") or [""])[0]
+                    if not p:
+                        return self._json(400, {"error": "missing prefix"})
+                    k = int((qs.get("k") or ["10"])[0])
+                    return self._json(
+                        200, {"prefix": p, "suggestions": service.suggest(p, k=k)}
+                    )
+                if u.path == "/api/didyoumean":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    k = int((qs.get("k") or ["5"])[0])
+                    dist = int((qs.get("dist") or ["2"])[0])
+                    return self._json(
+                        200,
+                        {"q": q, "suggestions": service.didyoumean(q, k=k, dist=dist)},
+                    )
                 if u.path == "/api/stats":
                     return self._json(200, service.stats())
                 if public_dir and not u.path.startswith("/api/"):

@@ -881,3 +881,52 @@ def test_fsck_clean_and_corrupted(spark, docs, index_dir, tmp_path):
     assert not rep2["ok"]
     msgs = "\n".join(rep2["errors"])
     assert "bad_bounds" in msgs and "_bucket_1.json" in msgs
+
+
+def test_suggesters(spark, docs, index_dir):
+    """ES suggest surface: completion (both the edge-ngram and terms-scan
+    plans) and did-you-mean corrections match a brute-force vocabulary
+    derivation from the raw corpus."""
+    from collections import Counter
+
+    from ariadna_spark.analyze import tokenize_py
+
+    reader = IndexReader(spark, index_dir)
+    dfc: Counter = Counter()
+    for r in docs.select("content").collect():
+        for t in set(tokenize_py(r["content"])):
+            dfc[t] += 1
+
+    for pre in ("s", "sm"):  # 1-char = terms scan; 2-char = edge-ngram read
+        got = [(r["term"], r["df"]) for r in reader.suggest_terms(pre, size=10).collect()]
+        want = sorted(
+            ((t, n) for t, n in dfc.items() if t.startswith(pre)),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        assert got == want, (pre, got, want)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(cur[j - 1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = [
+        (r["term"], r["dist"], r["df"])
+        for r in reader.suggest_corrections("smal", size=10).collect()
+    ]
+    cands = [
+        (t, lev(t, "smal"), n)
+        for t, n in dfc.items()
+        if t.startswith("s") and abs(len(t) - 4) <= 2
+    ]
+    want = sorted(
+        (c for c in cands if c[1] <= 2), key=lambda x: (x[1], -x[2], x[0])
+    )[:10]
+    assert got == want and len(got) >= 2, (got, want)
+    # analyzer-empty inputs -> empty frames with stable schemas
+    assert reader.suggest_terms("!!!").count() == 0
+    assert reader.suggest_corrections("???").count() == 0

@@ -514,3 +514,38 @@ def test_count_endpoint(service):
         assert body["count"] == service.count("merge join") > 0
     finally:
         httpd.shutdown()
+
+
+def test_http_suggest_endpoints(service):
+    """GET /api/suggest (completion) and /api/didyoumean (term suggester)
+    behind the warm reader."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/suggest?prefix=s&k=10"
+        ) as r:
+            body = json.loads(r.read())
+        terms = [s["term"] for s in body["suggestions"]]
+        assert terms and all(t_.startswith("s") for t_ in terms)
+        dfs = [s["df"] for s in body["suggestions"]]
+        assert dfs == sorted(dfs, reverse=True)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/didyoumean?q=smal&k=5"
+        ) as r:
+            dym = json.loads(r.read())
+        assert dym["suggestions"][0]["term"] == "small"
+        assert dym["suggestions"][0]["dist"] == 1
+        # missing params -> 400
+        for bad in ("/api/suggest", "/api/didyoumean"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        httpd.shutdown()
