@@ -366,6 +366,88 @@ def collocations(
     )
 
 
+def perplexity_scores(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    alpha: float = 0.5,
+    content_col: str = "content",
+) -> DataFrame:
+    """Bigram language-model perplexity scoring — the CCNet-style quality
+    filter for training-data pipelines (score each document by how
+    surprising its token stream is under a corpus LM; outliers are
+    boilerplate, minified blobs, or junk). Returns
+    (doc_id, n_bigrams, nll_r): the adjacent-pair count and the mean
+    negative log-likelihood rounded to 4 decimals (perplexity =
+    exp(nll); the monotone nll is returned so no exp() enters the
+    replayable surface).
+
+    Model: add-alpha smoothed bigram LM over `lm_docs` (default: `docs`
+    itself): P(b | a) = (c2(a,b) + alpha) / (c1(a) + alpha * V), with
+    c2 = adjacent-pair counts, c1 = TOTAL occurrences of a (the
+    null-padded marginal, so doc-final tokens count), V = vocabulary
+    size. Unseen pairs/contexts degrade smoothly to alpha/(alpha*V).
+
+    Plan: one tokenize pass per side. The LM is the same single (w, nx)
+    null-padded aggregate collocations uses — pair counts directly,
+    unigram marginal and vocabulary off the same frame; it is bounded by
+    the distinct-bigram domain, never corpus size, and every aggregate
+    is map-side partial first. The scoring join is two equi-joins of the
+    doc bigram stream against those aggregates plus one broadcast scalar
+    (V). At 100 TB: train on a sample (pass lm_docs) so c1/c2 broadcast
+    and the corpus-side stream never shuffles — the CCNet shape; with
+    the LM on the full corpus, AQE sizes the (w, nx) exchange.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    toks = tokenize_expr(content_col)
+
+    # LM stream: one (w, nx) row per token, nx null at doc end
+    nz = lm.select(toks.alias("t")).withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    stream = nz.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("t").alias("w"),
+                F.slice(F.col("t"), 2, F.col("n") - 1).alias("nx"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+    pc = stream.groupBy("w", "nx").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c2 = pc.filter(F.col("nx").isNotNull()).select("w", "nx", F.col("c").alias("c2"))
+    c1 = pc.groupBy("w").agg(F.sum("c").cast("long").alias("c1"))
+    v = pc.select("w").distinct().agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    # doc-side strict bigram stream (docs with < 2 tokens have no pairs)
+    d = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 2)
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.col("n") - 1).alias("w"),
+                F.slice(F.col("t"), 2, F.col("n") - 1).alias("nx"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w").alias("w"), F.col("p.nx").alias("nx"))
+
+    nll = F.log(
+        (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(alpha) * F.col("v"))
+        / (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(alpha))
+    )
+    return (
+        big.join(c2, ["w", "nx"], "left")
+        .join(c1, "w", "left")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("nll_r"),
+        )
+    )
+
+
 def stratified_take(
     docs: DataFrame,
     group_col: str = "lang",

@@ -686,6 +686,48 @@ ORDER BY pc.w1, pc.w2
 SQL_COLLOCATIONS = _sql_collocations()
 
 
+_PPL_ALPHA = 0.5
+
+
+def q_perplexity(spark, sf_dir) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (the CCNet-style filter) over
+    the documents table, self-trained: per doc the adjacent-pair count
+    and mean negative log-likelihood under the add-alpha-smoothed corpus
+    bigram model. The oracle re-derives the LM (pair counts, null-padded
+    unigram marginal, vocabulary) and replays the smoothing arithmetic."""
+    from .operators.text import perplexity_scores
+
+    docs = load_docs(spark, sf_dir)
+    return perplexity_scores(docs, alpha=_PPL_ALPHA)
+
+
+SQL_PERPLEXITY = f"""
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS n FROM tl WHERE len(t) > 0),
+st AS (
+  SELECT t[i] AS w, CASE WHEN i < n THEN t[i + 1] END AS nx
+  FROM nz, UNNEST(range(1, n + 1)) AS r(i)
+),
+c2 AS (SELECT w, nx, CAST(count(*) AS BIGINT) AS c2 FROM st WHERE nx IS NOT NULL GROUP BY w, nx),
+c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM st GROUP BY w),
+vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM st),
+pr AS (
+  SELECT doc_id, t[i] AS w, t[i + 1] AS nx
+  FROM nz, UNNEST(range(1, n)) AS r(i)
+),
+sc AS (
+  SELECT pr.doc_id,
+         ln((COALESCE(c1.c1, 0) + {_PPL_ALPHA} * (SELECT v FROM vv))
+            / (COALESCE(c2.c2, 0) + {_PPL_ALPHA})) AS nll
+  FROM pr
+  LEFT JOIN c2 ON pr.w = c2.w AND pr.nx = c2.nx
+  LEFT JOIN c1 ON pr.w = c1.w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS nll_r
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_training_pipeline(spark, sf_dir) -> DataFrame:
     """The COMPOSED corpus-preparation pipeline as one gate entry:
     keep-first exact dedup -> PII scrub -> token chunking -> quality gate
@@ -3076,6 +3118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "chunk_documents": q_chunk_documents,
     "collocations": q_collocations,
+    "perplexity_quality": q_perplexity,
     "training_pipeline": q_training_pipeline,
     "stratified_take": q_stratified_take,
     "regex_search": q_regex_search,
@@ -3155,6 +3198,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": SQL_PII_SCRUB,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "collocations": SQL_COLLOCATIONS,
+    "perplexity_quality": SQL_PERPLEXITY,
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "stratified_take": SQL_STRATIFIED_TAKE,
     "regex_search": SQL_REGEX_SEARCH,

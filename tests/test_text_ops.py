@@ -334,3 +334,57 @@ def test_collocations_arrow_matches_catalyst(spark):
     for ra, rb in zip(a, b):
         assert ra.pmi == pytest.approx(rb.pmi, abs=1e-12)
     assert a, "fixture must produce collocations"
+
+
+def test_perplexity_scores(spark):
+    """Bigram-LM perplexity vs a hand-rolled python model: self-trained
+    counts, null-padded marginal (doc-final tokens count in c1),
+    add-alpha smoothing for unseen pairs, per-doc mean nll."""
+    import math
+    from collections import Counter
+
+    from ariadna_spark.analyze import tokenize_py
+    from ariadna_spark.operators.text import perplexity_scores
+
+    rows = [
+        (0, "merge join merge join merge"),
+        (1, "merge join scan"),
+        (2, "window window window window"),
+        (3, "scan merge"),  # 'scan merge' is an unseen-elsewhere pair
+        (4, "zebra"),  # single token: no bigrams -> absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_r"])
+        for r in perplexity_scores(docs, alpha=0.5).collect()
+    }
+    assert 4 not in out  # no pairs, no row
+
+    toks = {i: tokenize_py(t) for i, t in rows}
+    c2: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    for ts in toks.values():
+        for j, w in enumerate(ts):
+            c1[w] += 1
+            vocab.add(w)
+            if j + 1 < len(ts):
+                c2[(w, ts[j + 1])] += 1
+    v = float(len(vocab))
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        nlls = [
+            math.log((c1[ts[j]] + 0.5 * v) / (c2[(ts[j], ts[j + 1])] + 0.5))
+            for j in range(len(ts) - 1)
+        ]
+        want = round(sum(nlls) / len(nlls), 4)
+        assert out[i] == (len(ts) - 1, want), (i, out[i], want)
+
+    # a doc full of unseen-context tokens scores the uniform-floor nll
+    probe = spark.createDataFrame(
+        [(9, "qqq www qqq")], "doc_id long, content string"
+    )
+    pr = perplexity_scores(probe, lm_docs=docs, alpha=0.5).collect()[0]
+    assert pr["n_bigrams"] == 2
+    assert pr["nll_r"] == round(math.log((0 + 0.5 * v) / (0 + 0.5)), 4)
