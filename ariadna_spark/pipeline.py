@@ -8,6 +8,7 @@ uses, in the canonical order:
     exact dedup (keep-first by content sha)
       -> [optional] MinHash/LSH near-dup removal (keep lowest doc_id of
          each verified near-dup pair's partner set)
+      -> [optional] bigram-LM perplexity gate (drop mean-nll outliers)
       -> PII scrub (emails / IPv4 redacted BEFORE anything is emitted)
       -> quality gate (min/max token bounds on the scrubbed text)
       -> sliding-window token chunking
@@ -50,6 +51,8 @@ def prepare_training_set(
     bench: DataFrame | None = None,
     decontam_ngram: int = 8,
     cluster_max_iter: int = 20,
+    max_nll: float | None = None,
+    lm_docs: DataFrame | None = None,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
     (doc_id, chunk_id, split, n_tokens, chunk_text).
@@ -82,6 +85,22 @@ def prepare_training_set(
         # overflow instead of failing the run (r4 ADVICE)
         clusters = cluster_ids(dups.select("da", "db"), max_iter=cluster_max_iter)
         d = cluster_keep_policy(d, clusters)
+
+    if max_nll is not None:
+        # perplexity gate (CCNet-style): drop docs whose mean bigram nll
+        # under the corpus (or sample lm_docs) LM exceeds the budget —
+        # junk/boilerplate outliers. Runs AFTER dedup so duplicate mass
+        # can't skew the self-trained LM; docs with no bigrams are kept
+        # (no evidence either way). Sample-trained LMs broadcast, so the
+        # stage adds no corpus-side shuffle (see perplexity_scores).
+        from .operators.text import perplexity_scores
+
+        bad = (
+            perplexity_scores(d, lm_docs=lm_docs)
+            .filter(F.col("nll_r") > max_nll)
+            .select("doc_id")
+        )
+        d = d.join(bad, "doc_id", "left_anti")
 
     scrubbed = d.select("doc_id", "content_sha").join(
         pii_scrub(d).withColumnRenamed("clean", "content"), "doc_id"

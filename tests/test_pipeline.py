@@ -157,3 +157,23 @@ def test_pipeline_cluster_keep_one_per_chain(spark):
     )
     kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
     assert kept == {10, 13}
+
+
+def test_pipeline_perplexity_gate(spark):
+    """max_nll drops exactly the docs whose mean bigram nll exceeds the
+    budget, and the gate composes with the rest of the pipeline."""
+    from ariadna_spark.operators.dedup import keep_first_dedup
+    from ariadna_spark.operators.text import perplexity_scores
+
+    docs = load_docs(spark, SF)
+    d = keep_first_dedup(docs)  # mirror the dedup stage exactly
+    ppl = {r["doc_id"]: r["nll_r"] for r in perplexity_scores(d).collect()}
+    cut = sorted(ppl.values())[int(len(ppl) * 0.9)]  # drop the worst ~10%
+    out = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4, max_nll=cut)
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    base = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4)
+    base_kept = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    dropped = base_kept - kept
+    assert dropped and kept < base_kept
+    assert all(ppl[i] > cut for i in dropped)
+    assert all(ppl.get(i, 0.0) <= cut for i in kept)
