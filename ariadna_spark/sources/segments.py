@@ -844,6 +844,70 @@ def compact(
     return manifest
 
 
+def _copy_build(src_dir: str, tgt_dir: str) -> bool:
+    """Copy one immutable build dir into place via stage + atomic rename;
+    returns False (skip) when the target already exists. Stray staging
+    dirs from a killed prior attempt are removed first."""
+    if os.path.isdir(tgt_dir):
+        return False
+    import glob as _glob
+
+    for stray in _glob.glob(f"{tgt_dir}.stage.*"):
+        shutil.rmtree(stray, ignore_errors=True)
+    stage = f"{tgt_dir}.stage.{uuid.uuid4().hex[:8]}"
+    shutil.copytree(src_dir, stage)
+    os.rename(stage, tgt_dir)
+    return True
+
+
+def snapshot_index(out_dir: str, dest: str) -> dict:
+    """ES `_snapshot` parity for the segment store: copy the LIVE builds
+    (segments, docmap, terms, ngrams, tombstones, stats/markers — the
+    whole build dir) into a snapshot repository and record the live list
+    last. INCREMENTAL: builds are immutable once published (compaction,
+    appends and GC create and retire whole builds, never edit one), so a
+    build already present in the repository is skipped — repeated
+    snapshots of a streaming store cost only its new segments, the ES
+    incremental-snapshot behavior.
+
+    Crash-safe: each build copies into a staging dir then renames into
+    place (same-filesystem atomic), and the snapshot MANIFEST swaps in
+    via tmp + os.replace ONLY after every build landed — a killed
+    snapshot leaves either the previous complete snapshot state or inert
+    staging dirs that the retry removes. Driver-side file I/O only: at
+    cluster scale point this at a DFS path or swap the copy for the
+    object-store API; the staging/rename protocol is the contract."""
+    store = SegmentStore(out_dir)
+    live = store.live_builds()
+    if not live:
+        raise FileNotFoundError(f"no live build in {out_dir}")
+    snap = SegmentStore(dest)
+    copied, skipped = [], []
+    for b in live:
+        (copied if _copy_build(store.build_dir(b), snap.build_dir(b)) else skipped).append(b)
+    _atomic_write_json(os.path.join(dest, "MANIFEST"), {"build_ids": live})
+    return {"builds": live, "copied": copied, "skipped": skipped}
+
+
+def restore_index(snapshot: str, out_dir: str) -> dict:
+    """ES `_restore`: copy the snapshot's builds into a store (skipping
+    any already present — build dirs are immutable and content-keyed by
+    build_id) and atomically publish the snapshot's live list. The store
+    serves the snapshot state at the next reader open; builds that were
+    live before the restore but absent from the snapshot stay on disk
+    until gc()."""
+    snap = SegmentStore(snapshot)
+    live = snap.live_builds()
+    if not live:
+        raise FileNotFoundError(f"no snapshot MANIFEST in {snapshot}")
+    store = SegmentStore(out_dir)
+    copied, skipped = [], []
+    for b in live:
+        (copied if _copy_build(snap.build_dir(b), store.build_dir(b)) else skipped).append(b)
+    store.publish_many(live)
+    return {"builds": live, "copied": copied, "skipped": skipped}
+
+
 def load_manifest(out_dir: str, build_id: str | None = None) -> dict:
     store = SegmentStore(out_dir)
     build_id = build_id or store.live_build()

@@ -389,3 +389,59 @@ def test_delete_by_query(spark, overwrite_corpus, tmp_path):
     assert reader2.stats["N"] == 1
     assert not reader2.has_tombstones
     assert [r["doc_id"] for r in reader2.topk("shared", 5).collect()] == [0]
+
+
+def test_snapshot_restore(spark, overwrite_corpus, tmp_path):
+    """ES _snapshot/_restore: a snapshot of a live incremental store
+    (tombstones included) restores to identical query results; repeat
+    snapshots are incremental (immutable builds skipped); restore into a
+    populated store copies only missing builds; fsck green after."""
+    from ariadna_spark.sources.segments import (
+        append_segment,
+        restore_index,
+        snapshot_index,
+        verify_index,
+    )
+
+    base, upd, _ = overwrite_corpus
+    out = str(tmp_path / "src")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd", n_buckets=2)
+
+    snap = str(tmp_path / "snap")
+    r1 = snapshot_index(out, snap)
+    assert r1["copied"] == ["base", "upd"] and r1["skipped"] == []
+    # incremental: second snapshot copies nothing
+    r2 = snapshot_index(out, snap)
+    assert r2["copied"] == [] and set(r2["skipped"]) == {"base", "upd"}
+
+    # a later append is the ONLY build the next snapshot copies
+    upd2 = upd.withColumn("doc_id", F.col("doc_id") + 100).withColumn(
+        "path", F.concat(F.col("path"), F.lit(".2"))
+    )
+    append_segment(spark, upd2, out, build_id="upd2", n_buckets=2)
+    r3 = snapshot_index(out, snap)
+    assert r3["copied"] == ["upd2"]
+    want = [tuple(r) for r in IndexReader(spark, out).topk("shared", 5).collect()]
+
+    # disaster: the store is lost; restore from the snapshot
+    import shutil
+
+    shutil.rmtree(out)
+    rr = restore_index(snap, out)
+    assert set(rr["copied"]) == {"base", "upd", "upd2"}
+    reader = IndexReader(spark, out)
+    got = [tuple(r) for r in reader.topk("shared", 5).collect()]
+    assert got == want
+    rep = verify_index(spark, out)
+    assert rep["ok"], rep["errors"]
+
+    # restore into a store that already holds some builds: only the
+    # missing ones copy, and the live list swaps to the snapshot state
+    partial = str(tmp_path / "partial")
+    build_index(spark, base, partial, build_id="base", n_buckets=2)
+    rp = restore_index(snap, partial)
+    assert "base" in rp["skipped"] and set(rp["copied"]) == {"upd", "upd2"}
+    assert [
+        tuple(r) for r in IndexReader(spark, partial).topk("shared", 5).collect()
+    ] == want
