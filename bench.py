@@ -173,6 +173,14 @@ def run_search_extras(spark, sf_dir: str, out_dir: str) -> dict:
     t0 = time.monotonic()
     reader.match_aggs("merge join").collect()
     out["query_aggs_sec"] = round(time.monotonic() - t0, 4)
+    # suggest surface: completion off the pruned edge-ngram buckets;
+    # did-you-mean off one pruned vocabulary scan
+    t0 = time.monotonic()
+    reader.suggest_terms("sc", size=10).collect()
+    out["query_suggest_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    reader.suggest_corrections("smal", size=5).collect()
+    out["query_didyoumean_sec"] = round(time.monotonic() - t0, 4)
     return out
 
 
