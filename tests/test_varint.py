@@ -1,6 +1,7 @@
 """Property tests for the vectorized varint/delta codec (FIXTURES.md §4)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -72,3 +73,37 @@ def test_arrow_groupby_list_agg_preserves_scan_order():
             f"scan-ordered (key {k}) — sort position lists in "
             f"stats._tf_arrow_kernel before encoding"
         )
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 1 << 20), min_size=1, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_positions_roundtrip(doclists):
+    """The positions stream spec (postings.py encode, varint.py decode):
+    per doc, ascending distinct positions stored first-absolute then
+    gaps, concatenated; tfs give the boundaries. Round-trips exactly."""
+    from ariadna_spark.functions.varint import positions_decode, varint_encode
+
+    docs = [np.unique(np.asarray(ls, dtype=np.int64)) for ls in doclists]
+    tfs = np.asarray([len(d) for d in docs], dtype=np.int64)
+    stream: list[int] = []
+    for d in docs:
+        stream.append(int(d[0]))
+        stream.extend(int(x) for x in np.diff(d))
+    buf = varint_encode(np.asarray(stream, dtype=np.uint64))
+    got = positions_decode(buf, tfs)
+    assert (got == np.concatenate(docs)).all()
+
+
+def test_positions_length_guard():
+    """A stream whose length disagrees with sum(tf) fails loudly."""
+    from ariadna_spark.functions.varint import positions_decode, varint_encode
+
+    buf = varint_encode(np.asarray([1, 2, 3], dtype=np.uint64))
+    with pytest.raises(ValueError, match="positions stream length"):
+        positions_decode(buf, np.asarray([2], dtype=np.int64))
