@@ -231,3 +231,24 @@ def test_regex_search_indexed_is_semi_join_pruned(spark, docs, index_dir):
     # forcing the gate off restores the semi-join shape (estimate wiring)
     forced = regex_search_indexed(docs, r"scan[a-z]*", reader, max_candidate_frac=1.0)
     assert "LeftSemi" in physical_plan(forced)
+
+
+def test_suggesters_prune_and_take_ordered(spark, index_dir):
+    """Suggest surface plan shapes: completion's edge-ngram path pushes
+    the ng= equality into the scan and caps with TakeOrdered; the
+    correction suggester pushes the prefix (StartsWith) + length band
+    and caps with TakeOrdered — neither ever global-sorts the
+    vocabulary."""
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.plans import assert_pushed_filter, assert_take_ordered
+
+    reader = IndexReader(spark, index_dir)
+    comp = reader.suggest_terms("sc", size=10)
+    assert_take_ordered(comp)
+    assert_pushed_filter(comp, "ng")
+    comp_scan = reader.suggest_terms("s", size=10)  # 1-char: terms-scan path
+    assert_take_ordered(comp_scan)
+    assert_pushed_filter(comp_scan, "StringStartsWith")
+    corr = reader.suggest_corrections("smal", size=5)
+    assert_take_ordered(corr)
+    assert_pushed_filter(corr, "StringStartsWith")
