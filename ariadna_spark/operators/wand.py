@@ -470,6 +470,7 @@ def _two_pass_positions(
     hi: int,
     dead: dict,
     row_bid,
+    or_terms: list[str] | None = None,
 ) -> tuple[dict | None, np.ndarray | None]:
     """Shared two-pass decode for the positional kernels (VERDICT r3 #5).
 
@@ -484,17 +485,21 @@ def _two_pass_positions(
     phrase like "the merge" pays positions ~proportional to df("merge"),
     not df("the").
 
+    `or_terms` (phrase-prefix support): an additional DISJUNCTIVE term
+    group — candidates must also contain AT LEAST ONE of them (the union
+    of their posting lists intersects the required set). or_terms absent
+    from this range are simply skipped; per_term carries the surviving
+    ones alongside the required terms.
+
     Returns (per_term, cand_docs) with per_term[t] = (ids, tfs, dls,
     occ_doc, occ_pos) restricted to candidates, or (None, None) when any
-    term is absent or the intersection is empty."""
+    required term is absent, no or_term is present, or the intersection
+    is empty."""
     term_rows: dict[str, np.ndarray] = {}
     raw: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     cand_docs = None
-    for t in uniq_terms:
-        rows = np.flatnonzero(row_term == t)
-        if not rows.size:
-            return None, None  # a term absent in this range -> no match here
-        term_rows[t] = rows
+
+    def decode_ids(t: str, rows: np.ndarray) -> np.ndarray:
         parts = []
         for i in rows:
             ids = delta_decode_ids(pdf["doc_ids_varint"].iloc[i])
@@ -506,16 +511,46 @@ def _two_pass_positions(
                     msk &= ~np.isin(ids, dd)
             raw[i] = (ids, tfs, msk)
             parts.append(ids[msk])
-        u = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    for t in uniq_terms:
+        rows = np.flatnonzero(row_term == t)
+        if not rows.size:
+            return None, None  # a required term absent in this range -> no match
+        term_rows[t] = rows
+        u = decode_ids(t, rows)
         cand_docs = u if cand_docs is None else np.intersect1d(
             cand_docs, u, assume_unique=True
         )
         if cand_docs.size == 0:
             return None, None
+    if or_terms:
+        u_any = None
+        for t in or_terms:
+            if t in term_rows:
+                continue  # already a required term; its docs qualify
+            rows = np.flatnonzero(row_term == t)
+            if not rows.size:
+                continue
+            term_rows[t] = rows
+            u = decode_ids(t, rows)
+            u_any = u if u_any is None else np.union1d(u_any, u)
+        if not any(t in uniq_terms for t in or_terms):
+            if u_any is None or u_any.size == 0:
+                return None, None
+            cand_docs = (
+                u_any
+                if cand_docs is None
+                else np.intersect1d(cand_docs, u_any, assume_unique=True)
+            )
+            if cand_docs.size == 0:
+                return None, None
+        # an or_term that is ALSO required makes the disjunction a
+        # tautology over the required intersection — no extra narrowing
     per_term: dict = {}
-    for t in uniq_terms:
+    for t, t_rows in term_rows.items():
         ids_parts, tf_parts, dl_parts, occ_doc, occ_pos = [], [], [], [], []
-        for i in term_rows[t]:
+        for i in t_rows:
             ids, tfs, msk = raw[i]
             cm = msk & np.isin(ids, cand_docs)
             if not cm.any():
@@ -528,8 +563,10 @@ def _two_pass_positions(
             dl_parts.append(dls[cm])
             occ_doc.append(np.repeat(ids, tfs)[em])
             occ_pos.append(pos[em])
-        if not ids_parts:  # unreachable while cand_docs ⊆ every term's docs
-            return None, None
+        if not ids_parts:
+            if t in uniq_terms:  # unreachable while cand ⊆ required docs
+                return None, None
+            continue  # an or_term with no surviving docs just drops out
         per_term[t] = (
             np.concatenate(ids_parts),
             np.concatenate(tf_parts),
@@ -609,6 +646,84 @@ def phrase_kernel(
     order = np.lexsort((matched, -acc))[:k]
     return pd.DataFrame({"doc_id": matched[order], "score": acc[order]}).astype(
         {"doc_id": "int64", "score": "float64"}
+    )
+
+
+def phrase_prefix_kernel(
+    pdf: pd.DataFrame,
+    fixed_ordered: list[str],
+    exp_terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    range_size: int,
+) -> pd.DataFrame:
+    """Blocks (with positions) of one doc_id range -> local top-k docs
+    matching the phrase `fixed_ordered + <any exp_term>` — the ES
+    match_phrase_prefix kernel (query-as-you-type). Candidate starts are
+    the phrase_kernel intersection over the FIXED slots, then the final
+    slot is a DISJUNCTION over the prefix expansions. Matched docs score
+    as sum of the distinct fixed terms' BM25 plus the BEST matched
+    expansion's BM25 (the per-doc max over expansions that actually
+    complete the phrase there) — deterministic and replayed exactly by
+    the DuckDB oracle."""
+    empty = pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY_TOPK)
+    rid = int(pdf["rid"].iloc[0])
+    pdf, _, dead = _split_pseudo_rows(pdf)
+    if pdf.empty:
+        return empty
+    row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
+    tdf = pdf[["term", "df"]].drop_duplicates("term")
+    idf_by_term = _idf_map(tdf, n_docs)
+    lo, hi = rid * range_size, (rid + 1) * range_size
+    uniq_fixed = sorted(set(fixed_ordered))
+    row_term = pdf["term"].to_numpy()
+    per_term, cand_docs = _two_pass_positions(
+        pdf, uniq_fixed, row_term, lo, hi, dead, row_bid,
+        or_terms=sorted(set(exp_terms)),
+    )
+    if per_term is None:
+        return empty
+    cand = None
+    for off, t in enumerate(fixed_ordered):
+        _, _, _, docs_r, pos_r = per_term[t]
+        ok = pos_r >= off
+        keys = np.unique(((docs_r[ok] - lo) << np.int64(32)) | (pos_r[ok] - off))
+        cand = keys if cand is None else np.intersect1d(cand, keys, assume_unique=True)
+        if cand.size == 0:
+            return empty
+    off_last = len(fixed_ordered)
+    matched_per_e: list[tuple[str, np.ndarray]] = []
+    for e in sorted(set(exp_terms)):
+        if e not in per_term:
+            continue
+        _, _, _, docs_r, pos_r = per_term[e]
+        ok = pos_r >= off_last
+        keys_e = np.unique(((docs_r[ok] - lo) << np.int64(32)) | (pos_r[ok] - off_last))
+        me_keys = (
+            keys_e if cand is None else np.intersect1d(cand, keys_e, assume_unique=True)
+        )
+        if me_keys.size:
+            matched_per_e.append((e, np.unique(me_keys >> np.int64(32)) + lo))
+    if not matched_per_e:
+        return empty
+    matched = np.unique(np.concatenate([me for _, me in matched_per_e]))
+    acc = np.zeros(matched.shape, dtype=np.float64)
+    for t in uniq_fixed:
+        ids, tfs, dls, _, _ = per_term[t]
+        sel = np.isin(ids, matched)
+        s = _score_block(tfs[sel].astype(np.float64), dls[sel], idf_by_term[t], avgdl)
+        np.add.at(acc, np.searchsorted(matched, ids[sel]), s)
+    best = np.full(matched.shape, -np.inf)
+    for e, me in matched_per_e:
+        ids, tfs, dls, _, _ = per_term[e]
+        sel = np.isin(ids, me)
+        s = _score_block(tfs[sel].astype(np.float64), dls[sel], idf_by_term[e], avgdl)
+        np.maximum.at(best, np.searchsorted(matched, ids[sel]), s)
+    acc += best  # every matched doc completed the phrase with >= 1 expansion
+    order = np.lexsort((matched, -acc))[:k]
+    return pd.DataFrame({"doc_id": matched[order], "score": acc[order]}).astype(
+        _EMPTY_TOPK
     )
 
 
@@ -1947,6 +2062,69 @@ class IndexReader:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return phrase_kernel(pdf, terms, n_docs, avgdl, k, range_size)
+
+        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_docmap:
+            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return out
+
+    def phrase_prefix_topk(
+        self,
+        phrase: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        range_size: int = RANGE_SIZE_DEFAULT,
+        with_docmap: bool = False,
+    ) -> DataFrame:
+        """ES match_phrase_prefix (query-as-you-type over the delegated
+        search surface): the LAST analyzed token is a prefix; it expands
+        to the top-`max_expansions` vocabulary completions ranked by df
+        (suggest_terms — ES caps expansions identically, picking
+        index-order terms; df-ranked is this engine's documented prefix
+        convention, the same as prefix_topk), and a doc matches when the
+        fixed tokens are followed by ANY completion. Rank = distinct
+        fixed terms' BM25 sum + the best matched completion's BM25.
+
+        Plan: ONE TakeOrdered vocabulary job for the expansions, then the
+        standard positional shape — pruned blocks for fixed + expansion
+        terms, rid shuffle, two-pass decode (ids first; positions only
+        where the fixed intersection AND the expansion union survive)."""
+        terms = list(tokenize_py(phrase))
+        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        if not terms:
+            return empty
+        if not all(st.get("positions") for st in self.build_stats):
+            raise ValueError(
+                "phrase_prefix query requires every live segment built "
+                "with_positions=True"
+            )
+        fixed, last = terms[:-1], terms[-1]
+        exp = [r["term"] for r in self.suggest_terms(last, size=max_expansions).collect()]
+        if not exp:
+            return empty
+        blocks = self._blocks_for_terms(
+            sorted(set(fixed) | set(exp)), with_positions=True
+        )
+        if blocks is None:
+            return empty
+        n_docs = self.stats["N"]
+        avgdl = self.stats["avgdl"]
+        rid = F.explode(
+            F.sequence(
+                (F.col("first_doc_id") / range_size).cast("long"),
+                (F.col("last_doc_id") / range_size).cast("long"),
+            )
+        ).alias("rid")
+        ranged = blocks.select("*", rid).withColumn("is_tomb", F.lit(False))
+        tomb = self._tomb_ranged(range_size)
+        if tomb is not None:
+            ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return phrase_prefix_kernel(pdf, fixed, exp, n_docs, avgdl, k, range_size)
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
         out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

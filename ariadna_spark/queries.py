@@ -1979,6 +1979,70 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 
 SQL_PHRASE_TOPK = _sql_phrase_topk()
 
+_PPX_Q = "merge s"  # fixed token 'merge' + prefix 's' (6 completions)
+_PPX_MAXEXP = 50
+
+
+def q_phrase_prefix(spark, sf_dir) -> DataFrame:
+    """ES match_phrase_prefix (query-as-you-type): the last token is a
+    prefix expanded to the df-top completions; docs match the fixed
+    tokens followed by ANY completion; rank = fixed terms' BM25 sum +
+    best matched completion's BM25. The oracle replays the expansion
+    (LIKE + df ranking), the positional adjacency, and the max-completion
+    scoring over the tokenized documents."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.phrase_prefix_topk(_PPX_Q, _WAND_K, max_expansions=_PPX_MAXEXP)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_phrase_prefix() -> str:
+    terms = list(tokenize_py(_PPX_Q))
+    fixed, last = terms[:-1], terms[-1]
+    assert fixed, "oracle generator assumes at least one fixed token"
+    m = len(terms)
+    uniq_fixed = ", ".join(f"'{t}'" for t in sorted(set(fixed)))
+    conds = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(fixed))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, exp AS (
+  SELECT term FROM dfreq WHERE term LIKE '{last}%'
+  ORDER BY df DESC, term ASC LIMIT {_PPX_MAXEXP}
+),
+tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+occ AS (
+  SELECT doc_id, t[i + {m - 1}] AS lt
+  FROM tl, UNNEST(range(1, len(t) - {m} + 2)) AS r(i)
+  WHERE {conds} AND list_contains((SELECT list(term) FROM exp), t[i + {m - 1}])
+),
+md AS (SELECT DISTINCT doc_id, lt FROM occ),
+fixed_sc AS (
+  SELECT tf.doc_id, sum({score}) AS s1
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({uniq_fixed})
+    AND tf.doc_id IN (SELECT DISTINCT doc_id FROM md)
+  GROUP BY tf.doc_id
+),
+last_sc AS (
+  SELECT md.doc_id, max({score}) AS s2
+  FROM md
+  JOIN tf ON tf.doc_id = md.doc_id AND tf.term = md.lt
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY md.doc_id
+)
+SELECT f.doc_id, round(f.s1 + l.s2, 4) AS score_r
+FROM fixed_sc f JOIN last_sc l ON l.doc_id = f.doc_id
+ORDER BY f.s1 + l.s2 DESC, f.doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_PHRASE_PREFIX = _sql_phrase_prefix()
+
 _NEAR_Q = "scan group"
 _NEAR_W = 6
 
@@ -3093,6 +3157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_vectors": q_term_vectors,
     "match_count": q_match_count,
     "phrase_topk": q_phrase_topk,
+    "phrase_prefix": q_phrase_prefix,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
     "overwrite_reindex": q_overwrite_reindex,
@@ -3177,6 +3242,7 @@ ORACLES: dict[str, str] = {
     "term_vectors": SQL_TERM_VECTORS,
     "match_count": SQL_MATCH_COUNT,
     "phrase_topk": SQL_PHRASE_TOPK,
+    "phrase_prefix": SQL_PHRASE_PREFIX,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,
     "overwrite_reindex": SQL_OVERWRITE_REINDEX,

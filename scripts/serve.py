@@ -120,6 +120,7 @@ class SearchService:
                 fn = {
                     "prefix": self.reader.prefix_topk,
                     "phrase": self.reader.phrase_topk,
+                    "phrase_prefix": self.reader.phrase_prefix_topk,
                 }[mode]
                 rows = fn(q, k, with_docmap=docmap).collect()
         return [r.asDict() for r in rows]
@@ -389,7 +390,10 @@ def make_handler(service: SearchService, public_dir: str | None = None):
             u = urlparse(self.path)
             qs = parse_qs(u.query)
             try:
-                if u.path in ("/api/search", "/api/prefix", "/api/phrase", "/api/near", "/api/fuzzy"):
+                if u.path in (
+                    "/api/search", "/api/prefix", "/api/phrase",
+                    "/api/phrase_prefix", "/api/near", "/api/fuzzy",
+                ):
                     q = (qs.get("q") or [""])[0]
                     if not q:
                         return self._json(400, {"error": "missing q"})
@@ -399,6 +403,7 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         "/api/search": "match",
                         "/api/prefix": "prefix",
                         "/api/phrase": "phrase",
+                        "/api/phrase_prefix": "phrase_prefix",
                         "/api/near": "near",
                         "/api/fuzzy": "fuzzy",
                     }[u.path]

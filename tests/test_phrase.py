@@ -248,3 +248,57 @@ def test_min_cover_mask_equals_two_pointer_reference():
         got = _min_cover_mask(p, g, m, window, starts, ends)
         want = reference(p, g, m, window, starts, ends)
         assert np.array_equal(got, want), (trial, p, g, m, window)
+
+
+def test_phrase_prefix_semantics(spark, tmp_path_factory):
+    """ES match_phrase_prefix: last token expands to its df-top
+    completions; fixed tokens + ANY completion must be adjacent; rank =
+    fixed BM25 sum + best matched completion's BM25 (hand-computed)."""
+    from collections import Counter
+
+    from ariadna_spark.functions.bm25 import bm25_py
+
+    docs = _mk_docs(
+        spark,
+        [
+            "merge scan alpha",        # 0: completes with 'scan'
+            "merge sort beta",         # 1: completes with 'sort'
+            "merge alpha scan",        # 2: 'scan' present but not adjacent
+            "scan merge sort",         # 3: completes with 'sort' mid-doc
+            "merge scan merge sort",   # 4: BOTH completions match -> best-of
+            "sort merge",              # 5: wrong order
+        ],
+    )
+    out = str(tmp_path_factory.mktemp("ppx_idx"))
+    build_index(spark, docs, out, build_id="t", n_buckets=2)
+    reader = IndexReader(spark, out)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in reader.phrase_prefix_topk("merge s", 10).collect()
+    }
+    assert set(got) == {0, 1, 3, 4}
+
+    toks = {r["doc_id"]: tokenize_py(r["content"]) for r in docs.collect()}
+    n = len(toks)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    df: Counter = Counter()
+    for t in toks.values():
+        for w in set(t):
+            df[w] += 1
+
+    def sc(i, w):
+        return bm25_py(toks[i].count(w), df[w], dls[i], n, avgdl)
+
+    assert got[0] == pytest.approx(sc(0, "merge") + sc(0, "scan"), abs=1e-9)
+    assert got[1] == pytest.approx(sc(1, "merge") + sc(1, "sort"), abs=1e-9)
+    assert got[3] == pytest.approx(sc(3, "merge") + sc(3, "sort"), abs=1e-9)
+    assert got[4] == pytest.approx(
+        sc(4, "merge") + max(sc(4, "scan"), sc(4, "sort")), abs=1e-9
+    )
+    # single-token phrase degenerates to a pure prefix disjunction
+    assert {r["doc_id"] for r in reader.phrase_prefix_topk("s", 10).collect()} == {
+        0, 1, 2, 3, 4, 5,
+    }
+    # a prefix with no completions matches nothing
+    assert reader.phrase_prefix_topk("merge zz", 10).count() == 0

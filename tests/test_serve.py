@@ -549,3 +549,29 @@ def test_http_suggest_endpoints(service):
                 assert e.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_http_phrase_prefix(service):
+    """GET /api/phrase_prefix: query-as-you-type behind the warm reader."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/phrase_prefix?q=merge+s&k=5"
+        ) as r:
+            body = json.loads(r.read())
+        assert body["hits"], body
+        # every hit completes 'merge s*' => it is also a plain-match hit
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/search?q=merge&k=500"
+        ) as r:
+            match = json.loads(r.read())
+        assert {h["doc_id"] for h in body["hits"]} <= {
+            h["doc_id"] for h in match["hits"]
+        }
+    finally:
+        httpd.shutdown()
