@@ -332,6 +332,29 @@ def query_stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
         out["qstress_count_docs"] = int(
             reader.match_count(q).collect()[0]["n_docs"]
         )
+        # round-5b surface at 1M docs: suggest = one TakeOrdered
+        # vocabulary job; phrase_prefix = expansion job + positional
+        # shape; delete_by_query = docmap scan + candidate semi-join +
+        # tombstone write, then a query over the masked store
+        timed("suggest", lambda: reader.suggest_terms("bi", size=10).collect())
+        timed(
+            "didyoumean",
+            lambda: reader.suggest_corrections("serach", size=5).collect(),
+        )
+        timed(
+            "phrase_prefix",
+            lambda: reader.phrase_prefix_topk("binary se", 10).collect(),
+        )
+        from ariadna_spark.sources.segments import delete_by_query
+
+        t0 = time.monotonic()
+        res = delete_by_query(
+            spark, idx, flt=(F.col("doc_id") % 1000 == 7), build_id="qsdel"
+        )
+        out["qstress_delete_sec"] = round(time.monotonic() - t0, 4)
+        out["qstress_delete_docs"] = res["deleted"]
+        masked = IndexReader(spark, idx)
+        timed("match_after_delete", lambda: masked.topk(q, 10).collect())
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
