@@ -25,6 +25,15 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--build-id", default=None)
     ap.add_argument("--prefix", action="store_true", help="edge-ngram prefix query")
+    ap.add_argument(
+        "--mode",
+        default=None,
+        choices=[
+            "match", "prefix", "phrase", "phrase_prefix", "near", "fuzzy",
+            "suggest", "didyoumean",
+        ],
+        help="query mode (default match; --prefix is shorthand for --mode prefix)",
+    )
     ap.add_argument("--docmap", action="store_true", help="join repo/path onto results")
     args = ap.parse_args()
 
@@ -44,10 +53,23 @@ def main() -> None:
     from ariadna_spark.operators.wand import IndexReader
 
     reader = IndexReader(spark, index_dir, build_id=args.build_id)
-    if args.prefix:
-        df = reader.prefix_topk(args.q, k, with_docmap=args.docmap)
+    mode = args.mode or ("prefix" if args.prefix else "match")
+    if mode == "suggest":
+        df = reader.suggest_terms(args.q, size=k)
+    elif mode == "didyoumean":
+        df = reader.suggest_corrections(args.q, size=k)
     else:
-        df = reader.topk(args.q, k, with_docmap=args.docmap)
+        fn = {
+            "match": lambda: reader.topk(args.q, k, with_docmap=args.docmap),
+            "prefix": lambda: reader.prefix_topk(args.q, k, with_docmap=args.docmap),
+            "phrase": lambda: reader.phrase_topk(args.q, k, with_docmap=args.docmap),
+            "phrase_prefix": lambda: reader.phrase_prefix_topk(
+                args.q, k, with_docmap=args.docmap
+            ),
+            "near": lambda: reader.near_topk(args.q, k=k, with_docmap=args.docmap),
+            "fuzzy": lambda: reader.fuzzy_topk(args.q, k, with_docmap=args.docmap),
+        }[mode]
+        df = fn()
     for row in df.collect():
         print(json.dumps(row.asDict()))
     spark.stop()

@@ -205,6 +205,15 @@ class SearchService:
             rows = self.reader.suggest_corrections(q, size=k, max_dist=dist).collect()
         return [r.asDict() for r in rows]
 
+    def analyze(self, text: str) -> dict:
+        """GET /api/analyze?text=: the ES `_analyze` dev surface — the
+        exact token stream the index and every query path use (driver
+        local; the same tokenize_py impl the kernels pickle)."""
+        from ariadna_spark.analyze import tokenize_py
+
+        toks = tokenize_py(text)
+        return {"tokens": [{"token": t, "position": i} for i, t in enumerate(toks)]}
+
     def explain(self, doc_id: int, q: str) -> list[dict]:
         """GET /api/explain?doc=<id>&q=<query>: the ES `_explain` surface
         — per-term BM25 breakdown (tf, doc_len, df, idf, tf_norm, score)
@@ -562,6 +571,11 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                         200,
                         {"q": q, "suggestions": service.didyoumean(q, k=k, dist=dist)},
                     )
+                if u.path == "/api/analyze":
+                    text = (qs.get("text") or qs.get("q") or [""])[0]
+                    if not text:
+                        return self._json(400, {"error": "missing text"})
+                    return self._json(200, service.analyze(text))
                 if u.path == "/api/stats":
                     return self._json(200, service.stats())
                 if public_dir and not u.path.startswith("/api/"):

@@ -575,3 +575,28 @@ def test_http_phrase_prefix(service):
         }
     finally:
         httpd.shutdown()
+
+
+def test_http_analyze(service):
+    """GET /api/analyze mirrors the canonical analyzer exactly."""
+    from serve import serve as mk_server
+
+    from ariadna_spark.analyze import tokenize_py
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analyze?text=mergeJoin_sortTable"
+        ) as r:
+            body = json.loads(r.read())
+        assert [tk["token"] for tk in body["tokens"]] == tokenize_py(
+            "mergeJoin_sortTable"
+        )
+        assert [tk["position"] for tk in body["tokens"]] == list(
+            range(len(body["tokens"]))
+        )
+    finally:
+        httpd.shutdown()
