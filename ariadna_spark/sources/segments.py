@@ -114,8 +114,22 @@ class SegmentStore:
         _atomic_write_json(os.path.join(self.out_dir, "MANIFEST"), {"build_ids": list(build_ids)})
 
     def append_live(self, build_id: str) -> list[str]:
-        builds = [b for b in self.live_builds() if b != build_id] + [build_id]
-        self.publish_many(builds)
+        """Read-modify-write of the live list under an exclusive flock:
+        two concurrent appenders (e.g. a streaming micro-batch and a
+        delete_by_query) must not lose each other's build. publish/
+        publish_many stay lock-free (absolute swaps); whole-store
+        rewrites (compact, restore) assume a single administrative
+        writer — their read-merge window is minutes, not a lock's."""
+        import fcntl
+
+        lock_path = os.path.join(self.out_dir, ".MANIFEST.lock")
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                builds = [b for b in self.live_builds() if b != build_id] + [build_id]
+                self.publish_many(builds)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
         return builds
 
     # -- GC (A6 analog: delete indices behind the alias) --

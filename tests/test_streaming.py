@@ -445,3 +445,30 @@ def test_snapshot_restore(spark, overwrite_corpus, tmp_path):
     assert [
         tuple(r) for r in IndexReader(spark, partial).topk("shared", 5).collect()
     ] == want
+
+
+def test_append_live_concurrent_appenders(tmp_path):
+    """append_live is a locked read-modify-write: concurrent appenders
+    (streaming batch + delete_by_query) never lose each other's build."""
+    import threading
+
+    out = str(tmp_path / "lock")
+    store = SegmentStore(out)
+    store.publish_many(["base"])
+    ids = [f"b{i:02d}" for i in range(16)]
+    errs = []
+
+    def add(bid):
+        try:
+            SegmentStore(out).append_live(bid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=add, args=(b,)) for b in ids]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    live = store.live_builds()
+    assert set(live) == {"base", *ids}, live
