@@ -329,6 +329,7 @@ def bool_kernel(
     msm: int = 0,
     stride: int = STRIDE,
     prune_stats: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """ES bool-query kernel for ONE doc_id range: top-k over docs that
     contain EVERY must term, at least `msm` distinct should terms, and NO
@@ -448,6 +449,15 @@ def bool_kernel(
         uniq, sums = uniq[keep], sums[keep]
         if uniq.size == 0:
             continue
+        if after is not None:
+            # search_after cut on exact scores (same sound placement as
+            # _bmw_range_topk: a stride bound says nothing about which
+            # side of the cursor its docs land on)
+            a_s, a_d = after
+            keep_a = (sums < a_s) | ((sums == a_s) & (uniq > a_d))
+            uniq, sums = uniq[keep_a], sums[keep_a]
+            if uniq.size == 0:
+                continue
         heap, theta = _merge_stride_topk(heap, uniq, sums, k)
 
     if prune_stats is not None:
@@ -1955,6 +1965,7 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """The full ES bool query (the delegated search surface's composed
         form; /root/reference/elastic/elastic.go search passthrough):
@@ -2009,7 +2020,8 @@ class IndexReader:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return bool_kernel(
-                pdf, n_docs, avgdl, k, range_size, m_terms, s_terms, n_terms, msm
+                pdf, n_docs, avgdl, k, range_size, m_terms, s_terms, n_terms, msm,
+                after=after,
             )
 
         local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)

@@ -129,13 +129,17 @@ class SearchService:
         self, must: str = "", should: str = "", must_not: str = "",
         msm: int = 0, k: int = 10, docmap: bool = False,
         filters: dict[str, str] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[dict]:
         """GET /api/bool: the composed ES bool query (must/should/
-        must_not + minimum_should_match + non-scoring filter terms)."""
+        must_not + minimum_should_match + non-scoring filter terms),
+        with search_after cursor pagination — the cut runs in-kernel,
+        so page N of a bool query stays one pruned job."""
         flt = self._filter_expr(filters)
         with self._lock:
             rows = self.reader.bool_topk(
-                must, should, must_not, flt=flt, msm=msm, k=k, with_docmap=docmap
+                must, should, must_not, flt=flt, msm=msm, k=k,
+                with_docmap=docmap, after=after,
             ).collect()
         return [r.asDict() for r in rows]
 
@@ -462,15 +466,20 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     msm = int((qs.get("msm") or ["0"])[0])
                     docmap = (qs.get("docmap") or ["0"])[0] in ("1", "true")
                     filters = _parse_filters(qs)
+                    after = None
+                    if qs.get("after"):
+                        s, _, d = qs["after"][0].partition(",")
+                        after = (float(s), int(d))
                     rows = service.bool_search(
                         must, should, must_not, msm=msm, k=k, docmap=docmap,
-                        filters=filters,
+                        filters=filters, after=after,
                     )
-                    return self._json(
-                        200,
-                        {"must": must, "should": should, "must_not": must_not,
-                         "msm": msm, "k": k, "hits": rows},
-                    )
+                    resp = {"must": must, "should": should, "must_not": must_not,
+                            "msm": msm, "k": k, "hits": rows}
+                    if rows:
+                        last = rows[-1]
+                        resp["next_after"] = f"{last['score']!r},{last['doc_id']}"
+                    return self._json(200, resp)
                 if u.path == "/api/highlight":
                     q = (qs.get("q") or [""])[0]
                     if not q:

@@ -930,3 +930,17 @@ def test_suggesters(spark, docs, index_dir):
     # analyzer-empty inputs -> empty frames with stable schemas
     assert reader.suggest_terms("!!!").count() == 0
     assert reader.suggest_corrections("???").count() == 0
+
+
+def test_bool_topk_search_after(spark, index_dir):
+    """search_after pages a bool query exactly: page1 + page2 (cursor =
+    page1's last (score, doc_id)) == the top-2k run in one shot."""
+    reader = IndexReader(spark, index_dir)
+    both = reader.bool_topk("scan", should="merge join", msm=1, k=10).collect()
+    assert len(both) == 10
+    p1 = reader.bool_topk("scan", should="merge join", msm=1, k=5).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = reader.bool_topk("scan", should="merge join", msm=1, k=5, after=cur).collect()
+    got = [(r["doc_id"], r["score"]) for r in p1 + p2]
+    want = [(r["doc_id"], r["score"]) for r in both]
+    assert got == want
