@@ -922,6 +922,63 @@ def restore_index(snapshot: str, out_dir: str) -> dict:
     return {"builds": live, "copied": copied, "skipped": skipped}
 
 
+def attach_index(spark: SparkSession, src_dir: str, dst_dir: str) -> dict:
+    """Federated multi-index search (the ES `GET /idx1,idx2/_search`
+    shape) expressed through the store's own merge-on-read machinery: a
+    foreign index is just more immutable segments. Copy `src_dir`'s LIVE
+    builds into `dst_dir` (the snapshot copy primitive: staged + atomic
+    rename) and append them to dst's live list under the manifest lock.
+    The existing reader then serves BOTH indexes with correctly MERGED
+    global statistics — N summed, avgdl from total token mass, per-term
+    df summed — i.e. rank/score-identical to having built one index over
+    the union corpus. Tombstones travel with their build and keep
+    masking exactly their own build's docs.
+
+    Safety rails (both loud errors, never silent corruption):
+    * doc_id ranges must be DISJOINT between the stores — WAND sums
+      scores per doc_id across segments, so an id collision would
+      conflate two different documents. Checked with one tiny
+      min/max aggregation per side (sharded corpora assign disjoint
+      dense ranges by construction; re-keying would mean rewriting
+      postings, which this operation exists to avoid).
+    * build_id collisions are rejected (build dirs are content-keyed by
+      id; two different builds under one id cannot share a store).
+    """
+    src, dst = SegmentStore(src_dir), SegmentStore(dst_dir)
+    src_live = src.live_builds()
+    if not src_live:
+        raise FileNotFoundError(f"no live build in {src_dir}")
+    dst_live = dst.live_builds()
+    if not dst_live:
+        raise FileNotFoundError(
+            f"no live build in {dst_dir} — use restore_index to seed an empty store"
+        )
+    dup = set(src_live) & set(dst_live)
+    if dup:
+        raise ValueError(f"build id collision between stores: {sorted(dup)}")
+    rng = lambda store, live: (  # noqa: E731
+        spark.read.parquet(*docmap_dirs(store, live))
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()[0]
+    )
+    a, b = rng(dst, dst_live), rng(src, src_live)
+    if not (b["lo"] > a["hi"] or b["hi"] < a["lo"]):
+        raise ValueError(
+            f"doc_id ranges overlap: dst [{a['lo']}, {a['hi']}] vs "
+            f"src [{b['lo']}, {b['hi']}] — attached stores must hold "
+            f"disjoint doc_id ranges (shard corpora by id range)"
+        )
+    attached = []
+    for bld in src_live:
+        tgt = dst.build_dir(bld)
+        if os.path.isdir(tgt):
+            raise ValueError(f"build dir already present in dst: {bld}")
+        _copy_build(src.build_dir(bld), tgt)
+        dst.append_live(bld)
+        attached.append(bld)
+    return {"attached": attached, "live": dst.live_builds()}
+
+
 def load_manifest(out_dir: str, build_id: str | None = None) -> dict:
     store = SegmentStore(out_dir)
     build_id = build_id or store.live_build()

@@ -472,3 +472,56 @@ def test_append_live_concurrent_appenders(tmp_path):
     assert not errs
     live = store.live_builds()
     assert set(live) == {"base", *ids}, live
+
+
+def test_attach_index_federated_search(spark, overwrite_corpus, tmp_path):
+    """attach_index: two independently built indexes over disjoint
+    doc_id ranges serve through ONE reader rank/score-identical to a
+    single index built over the union corpus; overlapping id ranges and
+    build-id collisions are rejected loudly."""
+    import pytest as pt
+
+    from ariadna_spark.sources.segments import attach_index, verify_index
+
+    base, _, _ = overwrite_corpus
+    other = (
+        base.withColumn("doc_id", F.col("doc_id") + 100)
+        .withColumn("path", F.concat(F.col("path"), F.lit(".b")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" extra window")))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    u = str(tmp_path / "union")
+    build_index(spark, base, a, build_id="idx_a", n_buckets=2)
+    build_index(spark, other, b, build_id="idx_b", n_buckets=2)
+    build_index(spark, base.unionByName(other), u, build_id="mono", n_buckets=2)
+
+    res = attach_index(spark, b, a)
+    assert res["attached"] == ["idx_b"] and res["live"] == ["idx_a", "idx_b"]
+
+    ra, ru = IndexReader(spark, a), IndexReader(spark, u)
+    assert ra.stats["N"] == ru.stats["N"] == 6
+    assert ra.stats["avgdl"] == pytest.approx(ru.stats["avgdl"], abs=1e-12)
+    for q in ("shared", "merge join", "window", "gamma filter"):
+        ga = ra.topk(q, 10).collect()
+        gu = ru.topk(q, 10).collect()
+        assert [r["doc_id"] for r in ga] == [r["doc_id"] for r in gu], q
+        for x, y in zip(ga, gu):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+    rep = verify_index(spark, a)
+    assert rep["ok"], rep["errors"]
+
+    # overlapping doc_id ranges rejected
+    c = str(tmp_path / "c")
+    build_index(spark, base, c, build_id="idx_c", n_buckets=2)
+    with pt.raises(ValueError, match="doc_id ranges overlap"):
+        attach_index(spark, c, a)
+    # build id collision rejected
+    d = str(tmp_path / "d")
+    build_index(
+        spark, other.withColumn("doc_id", F.col("doc_id") + 1000), d,
+        build_id="idx_b", n_buckets=2,
+    )
+    with pt.raises(ValueError, match="build id collision"):
+        attach_index(spark, d, a)
