@@ -366,6 +366,75 @@ def collocations(
     )
 
 
+def repetition_metrics(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    content_col: str = "content",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1;
+    the RefinedWeb/Dolma filter family): for each n in `ns`, the fraction
+    of the doc's token stream covered by its MOST FREQUENT token n-gram —
+    top{n}_frac = max_count * n / n_tokens. High values flag boilerplate,
+    templates, and keyword-stuffed spam. Returns
+    (doc_id, n_tokens, top2_frac, top3_frac, top4_frac) rounded to 4
+    decimals; a doc shorter than n tokens scores 0.0 for that n.
+
+    Plan: ONE tokenize pass — every n's grams are emitted from the same
+    token array as tagged structs and exploded once (no per-n re-run of
+    the analyzer, the r4 collocations lesson). The (doc, n, gram) count
+    aggregates map-side first; per-doc maxima pivot back to one row per
+    doc. No corpus-wide state: every key is doc-scoped, so the shuffle
+    is uniformly spread regardless of corpus-level Zipf skew."""
+    toks = tokenize_expr(content_col)
+    d = (
+        docs.select("doc_id", toks.alias("t"))
+        .withColumn("n_tokens", F.size("t").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+
+    def _grams(n: int) -> F.Column:
+        # guard short docs: F.sequence(0, size-n) DESCENDS when size < n,
+        # which would fabricate grams (and ANSI element_at(0) throws)
+        win = F.when(F.col("n_tokens") >= n, _token_ngrams(F.col("t"), n)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+        # single-arg lambda ONLY: a second parameter (even a defaulted
+        # `n=n` capture) makes F.transform pass the ARRAY INDEX into it
+        def tag(g, _n=n):
+            return F.struct(F.lit(_n).alias("n"), g.alias("gram"))
+
+        return F.transform(win, lambda g: tag(g))
+
+    # sentinel (n=0) row keeps every doc in the output — a doc shorter
+    # than every n still reports 0.0 fracs — without a second tokenize
+    # pass for a base table
+    sentinel = F.array(F.struct(F.lit(0).alias("n"), F.lit("").alias("gram")))
+    tagged = d.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.flatten(F.array(sentinel, *[_grams(n) for n in ns]))).alias("p"),
+    ).select("doc_id", "n_tokens", F.col("p.n").alias("n"), F.col("p.gram").alias("gram"))
+    mx = (
+        tagged.groupBy("doc_id", "n_tokens", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens", "n")
+        .agg(F.max("c").alias("mx"))
+    )
+    return mx.groupBy("doc_id", "n_tokens").agg(
+        *[
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col("mx") * n)), F.lit(0)
+                ).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias(f"top{n}_frac")
+            for n in ns
+        ]
+    )
+
+
 def perplexity_scores(
     docs: DataFrame,
     lm_docs: DataFrame | None = None,

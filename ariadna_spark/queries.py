@@ -701,6 +701,49 @@ def q_perplexity(spark, sf_dir) -> DataFrame:
     return perplexity_scores(docs, alpha=_PPL_ALPHA)
 
 
+def q_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality signals: per doc, the fraction of
+    the token stream covered by its most frequent 2-/3-/4-gram (the Rae
+    et al. boilerplate/spam filters). The oracle replays the windowed
+    gram construction and the per-doc maxima over the tokenized
+    documents."""
+    from .operators.text import repetition_metrics
+
+    return repetition_metrics(load_docs(spark, sf_dir))
+
+
+def _sql_repetition(ns=(2, 3, 4)) -> str:
+    branches = []
+    for n in ns:
+        gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+        branches.append(
+            f"""  SELECT doc_id, nt, {n} AS n, {gram} AS gram
+  FROM nz, UNNEST(range(1, nt - {n - 2})) AS r(i) WHERE nt >= {n}"""
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    fracs = ",\n  ".join(
+        f"round(COALESCE(max(CASE WHEN m.n = {n} THEN m.mx * {n} END), 0)"
+        f" / CAST(nz.nt AS DOUBLE), 4) AS top{n}_frac"
+        for n in ns
+    )
+    return f"""
+WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
+nz AS (SELECT doc_id, t, len(t) AS nt FROM tl WHERE len(t) > 0),
+g AS (
+{union}
+),
+c AS (SELECT doc_id, nt, n, gram, count(*) AS c FROM g GROUP BY doc_id, nt, n, gram),
+m AS (SELECT doc_id, nt, n, max(c) AS mx FROM c GROUP BY doc_id, nt, n)
+SELECT nz.doc_id, CAST(nz.nt AS BIGINT) AS n_tokens,
+  {fracs}
+FROM nz LEFT JOIN m ON m.doc_id = nz.doc_id
+GROUP BY nz.doc_id, nz.nt
+"""
+
+
+SQL_REPETITION = _sql_repetition()
+
+
 SQL_PERPLEXITY = f"""
 WITH tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
 nz AS (SELECT doc_id, t, len(t) AS n FROM tl WHERE len(t) > 0),
@@ -3184,6 +3227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "collocations": q_collocations,
     "perplexity_quality": q_perplexity,
+    "repetition_metrics": q_repetition,
     "training_pipeline": q_training_pipeline,
     "stratified_take": q_stratified_take,
     "regex_search": q_regex_search,
@@ -3265,6 +3309,7 @@ ORACLES: dict[str, str] = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "collocations": SQL_COLLOCATIONS,
     "perplexity_quality": SQL_PERPLEXITY,
+    "repetition_metrics": SQL_REPETITION,
     "training_pipeline": SQL_TRAINING_PIPELINE,
     "stratified_take": SQL_STRATIFIED_TAKE,
     "regex_search": SQL_REGEX_SEARCH,

@@ -388,3 +388,35 @@ def test_perplexity_scores(spark):
     pr = perplexity_scores(probe, lm_docs=docs, alpha=0.5).collect()[0]
     assert pr["n_bigrams"] == 2
     assert pr["nll_r"] == round(math.log((0 + 0.5 * v) / (0 + 0.5)), 4)
+
+
+def test_repetition_metrics(spark):
+    """Gopher top-ngram fractions vs hand computation, including docs
+    shorter than the gram sizes (0.0 fracs, still present)."""
+    from ariadna_spark.operators.text import repetition_metrics
+
+    rows = [
+        (0, "merge join merge join merge join scan"),  # 'merge join' x3
+        (1, "alpha beta gamma delta"),                 # all grams unique
+        (2, "spam spam spam spam"),                    # one token repeated
+        (3, "tiny"),                                   # 1 token: no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    # doc 0: 7 tokens; 'merge join' occurs 3x -> 3*2/7; top 3-gram
+    # ('merge join merge'|'join merge join') occurs 2x -> 2*3/7; top
+    # 4-gram 'merge join merge join' occurs 2x -> 2*4/7
+    assert out[0]["n_tokens"] == 7
+    assert out[0]["top2_frac"] == round(6 / 7, 4)
+    assert out[0]["top3_frac"] == round(6 / 7, 4)
+    assert out[0]["top4_frac"] == round(8 / 7, 4)  # overlapping windows can exceed 1
+    # doc 1: every gram unique -> n/ n_tokens
+    assert out[1]["top2_frac"] == round(2 / 4, 4)
+    assert out[1]["top4_frac"] == round(4 / 4, 4)
+    # doc 2: 'spam spam' occurs 3x -> 6/4
+    assert out[2]["top2_frac"] == round(6 / 4, 4)
+    # doc 3: shorter than every n -> present with zeros
+    assert out[3]["n_tokens"] == 1
+    assert (out[3]["top2_frac"], out[3]["top3_frac"], out[3]["top4_frac"]) == (
+        0.0, 0.0, 0.0,
+    )
