@@ -8,6 +8,7 @@ uses, in the canonical order:
     exact dedup (keep-first by content sha)
       -> [optional] MinHash/LSH near-dup removal (keep lowest doc_id of
          each verified near-dup pair's partner set)
+      -> [optional] repetition gate (Gopher top-bigram fraction)
       -> [optional] bigram-LM perplexity gate (drop mean-nll outliers)
       -> PII scrub (emails / IPv4 redacted BEFORE anything is emitted)
       -> quality gate (min/max token bounds on the scrubbed text)
@@ -53,6 +54,7 @@ def prepare_training_set(
     cluster_max_iter: int = 20,
     max_nll: float | None = None,
     lm_docs: DataFrame | None = None,
+    max_top2_frac: float | None = None,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
     (doc_id, chunk_id, split, n_tokens, chunk_text).
@@ -85,6 +87,19 @@ def prepare_training_set(
         # overflow instead of failing the run (r4 ADVICE)
         clusters = cluster_ids(dups.select("da", "db"), max_iter=cluster_max_iter)
         d = cluster_keep_policy(d, clusters)
+
+    if max_top2_frac is not None:
+        # Gopher repetition gate: drop docs whose most frequent bigram
+        # covers more than the budgeted fraction of the token stream
+        # (boilerplate/template/spam); doc-scoped keys, no corpus state
+        from .operators.text import repetition_metrics
+
+        rep_bad = (
+            repetition_metrics(d)
+            .filter(F.col("top2_frac") > max_top2_frac)
+            .select("doc_id")
+        )
+        d = d.join(rep_bad, "doc_id", "left_anti")
 
     if max_nll is not None:
         # perplexity gate (CCNet-style): drop docs whose mean bigram nll

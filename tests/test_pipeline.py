@@ -177,3 +177,26 @@ def test_pipeline_perplexity_gate(spark):
     assert dropped and kept < base_kept
     assert all(ppl[i] > cut for i in dropped)
     assert all(ppl.get(i, 0.0) <= cut for i in kept)
+
+
+def test_pipeline_repetition_gate(spark):
+    """max_top2_frac drops exactly the docs whose top-bigram coverage
+    exceeds the budget (Gopher repetition filter), composing with the
+    rest of the pipeline."""
+    from ariadna_spark.operators.dedup import keep_first_dedup
+    from ariadna_spark.operators.text import repetition_metrics
+
+    docs = load_docs(spark, SF)
+    d = keep_first_dedup(docs)
+    rep = {r["doc_id"]: r["top2_frac"] for r in repetition_metrics(d).collect()}
+    cut = sorted(rep.values())[int(len(rep) * 0.9)]
+    out = prepare_training_set(
+        docs, chunk_size=32, overlap=8, min_tokens=4, max_top2_frac=cut
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    base = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4)
+    base_kept = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    dropped = base_kept - kept
+    assert dropped and kept < base_kept
+    assert all(rep[i] > cut for i in dropped)
+    assert all(rep.get(i, 0.0) <= cut for i in kept)
