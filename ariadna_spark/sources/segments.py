@@ -669,6 +669,39 @@ def delete_by_query(
     return {"build_id": build_id, "deleted": n, "doc_len_sum": dl_sum}
 
 
+def update_by_query(
+    spark: SparkSession,
+    out_dir: str,
+    docs: DataFrame,
+    flt,
+    set_cols: dict | None = None,
+    build_id: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    **kw,
+) -> dict:
+    """ES `_update_by_query`: re-ingest every doc of the source-of-truth
+    table matching `flt`, with the `set_cols` column transforms applied
+    (e.g. {"content": F.concat(...)}) — the index stores no document
+    source (exactly ES with `_source` disabled), so updates re-read the
+    system of record and ride the standard per-doc overwrite contract:
+    the new segment's (repo, path) keys tombstone the old versions,
+    visible at the next query, physically dropped at compaction.
+
+    Cost is one pruned scan of the matching docs plus a normal segment
+    build over just that batch — never a store rewrite. content_sha is
+    recomputed so the ingest invariant (per-row sha256 equality vs the
+    source) keeps holding for the updated rows."""
+    batch = docs.filter(flt)
+    for c, expr in (set_cols or {}).items():
+        batch = batch.withColumn(c, expr)
+    batch = batch.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    build_id = build_id or f"upd_{uuid.uuid4().hex[:8]}"
+    manifest = append_segment(
+        spark, batch, out_dir, build_id=build_id, n_buckets=n_buckets, **kw
+    )
+    return {"build_id": build_id, "updated": manifest["stats"]["N"]}
+
+
 def compaction_due(
     out_dir: str, max_segments: int = 8, max_tomb_ratio: float = 0.25
 ) -> dict | None:

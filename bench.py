@@ -268,6 +268,18 @@ def stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
         n_rows = prepare_training_set(docs, min_tokens=4).count()
         out["stress_pipeline_sec"] = round(time.monotonic() - t0, 2)
         out["stress_pipeline_rows"] = n_rows
+
+        # round-5b quality operators at 1M docs: both are doc-scoped
+        # aggregations (repetition) or one bigram-domain LM + two joins
+        # (perplexity) — no corpus-level hot key
+        from ariadna_spark.operators.text import perplexity_scores, repetition_metrics
+
+        t0 = time.monotonic()
+        out["stress_repetition_rows"] = repetition_metrics(docs).count()
+        out["stress_repetition_sec"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        out["stress_perplexity_rows"] = perplexity_scores(docs).count()
+        out["stress_perplexity_sec"] = round(time.monotonic() - t0, 2)
         return out
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -525,3 +525,47 @@ def test_attach_index_federated_search(spark, overwrite_corpus, tmp_path):
     )
     with pt.raises(ValueError, match="build id collision"):
         attach_index(spark, d, a)
+
+
+def test_update_by_query(spark, overwrite_corpus, tmp_path):
+    """ES _update_by_query: matching docs re-read from the source table
+    with transforms applied; old versions tombstoned (overwrite
+    contract), stats exact, compaction equals a fresh build of the
+    transformed corpus."""
+    from ariadna_spark.sources.segments import compact, update_by_query
+
+    base, _, _ = overwrite_corpus
+    out = str(tmp_path / "ubq")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+
+    res = update_by_query(
+        spark,
+        out,
+        base,
+        flt=(F.col("lang") == "go"),
+        set_cols={"content": F.concat(F.col("content"), F.lit(" patched"))},
+        build_id="u1",
+        n_buckets=2,
+    )
+    assert res["updated"] == 1
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 3  # constant doc count
+    # the updated doc matches its new token, exactly once for old tokens
+    assert [r["doc_id"] for r in reader.topk("patched", 5).collect()] == [2]
+    assert [r["doc_id"] for r in reader.topk("gamma", 5).collect()].count(2) == 1
+
+    compact(spark, out, build_id="final", n_buckets=2)
+    fresh_docs = base.withColumn(
+        "content",
+        F.when(
+            F.col("lang") == "go", F.concat(F.col("content"), F.lit(" patched"))
+        ).otherwise(F.col("content")),
+    ).withColumn("content_sha", F.sha2(F.col("content"), 256))
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, fresh_docs, fresh, build_id="mono", n_buckets=2)
+    ra, rb = IndexReader(spark, out), IndexReader(spark, fresh)
+    for q in ("patched", "shared", "gamma filter"):
+        a, b = ra.topk(q, 5).collect(), rb.topk(q, 5).collect()
+        assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], q
+        for x, y in zip(a, b):
+            assert x["score"] == pytest.approx(y["score"], abs=1e-9)

@@ -420,3 +420,13 @@ def test_repetition_metrics(spark):
     assert (out[3]["top2_frac"], out[3]["top3_frac"], out[3]["top4_frac"]) == (
         0.0, 0.0, 0.0,
     )
+
+
+def test_repetition_arrow_equals_catalyst(spark, docs):
+    """The map-side Arrow repetition kernel is row-identical to the
+    Catalyst equivalence reference (and therefore to the oracle)."""
+    from ariadna_spark.operators.text import repetition_metrics
+
+    a = sorted(tuple(r) for r in repetition_metrics(docs).collect())
+    b = sorted(tuple(r) for r in repetition_metrics(docs, use_arrow=False).collect())
+    assert a == b and len(a) > 0
