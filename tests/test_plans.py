@@ -252,3 +252,17 @@ def test_suggesters_prune_and_take_ordered(spark, index_dir):
     corr = reader.suggest_corrections("smal", size=5)
     assert_take_ordered(corr)
     assert_pushed_filter(corr, "StringStartsWith")
+
+
+def test_perplexity_sample_lm_broadcasts(spark, docs):
+    """The CCNet production shape: a sample-trained LM must reach the
+    corpus-side scoring join as broadcasts — the corpus bigram stream
+    never shuffles for the join."""
+    from ariadna_spark.operators.text import perplexity_scores
+    from ariadna_spark.plans import physical_plan
+
+    lm = docs.limit(50)
+    plan = physical_plan(perplexity_scores(docs, lm_docs=lm))
+    assert "BroadcastHashJoin" in plan, plan
+    # no sort-merge join anywhere in the scoring graph
+    assert "SortMergeJoin" not in plan, plan
