@@ -984,7 +984,10 @@ class IndexReader:
         self.has_tombstones = n_dead > 0
         self.stats = dict(self.build_stats[-1])
         self.stats["N"] = n_total - n_dead
-        self.stats["avgdl"] = (tok_total - tok_dead) / max(n_total - n_dead, 1)
+        # `or 1.0`: a fully-deleted store has zero live tokens; any
+        # positive avgdl keeps the kernels' arithmetic finite (no live
+        # doc can score regardless)
+        self.stats["avgdl"] = (tok_total - tok_dead) / max(n_total - n_dead, 1) or 1.0
         self._schemas: dict = {}
 
     def _read_parquet(self, dirs: list[str], kind: str) -> DataFrame:

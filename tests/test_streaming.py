@@ -569,3 +569,20 @@ def test_update_by_query(spark, overwrite_corpus, tmp_path):
         assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b], q
         for x, y in zip(a, b):
             assert x["score"] == pytest.approx(y["score"], abs=1e-9)
+
+
+def test_delete_by_query_everything(spark, overwrite_corpus, tmp_path):
+    """Deleting the whole corpus leaves a consistent empty-serving store:
+    zero stats, empty top-k/count/docmap, no arithmetic blowups."""
+    from ariadna_spark.sources.segments import delete_by_query
+
+    base, _, _ = overwrite_corpus
+    out = str(tmp_path / "nuke")
+    build_index(spark, base, out, build_id="b", n_buckets=2)
+    res = delete_by_query(spark, out, flt=F.lit(True), build_id="nuke")
+    assert res["deleted"] == 3
+    reader = IndexReader(spark, out)
+    assert reader.stats["N"] == 0 and reader.stats["avgdl"] == 1.0
+    assert reader.topk("shared", 5).collect() == []
+    assert reader.match_count("shared").collect()[0]["n_docs"] == 0
+    assert reader.docmap().count() == 0
