@@ -1758,14 +1758,18 @@ class IndexReader:
         page 1. `flt` optionally adds a non-scoring docmap predicate
         (filter context), pushed into the same scan."""
         terms = sorted(set(tokenize_py(query)))
-        dm = self.docmap().select("doc_id", "repo", "path", "lang", "doc_len")
-        if sort_col not in dm.columns:
-            raise ValueError(f"unsortable column {sort_col!r}")
-        empty = self.spark.createDataFrame([], dm.schema)
-        if not terms:
-            return empty
+        out_cols = ["doc_id", "repo", "path", "lang", "doc_len"]
+        # filter context applies on the FULL docmap (a flt may reference
+        # columns like `commit` that the projected result drops), exactly
+        # as filtered_topk does; the narrowing select comes after.
+        dm = self.docmap()
         if flt is not None:
             dm = dm.filter(flt)
+        dm = dm.select(*out_cols)
+        if sort_col not in dm.columns:
+            raise ValueError(f"unsortable column {sort_col!r}")
+        if not terms:
+            return self.spark.createDataFrame([], dm.schema)
         dm = dm.join(self.candidate_doc_ids(terms), "doc_id", "left_semi")
         if after is not None:
             a_v, a_d = after

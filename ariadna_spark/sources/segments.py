@@ -613,6 +613,11 @@ def delete_by_query(
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
+        # A crash can land between the marker write and append_live below;
+        # re-publishing here (append_live is idempotent under the MANIFEST
+        # lock) makes the replay path converge instead of silently
+        # reporting success for a build that never became visible.
+        store.append_live(build_id)
         return {"build_id": build_id, "deleted": meta["n"], "doc_len_sum": meta["doc_len_sum"]}
 
     dm_dirs = docmap_dirs(store, live)
@@ -1065,7 +1070,9 @@ def verify_index(spark: SparkSession, out_dir: str) -> dict:
             # referential checks below still cover its rows.
             tomb_marker = os.path.join(bdir, "_tombstones.json")
             has_buckets = any(
-                d.startswith("bucket=") for d in os.listdir(bdir) if os.path.isdir(bdir)
+                d.startswith("bucket=")
+                for d in os.listdir(bdir)
+                if os.path.isdir(os.path.join(bdir, d))
             )
             if os.path.exists(tomb_marker) and not has_buckets:
                 with open(tomb_marker) as f:

@@ -99,6 +99,10 @@ class SearchService:
         attributes (match mode); conjunctive equality only. Cursor and
         filters compose — a filtered page 2 stays a pruned top-k job."""
         flt = self._filter_expr(filters)
+        if flt is not None and mode != "match":
+            # only match mode has a filtered kernel today; anything else
+            # must fail loudly (400) rather than silently ignore the filter
+            raise ValueError(f"filters are not supported in mode={mode!r}")
         with self._lock:
             if mode == "near":
                 rows = self.reader.near_topk(

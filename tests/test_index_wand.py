@@ -807,6 +807,15 @@ def test_sorted_topk_pages_and_plan(spark, docs, index_dir):
     assert {r["doc_id"] for r in fr} <= fr_ids
     lens = [r["doc_len"] for r in fr]
     assert lens == sorted(lens)
+    # ADVICE r5: a filter over a docmap column OUTSIDE the projected
+    # result set (commit is FILTERABLE in serve.py) must work — the flt
+    # applies before the narrowing select
+    one = docs.limit(1).collect()[0]
+    q1 = " ".join(tokenize_py(one["content"])[:2])
+    byc = reader.sorted_topk(
+        q1, "path", k=5, flt=F.col("commit") == one["commit"]
+    ).collect()
+    assert {r["doc_id"] for r in byc} == {one["doc_id"]}
     with pytest.raises(ValueError):
         reader.sorted_topk("merge join", "content_sha")
 

@@ -5,6 +5,7 @@ import json
 import os
 import sys
 import threading
+import urllib.error
 import urllib.request
 
 import pytest
@@ -386,6 +387,17 @@ def test_pagination_and_filter_endpoints(service, spark, docs):
 
         with pytest.raises(ValueError):
             service.search("merge join", k=3, filters={"content_sha": "x"})
+
+        # ADVICE r5: modes without a filtered kernel must reject filters
+        # loudly (400), never silently return unfiltered hits
+        for mode in ("phrase", "prefix", "near", "fuzzy", "phrase_prefix"):
+            with pytest.raises(ValueError, match="filters are not supported"):
+                service.search("merge join", k=3, mode=mode, filters={"lang": "fr"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/phrase?q=merge+join&lang=fr"
+            )
+        assert ei.value.code == 400
     finally:
         httpd.shutdown()
 

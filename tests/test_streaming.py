@@ -384,11 +384,50 @@ def test_delete_by_query(spark, overwrite_corpus, tmp_path):
     rep = verify_index(spark, out)
     assert rep["ok"], rep["errors"]
 
+    # ADVICE r5: a stray FILE named bucket=* in a tombstone-only build dir
+    # must not misroute fsck to the manifest-missing error path (the
+    # has_buckets guard checks the entry, not the parent dir)
+    import os as _o
+
+    stray = _o.path.join(out, "builds", "del1", "bucket=stray")
+    open(stray, "w").close()
+    try:
+        rep_stray = verify_index(spark, out)
+        assert rep_stray["ok"], rep_stray["errors"]
+        assert rep_stray["builds"]["del1"].get("tombstone_only")
+    finally:
+        _o.remove(stray)
+
     compact(spark, out, build_id="final", n_buckets=2)
     reader2 = IndexReader(spark, out)
     assert reader2.stats["N"] == 1
     assert not reader2.has_tombstones
     assert [r["doc_id"] for r in reader2.topk("shared", 5).collect()] == [0]
+
+
+def test_delete_by_query_replay_republishes(spark, overwrite_corpus, tmp_path):
+    """ADVICE r5: a crash between the idempotency-marker write and
+    append_live leaves a fully-built but unpublished deletion; the replay
+    short-circuit must re-publish (append_live is idempotent), not report
+    success while the deletion stays invisible."""
+    from ariadna_spark.sources.segments import SegmentStore, delete_by_query
+
+    base, _, _ = overwrite_corpus
+    out = str(tmp_path / "del")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    delete_by_query(spark, out, flt=(F.col("lang") == "go"), build_id="del1")
+
+    # simulate the crash window: marker exists, but the build never made
+    # the live list
+    store = SegmentStore(out)
+    store.publish_many([b for b in store.live_builds() if b != "del1"])
+    assert "del1" not in store.live_builds()
+    assert IndexReader(spark, out).topk("gamma", 5).count() == 1  # delete invisible
+
+    res = delete_by_query(spark, out, flt=(F.col("lang") == "go"), build_id="del1")
+    assert res["deleted"] == 1
+    assert "del1" in store.live_builds()
+    assert IndexReader(spark, out).topk("gamma", 5).count() == 0
 
 
 def test_snapshot_restore(spark, overwrite_corpus, tmp_path):
