@@ -481,6 +481,7 @@ def _two_pass_positions(
     dead: dict,
     row_bid,
     or_terms: list[str] | None = None,
+    allow: np.ndarray | None = None,
 ) -> tuple[dict | None, np.ndarray | None]:
     """Shared two-pass decode for the positional kernels (VERDICT r3 #5).
 
@@ -534,6 +535,14 @@ def _two_pass_positions(
         )
         if cand_docs.size == 0:
             return None, None
+    if allow is not None and cand_docs is not None:
+        # ES filter context: only docs passing the docmap predicate can
+        # match — narrowing HERE means PASS 2 never decodes positions for
+        # filtered-out docs (filter-selective phrase queries get cheaper,
+        # not just correct)
+        cand_docs = np.intersect1d(cand_docs, allow, assume_unique=True)
+        if cand_docs.size == 0:
+            return None, None
     if or_terms:
         u_any = None
         for t in or_terms:
@@ -555,6 +564,12 @@ def _two_pass_positions(
             )
             if cand_docs.size == 0:
                 return None, None
+            if allow is not None:
+                # filter context also narrows an or_terms-only candidate
+                # set (no required terms: cand_docs was None above)
+                cand_docs = np.intersect1d(cand_docs, allow, assume_unique=True)
+                if cand_docs.size == 0:
+                    return None, None
         # an or_term that is ALSO required makes the disjunction a
         # tautology over the required intersection — no extra narrowing
     per_term: dict = {}
@@ -612,16 +627,7 @@ def phrase_kernel(
         {"doc_id": "int64", "score": "float64"}
     )
     rid = int(pdf["rid"].iloc[0])
-    dead: dict = {}
-    if "is_tomb" in pdf.columns:
-        tm = pdf["is_tomb"].to_numpy()
-        if tm.any():
-            trows = pdf[tm]
-            dead = {
-                b: g["first_doc_id"].to_numpy().astype(np.int64)
-                for b, g in trows.groupby("bid")
-            }
-            pdf = pdf[~tm].reset_index(drop=True)
+    pdf, allow, dead = _split_pseudo_rows(pdf)
     if pdf.empty:
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
@@ -631,7 +637,7 @@ def phrase_kernel(
     uniq_terms = sorted(set(terms_ordered))
     row_term = pdf["term"].to_numpy()
     per_term, cand_docs = _two_pass_positions(
-        pdf, uniq_terms, row_term, lo, hi, dead, row_bid
+        pdf, uniq_terms, row_term, lo, hi, dead, row_bid, allow=allow
     )
     if per_term is None:
         return empty
@@ -679,7 +685,7 @@ def phrase_prefix_kernel(
     the DuckDB oracle."""
     empty = pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY_TOPK)
     rid = int(pdf["rid"].iloc[0])
-    pdf, _, dead = _split_pseudo_rows(pdf)
+    pdf, allow, dead = _split_pseudo_rows(pdf)
     if pdf.empty:
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
@@ -690,7 +696,7 @@ def phrase_prefix_kernel(
     row_term = pdf["term"].to_numpy()
     per_term, cand_docs = _two_pass_positions(
         pdf, uniq_fixed, row_term, lo, hi, dead, row_bid,
-        or_terms=sorted(set(exp_terms)),
+        or_terms=sorted(set(exp_terms)), allow=allow,
     )
     if per_term is None:
         return empty
@@ -794,16 +800,7 @@ def near_kernel(
         {"doc_id": "int64", "score": "float64"}
     )
     rid = int(pdf["rid"].iloc[0])
-    dead: dict = {}
-    if "is_tomb" in pdf.columns:
-        tm = pdf["is_tomb"].to_numpy()
-        if tm.any():
-            trows = pdf[tm]
-            dead = {
-                b: g["first_doc_id"].to_numpy().astype(np.int64)
-                for b, g in trows.groupby("bid")
-            }
-            pdf = pdf[~tm].reset_index(drop=True)
+    pdf, allow, dead = _split_pseudo_rows(pdf)
     if pdf.empty:
         return empty
     row_bid = pdf["bid"].to_numpy() if "bid" in pdf.columns else None
@@ -814,7 +811,7 @@ def near_kernel(
     m = len(uniq_terms)
     row_term = pdf["term"].to_numpy()
     per_term, cand = _two_pass_positions(
-        pdf, uniq_terms, row_term, lo, hi, dead, row_bid
+        pdf, uniq_terms, row_term, lo, hi, dead, row_bid, allow=allow
     )
     if per_term is None:
         return empty
@@ -1875,15 +1872,18 @@ class IndexReader:
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
         after: tuple[float, int] | None = None,
+        flt=None,
     ) -> DataFrame:
         """`after=(score, doc_id)` is the ES search_after cursor: return
         the k docs strictly after the cursor in (score desc, doc_id asc)
         order — deep pagination without a from+size over-fetch. The cursor
         cut runs inside the kernel, so every page is a normal pruned
-        top-k job, not a k*page scan."""
+        top-k job, not a k*page scan. `flt` = ES filter context (same
+        contract as filtered_topk)."""
         return self._topk_terms(
             sorted(set(tokenize_py(query))),
             k,
+            flt=flt,
             range_size=range_size,
             with_docmap=with_docmap,
             after=after,
@@ -1913,54 +1913,19 @@ class IndexReader:
         and stride bounds remain valid upper bounds for any subset.
         docmap() is tombstone-masked, so an overwritten doc's live version
         filters on its CURRENT attributes; dead versions are additionally
-        masked per-build as in every decode path."""
-        terms = sorted(set(tokenize_py(query)))
-        empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
-        if not terms:
-            return empty
-        blocks = self._blocks_for_terms(terms)
-        if blocks is None:
-            return empty
-        n_docs = self.stats["N"]
-        avgdl = self.stats["avgdl"]
-        rid = F.explode(
-            F.sequence(
-                (F.col("first_doc_id") / range_size).cast("long"),
-                (F.col("last_doc_id") / range_size).cast("long"),
-            )
-        ).alias("rid")
-        ranged = (
-            blocks.select("*", rid)
-            .withColumn("is_tomb", F.lit(False))
-            .withColumn("is_filt", F.lit(False))
-        )
-        tomb = self._tomb_ranged(range_size)
-        if tomb is not None:
-            ranged = ranged.unionByName(
-                tomb.withColumn("is_filt", F.lit(False)), allowMissingColumns=True
-            )
-        allow = (
-            self.docmap()
-            .filter(flt)
-            .select(
-                F.col("doc_id").alias("first_doc_id"),
-                (F.col("doc_id") / range_size).cast("long").alias("rid"),
-                F.lit(False).alias("is_tomb"),
-                F.lit(True).alias("is_filt"),
-            )
-        )
-        ranged = ranged.unionByName(allow, allowMissingColumns=True)
+        masked per-build as in every decode path.
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return wand_kernel(pdf, n_docs, avgdl, k, range_size, after=after)
-
-        local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
-        out = local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        if with_docmap:
-            out = out.join(self.docmap().select("doc_id", "repo", "path"), "doc_id").orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
-        return out
+        (r6: the allow-list plumbing moved into _topk_terms/_with_filter
+        so every expansion path — topk, prefix, fuzzy, phrase, near,
+        phrase_prefix — shares it; this method is the stable named API.)"""
+        return self._topk_terms(
+            sorted(set(tokenize_py(query))),
+            k,
+            flt=flt,
+            range_size=range_size,
+            with_docmap=with_docmap,
+            after=after,
+        )
 
     def bool_topk(
         self,
@@ -2045,6 +2010,7 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        flt=None,
     ) -> DataFrame:
         """Exact-phrase top-k: docs whose analyzed token stream contains
         the query's tokens CONSECUTIVELY, ranked by the summed BM25 of the
@@ -2058,7 +2024,9 @@ class IndexReader:
         if not terms:
             return empty
         if len(terms) == 1:
-            return self._topk_terms(terms, k, range_size=range_size, with_docmap=with_docmap)
+            return self._topk_terms(
+                terms, k, range_size=range_size, with_docmap=with_docmap, flt=flt
+            )
         if not all(st.get("positions") for st in self.build_stats):
             raise ValueError(
                 "phrase query requires every live segment built with_positions=True"
@@ -2079,6 +2047,8 @@ class IndexReader:
         if tomb is not None:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
 
+        ranged = self._with_filter(ranged, flt, range_size)
+
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return phrase_kernel(pdf, terms, n_docs, avgdl, k, range_size)
 
@@ -2097,6 +2067,7 @@ class IndexReader:
         max_expansions: int = 50,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        flt=None,
     ) -> DataFrame:
         """ES match_phrase_prefix (query-as-you-type over the delegated
         search surface): the LAST analyzed token is a prefix; it expands
@@ -2142,6 +2113,8 @@ class IndexReader:
         if tomb is not None:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
 
+        ranged = self._with_filter(ranged, flt, range_size)
+
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return phrase_prefix_kernel(pdf, fixed, exp, n_docs, avgdl, k, range_size)
 
@@ -2160,6 +2133,7 @@ class IndexReader:
         k: int = 10,
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
+        flt=None,
     ) -> DataFrame:
         """Proximity top-k: docs containing ALL query terms within a
         `window` of consecutive analyzed-token positions, in any order,
@@ -2171,7 +2145,9 @@ class IndexReader:
         if not terms:
             return empty
         if len(terms) == 1:
-            return self._topk_terms(terms, k, range_size=range_size, with_docmap=with_docmap)
+            return self._topk_terms(
+                terms, k, range_size=range_size, with_docmap=with_docmap, flt=flt
+            )
         if not all(st.get("positions") for st in self.build_stats):
             raise ValueError(
                 "proximity query requires every live segment built with_positions=True"
@@ -2191,6 +2167,8 @@ class IndexReader:
         tomb = self._tomb_ranged(range_size)
         if tomb is not None:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+
+        ranged = self._with_filter(ranged, flt, range_size)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return near_kernel(pdf, terms, window, n_docs, avgdl, k, range_size)
@@ -2291,6 +2269,29 @@ class IndexReader:
 
         return ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
 
+    def _filter_rows(self, flt, range_size: int) -> DataFrame:
+        """ES bool-filter allow-list as pseudo-rows riding the SAME rid
+        shuffle as the posting blocks (the tombstone pattern — never a
+        driver-held set): the docmap predicate pushes into the parquet
+        scan and only SURVIVING doc ids travel."""
+        return (
+            self.docmap()
+            .filter(flt)
+            .select(
+                F.col("doc_id").alias("first_doc_id"),
+                (F.col("doc_id") / range_size).cast("long").alias("rid"),
+                F.lit(False).alias("is_tomb"),
+                F.lit(True).alias("is_filt"),
+            )
+        )
+
+    def _with_filter(self, ranged: DataFrame, flt, range_size: int) -> DataFrame:
+        if flt is None:
+            return ranged
+        return ranged.withColumn("is_filt", F.lit(False)).unionByName(
+            self._filter_rows(flt, range_size), allowMissingColumns=True
+        )
+
     def _topk_terms(
         self,
         terms: list[str],
@@ -2298,6 +2299,7 @@ class IndexReader:
         range_size: int = RANGE_SIZE_DEFAULT,
         with_docmap: bool = False,
         after: tuple[float, int] | None = None,
+        flt=None,
     ) -> DataFrame:
         empty = self.spark.createDataFrame([], WAND_OUT_SCHEMA)
         if not terms:
@@ -2320,6 +2322,7 @@ class IndexReader:
         tomb = self._tomb_ranged(range_size)
         if tomb is not None:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+        ranged = self._with_filter(ranged, flt, range_size)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             return wand_kernel(pdf, n_docs, avgdl, k, range_size, after=after)

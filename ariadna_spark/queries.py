@@ -1998,7 +1998,7 @@ def q_phrase_topk(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
 
-def _sql_phrase_topk() -> str:
+def _sql_phrase_topk(filter_sql: str = "") -> str:
     terms = list(tokenize_py(_PHRASE_Q))
     m = len(terms)
     uniq = ", ".join(f"'{t}'" for t in sorted(set(terms)))
@@ -2006,13 +2006,17 @@ def _sql_phrase_topk() -> str:
     score = duckdb_bm25_sql(
         "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
     )
+    # filter context (when filter_sql is set) restricts WHICH docs may
+    # match but never the statistics — BM25 df/N/avgdl stay global,
+    # exactly the engine's non-scoring ES filter semantics
+    flt_clause = f" AND doc_id IN (SELECT doc_id FROM documents WHERE {filter_sql})" if filter_sql else ""
     return (
         _SQL_PRELUDE
         + f"""
 , tl AS (SELECT doc_id, {_TOK} AS t FROM documents),
 matched AS (
   SELECT doc_id FROM tl WHERE len(t) >= {m} AND
-  list_contains(list_transform(range(1, len(t) - {m} + 2), i -> {conds}), true)
+  list_contains(list_transform(range(1, len(t) - {m} + 2), i -> {conds}), true){flt_clause}
 ),
 scored AS (
   SELECT tf.doc_id, sum({score}) AS s
@@ -2027,6 +2031,25 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 
 
 SQL_PHRASE_TOPK = _sql_phrase_topk()
+
+_FILT_PHRASE_LANG = "fr"
+
+
+def q_filtered_phrase(spark, sf_dir) -> DataFrame:
+    """ES bool query: match_phrase in `must` + a non-scoring `filter`
+    term (r6: filter context now rides every expansion path's rid
+    shuffle as allow-list pseudo-rows and narrows the positional
+    candidate set BEFORE positions decode). BM25 statistics stay global
+    — the oracle scores with full-corpus df/N/avgdl and only restricts
+    the match set, so a stats leak OR a filter leak breaks the hash."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = reader.phrase_topk(
+        _PHRASE_Q, _WAND_K, flt=(F.col("lang") == _FILT_PHRASE_LANG)
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_FILTERED_PHRASE = _sql_phrase_topk(f"lang = '{_FILT_PHRASE_LANG}'")
 
 _PPX_Q = "merge s"  # fixed token 'merge' + prefix 's' (6 completions)
 _PPX_MAXEXP = 50
@@ -3526,6 +3549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_vectors": q_term_vectors,  # r6: csv positions (canonicalizer fix)
     "match_count": q_match_count,
     "phrase_topk": q_phrase_topk,
+    "filtered_phrase": q_filtered_phrase,  # r6: NEW (filter context on positional paths)
     "phrase_prefix": q_phrase_prefix,
     "near_topk": q_near_topk,
     "wand_queryset": q_wand_queryset,
@@ -3632,6 +3656,7 @@ ORACLES: dict[str, str] = {
     "term_vectors": SQL_TERM_VECTORS,
     "match_count": SQL_MATCH_COUNT,
     "phrase_topk": SQL_PHRASE_TOPK,
+    "filtered_phrase": SQL_FILTERED_PHRASE,
     "phrase_prefix": SQL_PHRASE_PREFIX,
     "near_topk": SQL_NEAR_TOPK,
     "wand_queryset": SQL_BM25_QUERYSET,

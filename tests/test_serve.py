@@ -388,16 +388,29 @@ def test_pagination_and_filter_endpoints(service, spark, docs):
         with pytest.raises(ValueError):
             service.search("merge join", k=3, filters={"content_sha": "x"})
 
-        # ADVICE r5: modes without a filtered kernel must reject filters
-        # loudly (400), never silently return unfiltered hits
-        for mode in ("phrase", "prefix", "near", "fuzzy", "phrase_prefix"):
-            with pytest.raises(ValueError, match="filters are not supported"):
-                service.search("merge join", k=3, mode=mode, filters={"lang": "fr"})
-        with pytest.raises(urllib.error.HTTPError) as ei:
-            urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/api/phrase?q=merge+join&lang=fr"
-            )
-        assert ei.value.code == 400
+        # ADVICE r5 (upgraded r6): every search mode honors filter context
+        # — hits are restricted to the filtered docs, never silently
+        # unfiltered
+        fr_ids = {r2["doc_id"] for r2 in docs.filter("lang = 'fr'").collect()}
+        for mode, q in (
+            ("phrase", "merge join"),
+            ("prefix", "mer"),
+            ("near", "merge join"),
+            ("fuzzy", "mrege"),
+            ("phrase_prefix", "merge jo"),
+        ):
+            hits = service.search(q, k=500, mode=mode, filters={"lang": "fr"})
+            unfiltered = service.search(q, k=500, mode=mode)
+            assert {h["doc_id"] for h in hits} <= fr_ids, mode
+            # the filter is an allow-list over the SAME match set
+            assert {h["doc_id"] for h in hits} == {
+                h["doc_id"] for h in unfiltered if h["doc_id"] in fr_ids
+            }, mode
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/phrase?q=merge+join&lang=fr&k=50"
+        ) as r:
+            ph = json.loads(r.read())
+        assert {h["doc_id"] for h in ph["hits"]} <= fr_ids
     finally:
         httpd.shutdown()
 
