@@ -81,12 +81,27 @@ def _encode_sorted_partition(batches, avgdl: float, block_size: int):
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
     dls = tbl["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tfn = tfnorm_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
 
     n = len(ids)
     change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
     g_starts = np.concatenate(([0], change))
     g_ends = np.concatenate((change, [n]))
+
+    if isinstance(avgdl, dict):
+        # multifield build: block_max_tfnorm must use the TERM'S FIELD'S
+        # avgdl or the WAND bound goes unsound (tfnorm grows with avgdl —
+        # a too-small stored bound would prune true winners). Terms are
+        # "<field>:<bare>" for secondary fields, bare for the primary
+        # (key ""). Resolved per sorted GROUP, never per posting row.
+        def _avg_of(t: str) -> float:
+            f, sep, _ = t.partition(":")
+            return avgdl[f if sep else ""]
+
+        g_avg = np.asarray([_avg_of(t) for t in terms[g_starts]], dtype=np.float64)
+        avg_row = np.repeat(g_avg, g_ends - g_starts)
+        tfn = tfnorm_np(tfs.astype(np.float64), dls.astype(np.float64), avg_row)
+    else:
+        tfn = tfnorm_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
 
     b_starts_l, b_seq_l = [], []
     for gs, ge in zip(g_starts, g_ends):  # loop over groups in this partition

@@ -985,6 +985,28 @@ class IndexReader:
         # positive avgdl keeps the kernels' arithmetic finite (no live
         # doc can score regardless)
         self.stats["avgdl"] = (tok_total - tok_dead) / max(n_total - n_dead, 1) or 1.0
+        # multifield store (build_multifield_index): merge PER-FIELD stats
+        # across live builds the same way — N and token mass summed, avgdl
+        # from the totals (single build: the stored avgdl, bit-identical
+        # to build time). None when any live build is single-field.
+        self.field_stats: dict | None = None
+        self.primary_field: str | None = None
+        if self.build_stats and all("fields" in st for st in self.build_stats):
+            prim = self.build_stats[-1].get("primary")
+            if all(st.get("primary") == prim for st in self.build_stats):
+                merged: dict[str, dict] = {}
+                for st in self.build_stats:
+                    for fname, s in st["fields"].items():
+                        m = merged.setdefault(fname, {"N": 0, "total_tokens": 0})
+                        m["N"] += int(s["N"])
+                        m["total_tokens"] += int(s["total_tokens"])
+                for fname, m in merged.items():
+                    if len(self.build_stats) == 1:
+                        m["avgdl"] = float(self.build_stats[0]["fields"][fname]["avgdl"])
+                    else:
+                        m["avgdl"] = m["total_tokens"] / max(m["N"], 1) or 1.0
+                self.field_stats = merged
+                self.primary_field = prim
         self._schemas: dict = {}
 
     def _read_parquet(self, dirs: list[str], kind: str) -> DataFrame:
@@ -2501,6 +2523,92 @@ def multifield_topk(
     ranged = parts[0]
     for p in parts[1:]:
         ranged = ranged.unionByName(p, allowMissingColumns=True)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return multifield_kernel(pdf, metas, k, range_size, stride)
+
+    local = ranged.groupBy("rid").applyInPandas(kernel, WAND_OUT_SCHEMA)
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def multifield_topk_single(
+    reader: "IndexReader",
+    fields: list[tuple[str, float]],
+    query: str,
+    k: int = 10,
+    range_size: int = RANGE_SIZE_DEFAULT,
+    stride: int = STRIDE,
+) -> DataFrame:
+    """BM25F over a SINGLE multifield store (build_multifield_index) —
+    rank/score-identical to multifield_topk over one store per field, but
+    the build paid ONE corpus pass and ONE shuffle for all fields, and the
+    query is ONE pruned block fetch (bucket dirs pruned once for the union
+    of all fields' terms) instead of one per field.
+
+    fields: [(field_name, boost)] — names from the build's `fields`; the
+    primary field's terms are stored bare, secondary fields' prefixed
+    "<field>:<term>". Statistics (N, avgdl, df, block-max bounds) are all
+    per-field by construction, so multifield_kernel's combined-bound
+    pruning applies unchanged: the blocks are simply tagged with their
+    field index derived from the stored term's prefix.
+
+    Deletion interplay is deliberately out of scope for now: per-field
+    statistics do not track tombstones, so a store with pending deletes
+    must compact first (compact() recomputes exact per-field stats)."""
+    fstats = reader.field_stats
+    if fstats is None:
+        raise ValueError(
+            "not a multifield store (every live build needs stats.json "
+            "'fields'; build with build_multifield_index)"
+        )
+    if reader.has_tombstones:
+        raise NotImplementedError(
+            "BM25F over a store with pending deletions — compact() first "
+            "(per-field statistics do not track tombstones)"
+        )
+    prim = reader.primary_field
+    names = [n for n, _ in fields]
+    unknown = sorted(set(names) - set(fstats))
+    if unknown:
+        raise ValueError(f"unknown fields {unknown}; store has {sorted(fstats)}")
+    spark = reader.spark
+    empty = spark.createDataFrame([], WAND_OUT_SCHEMA)
+    terms = sorted(set(tokenize_py(query)))
+    if not terms or not fields:
+        return empty
+    sep = ":"  # segments.FIELD_SEP; analyzed tokens are alnum-only
+    all_terms = sorted(
+        {t if n == prim else f"{n}{sep}{t}" for n in names for t in terms}
+    )
+    blocks = reader._blocks_for_terms(all_terms)
+    if blocks is None:
+        return empty
+    metas = {
+        fi: (fstats[n]["N"], fstats[n]["avgdl"], float(boost))
+        for fi, (n, boost) in enumerate(fields)
+    }
+    fname = F.when(
+        F.col("term").contains(sep), F.substring_index("term", sep, 1)
+    ).otherwise(F.lit(prim))
+    fidx = F.lit(None).cast("int")
+    for fi, n in enumerate(names):
+        fidx = F.when(fname == n, F.lit(fi)).otherwise(fidx)
+    bare = F.when(
+        F.col("term").contains(sep),
+        F.expr(f"substring(term, instr(term, '{sep}') + 1)"),
+    ).otherwise(F.col("term"))
+    rid = F.explode(
+        F.sequence(
+            (F.col("first_doc_id") / range_size).cast("long"),
+            (F.col("last_doc_id") / range_size).cast("long"),
+        )
+    ).alias("rid")
+    ranged = (
+        blocks.select("*", rid)
+        .withColumn("is_tomb", F.lit(False))
+        .withColumn("field", fidx)
+        .withColumn("term", bare)
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return multifield_kernel(pdf, metas, k, range_size, stride)

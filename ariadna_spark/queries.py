@@ -2519,6 +2519,34 @@ SQL_MULTIFIELD3 = _sql_multifield_n(
 )
 
 
+_MF_SINGLE_CACHE: dict[str, str] = {}
+
+
+def q_multifield_onepass(spark, sf_dir) -> DataFrame:
+    """E8, single-store layout (r6): ALL three fields built into ONE
+    segment store in ONE corpus pass + ONE posting shuffle
+    (build_multifield_index — secondary fields' terms stored
+    "<field>:<term>", per-field doc_len/df/avgdl/block-max throughout),
+    queried by the same combined-bound BM25F WAND over field-tagged
+    blocks (multifield_topk_single). Shares SQL_MULTIFIELD3 — the oracle
+    requires rank AND score identity with the one-store-per-field layout,
+    so any stats bleed between fields breaks the hash."""
+    from .operators.wand import IndexReader, multifield_topk_single
+    from .sources.segments import build_multifield_index
+
+    if sf_dir not in _MF_SINGLE_CACHE:
+        out = _gate_tmp("mf_single_")
+        docs = load_docs(spark, sf_dir)
+        build_multifield_index(
+            spark, docs, out, fields=("content", "path", "repo"),
+            build_id="mf", n_buckets=8,
+        )
+        _MF_SINGLE_CACHE[sf_dir] = out
+    reader = IndexReader(spark, _MF_SINGLE_CACHE[sf_dir])
+    out = multifield_topk_single(reader, list(_MF3_FIELDS), _MF3_QUERY, 10)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
 _UPD_CACHE: dict[str, tuple] = {}
 _UPD_MOD = 9
 _UPD_REM = 4
@@ -3565,6 +3593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multifield_bm25": q_multifield_bm25,
     "multifield_indexed": q_multifield_indexed,
     "multifield3": q_multifield3,  # r6: NEW (3-field BM25F WAND)
+    "multifield_onepass": q_multifield_onepass,  # r6: NEW (single-store BM25F)
     # -- training-pipeline ops changed in r5, never driver-checked since --
     "chunk_documents": q_chunk_documents,
     "collocations": q_collocations,
@@ -3666,6 +3695,7 @@ ORACLES: dict[str, str] = {
     "snapshot_restore": SQL_SNAPSHOT_RESTORE,
     "attach_index": SQL_ATTACH_INDEX,
     "multifield3": SQL_MULTIFIELD3,
+    "multifield_onepass": SQL_MULTIFIELD3,
     "suggest_complete": SQL_SUGGEST_COMPLETE,
     "suggest_fuzzy": SQL_SUGGEST_FUZZY,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

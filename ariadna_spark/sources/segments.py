@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 from ..analyze import NGRAM_MAX, NGRAM_MIN, edge_ngrams_expr
 from ..corpus import DOCS_COLUMNS
 from ..operators.postings import BLOCK_SIZE, build_postings, hot_terms
-from ..stats import corpus_scalars_full, doc_freqs, doc_lengths, term_freqs_dl
+from ..stats import (
+    corpus_scalars_full,
+    doc_freqs,
+    doc_lengths,
+    term_freqs_dl,
+    term_freqs_dl_fields,
+)
 
 DEFAULT_BUCKETS = 16
 DOCMAP_BUCKETS = 8  # key-hash buckets for the docmap (and tombstones)
@@ -225,6 +231,139 @@ def build_index(
         shutil.rmtree(tf_ckpt, ignore_errors=True)
 
 
+FIELD_SEP = ":"
+
+
+def build_multifield_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    fields: tuple[str, ...] = ("content", "path"),
+    build_id: str = "b0",
+    n_buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    n_salts: int = 16,
+    bucket_batch: int = 16,
+    publish: bool = True,
+    with_positions: bool = True,
+) -> dict:
+    """ALL searchable fields in ONE segment store, ONE corpus pass, ONE
+    posting shuffle (E8 at build time — the Lucene model where the term
+    dictionary is per-field, vs round <=5's one-store-per-field layout
+    that re-tokenized and re-shuffled the corpus once PER FIELD; at 100 TB
+    the corpus scan + groupBy(term) shuffle IS the build cost, so N
+    fields must not cost N passes).
+
+    Layout contract:
+      * fields[0] is the PRIMARY field — its terms stay bare, so this
+        store is a drop-in superset of a build_index store: every
+        existing verb (match/phrase/prefix/fuzzy/suggest/...) works on
+        it unchanged, against the primary field.
+      * secondary fields' terms are stored as "<field>:<term>"; analyzed
+        tokens are alnum-only so the separator can never collide with a
+        bare term.
+      * doc_len, positions, df, and block-max bounds are all PER FIELD
+        (each field is its own token stream; the posting encoder gets a
+        per-field avgdl map so WAND bounds stay sound).
+      * stats.json carries top-level scalars == the primary field's,
+        plus {"fields": {name: {N, avgdl, total_tokens}}, "primary": ...}
+        for the BM25F query path (wand.multifield_topk_single).
+      * the edge-ngram table indexes only bare (primary) terms, so
+        prefix/suggest stay primary-field semantics.
+
+    Docs whose PRIMARY field analyzes to zero tokens are excluded from
+    the docmap (exactly build_index's behavior for empty content).
+    """
+    if len(set(fields)) != len(fields) or not fields:
+        raise ValueError(f"fields must be non-empty and distinct, got {fields!r}")
+    for f in fields:
+        if FIELD_SEP in f:
+            raise ValueError(f"field name may not contain {FIELD_SEP!r}: {f!r}")
+    store = SegmentStore(out_dir)
+    bdir = store.build_dir(build_id)
+    os.makedirs(bdir, exist_ok=True)
+
+    docs = docs.select(*DOCS_COLUMNS)
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism * 2:
+        docs = docs.repartition(parallelism * 2)
+
+    t0 = time.monotonic()
+    scratch = spark.conf.get("spark.local.dir", "/tmp")
+    tf_ckpt = os.path.join(scratch, f"tf_ckpt_{build_id}_{uuid.uuid4().hex[:8]}")
+    term_freqs_dl_fields(docs, list(fields), with_positions=with_positions).write.mode(
+        "overwrite"
+    ).parquet(tf_ckpt)
+    tf_f = spark.read.parquet(tf_ckpt)
+    _trace("tf_fields", t0)
+
+    try:
+        # per-field scalars in ONE aggregation (map-side combinable)
+        t0 = time.monotonic()
+        frows = (
+            tf_f.groupBy("field", "doc_id")
+            .agg(F.max("doc_len").alias("doc_len"))
+            .groupBy("field")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("tot"),
+            )
+            .collect()
+        )
+        field_stats = {
+            fields[int(r["field"])]: {
+                "N": int(r["n"]),
+                "avgdl": float(r["avgdl"]),
+                "total_tokens": int(r["tot"]),
+            }
+            for r in frows
+        }
+        missing_f = [f for f in fields if f not in field_stats]
+        if missing_f:
+            raise ValueError(f"fields analyzed to zero tokens corpus-wide: {missing_f}")
+        prim = field_stats[fields[0]]
+        avgdl_map = {"": prim["avgdl"]}
+        avgdl_map.update(
+            {f: field_stats[f]["avgdl"] for f in fields[1:]}
+        )
+        _trace("field_scalars", t0)
+
+        fname = F.element_at(
+            F.array(*[F.lit(f) for f in fields]), F.col("field") + 1
+        )
+        term2 = F.when(F.col("field") == 0, F.col("term")).otherwise(
+            F.concat(fname, F.lit(FIELD_SEP), F.col("term"))
+        )
+        carry = ["tf", "doc_len"] + (["positions"] if with_positions else [])
+        tf = tf_f.select("doc_id", term2.alias("term"), *carry)
+
+        dl0 = tf_f.filter(F.col("field") == 0).groupBy("doc_id").agg(
+            F.max("doc_len").alias("doc_len")
+        )
+        docmap_df = docs.join(dl0, "doc_id").select(
+            "doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha"
+        )
+        return _build_from_tf(
+            spark,
+            tf,
+            docmap_df,
+            out_dir,
+            build_id=build_id,
+            n_buckets=n_buckets,
+            block_size=block_size,
+            n_salts=n_salts,
+            bucket_batch=bucket_batch,
+            publish=publish,
+            scalars=(prim["N"], prim["avgdl"], prim["total_tokens"]),
+            avgdl_map=avgdl_map,
+            ngram_filter=~F.col("term").contains(FIELD_SEP),
+            extra_stats={"fields": field_stats, "primary": fields[0]},
+        )
+    finally:
+        shutil.rmtree(tf_ckpt, ignore_errors=True)
+
+
 def _build_from_tf(
     spark: SparkSession,
     tf: DataFrame,
@@ -237,16 +376,30 @@ def _build_from_tf(
     bucket_batch: int = 16,
     publish: bool = False,
     fail_after_buckets: int | None = None,
+    scalars: tuple[int, float, int] | None = None,
+    avgdl_map: dict | None = None,
+    ngram_filter=None,
+    extra_stats: dict | None = None,
 ) -> dict:
     """Shared lower half of the build: (doc_id, term, tf, doc_len) rows +
     a docmap -> terms/ngrams/docmap/postings artifacts + manifest. Used by
     the normal corpus build AND by segment compaction (whose tf rows come
-    from decoding existing segments, not from tokenization)."""
+    from decoding existing segments, not from tokenization).
+
+    Multifield hooks (build_multifield_index): `scalars` overrides the
+    (N, avgdl, total_tokens) scalars with the PRIMARY field's (the tf
+    union mixes per-field doc_lens, so deriving them here would be
+    wrong); `avgdl_map` gives the posting encoder each field's avgdl for
+    sound per-field block-max bounds; `ngram_filter` restricts the
+    edge-ngram table to the primary field's bare terms; `extra_stats`
+    merges extra keys (per-field statistics) into stats.json."""
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
-    dl = doc_lengths(tf)
-    n_docs, avgdl, total_tokens = corpus_scalars_full(dl)
+    if scalars is not None:
+        n_docs, avgdl, total_tokens = scalars
+    else:
+        n_docs, avgdl, total_tokens = corpus_scalars_full(doc_lengths(tf))
 
     # term dictionary (df per term) — bucketed like postings so query-time
     # idf lookups prune to one bucket dir + pushed-down term predicate.
@@ -279,8 +432,9 @@ def _build_from_tf(
     # postings, so it stays small relative to the index.
     if not os.path.exists(os.path.join(bdir, "_ngrams.json")):
         t0 = time.monotonic()
+        ng_src = dfreq if ngram_filter is None else dfreq.filter(ngram_filter)
         (
-            dfreq.select(
+            ng_src.select(
                 F.explode(edge_ngrams_expr("term", NGRAM_MIN, NGRAM_MAX)).alias("ng"),
                 "term",
                 "df",
@@ -329,7 +483,7 @@ def _build_from_tf(
         _trace("hot_terms", t0)
         t0 = time.monotonic()
         postings = build_postings(
-            tf, n_docs, avgdl, block_size=block_size, hot=hot, n_salts=n_salts
+            tf, n_docs, avgdl_map or avgdl, block_size=block_size, hot=hot, n_salts=n_salts
         ).withColumn("bucket", term_bucket_expr("term", n_buckets))
         postings.persist()
 
@@ -401,6 +555,7 @@ def _build_from_tf(
         "n_buckets": n_buckets,
         "block_size": block_size,
         "positions": "positions" in tf.columns,
+        **(extra_stats or {}),
     }
     _atomic_write_json(os.path.join(bdir, "stats.json"), stats)
 
@@ -655,20 +810,27 @@ def delete_by_query(
     for b in live:
         with open(os.path.join(store.build_dir(b), "stats.json")) as f:
             live_stats.append(json.load(f))
-    _atomic_write_json(
-        os.path.join(bdir, "stats.json"),
-        {
-            "N": 0,
-            "avgdl": 0.0,
-            "total_tokens": 0,
-            "build_id": build_id,
-            "n_buckets": 1,  # no posting buckets exist; 1 keeps hash math valid
-            "block_size": live_stats[-1].get("block_size"),
-            # a tombstone-only build contributes no blocks, so it must not
-            # flip the live set's positions capability either way
-            "positions": all(st.get("positions") for st in live_stats),
-        },
-    )
+    del_stats = {
+        "N": 0,
+        "avgdl": 0.0,
+        "total_tokens": 0,
+        "build_id": build_id,
+        "n_buckets": 1,  # no posting buckets exist; 1 keeps hash math valid
+        "block_size": live_stats[-1].get("block_size"),
+        # a tombstone-only build contributes no blocks, so it must not
+        # flip the live set's positions capability either way
+        "positions": all(st.get("positions") for st in live_stats),
+    }
+    if all("fields" in st for st in live_stats):
+        # multifield store: carry the layout markers (zero token mass) so
+        # the reader still recognizes the store as multifield and raises
+        # the documented compact-first error instead of "not multifield"
+        del_stats["fields"] = {
+            f: {"N": 0, "avgdl": 0.0, "total_tokens": 0}
+            for f in live_stats[-1]["fields"]
+        }
+        del_stats["primary"] = live_stats[-1].get("primary")
+    _atomic_write_json(os.path.join(bdir, "stats.json"), del_stats)
     _atomic_write_json(marker, {"n": n, "doc_len_sum": dl_sum})
     store.append_live(build_id)
     return {"build_id": build_id, "deleted": n, "doc_len_sum": dl_sum}
@@ -886,8 +1048,58 @@ def compact(
     tf = spark.read.parquet(tf_ckpt)
 
     docmap = reader.docmap()
+    mf_kw: dict = {}
+    if any("fields" in st for st in reader.build_stats):
+        # multifield store (build_multifield_index): re-derive PER-FIELD
+        # stats from the decoded rows (tombstone-masked above, so the
+        # merged stats are exact) and re-encode with per-field avgdl —
+        # a scalar-avgdl rebuild would corrupt secondary fields' block-max
+        # bounds and statistics.
+        prim_name = reader.build_stats[-1].get("primary")
+        if not all(
+            "fields" in st and st.get("primary") == prim_name
+            for st in reader.build_stats
+        ):
+            raise ValueError(
+                "cannot compact a mix of multifield and single-field builds "
+                f"(live={live}) — compact per store layout"
+            )
+        fld = F.when(
+            F.col("term").contains(FIELD_SEP),
+            F.substring_index("term", FIELD_SEP, 1),
+        ).otherwise(F.lit(prim_name))
+        frows = (
+            tf.groupBy(fld.alias("f"), "doc_id")
+            .agg(F.max("doc_len").alias("doc_len"))
+            .groupBy("f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("tot"),
+            )
+            .collect()
+        )
+        field_stats = {
+            r["f"]: {
+                "N": int(r["n"]),
+                "avgdl": float(r["avgdl"]),
+                "total_tokens": int(r["tot"]),
+            }
+            for r in frows
+        }
+        prim = field_stats[prim_name]
+        avgdl_map = {"": prim["avgdl"]}
+        avgdl_map.update(
+            {f: s["avgdl"] for f, s in field_stats.items() if f != prim_name}
+        )
+        mf_kw = dict(
+            scalars=(prim["N"], prim["avgdl"], prim["total_tokens"]),
+            avgdl_map=avgdl_map,
+            ngram_filter=~F.col("term").contains(FIELD_SEP),
+            extra_stats={"fields": field_stats, "primary": prim_name},
+        )
     manifest = _build_from_tf(
-        spark, tf, docmap, out_dir, build_id=build_id, n_buckets=n_buckets
+        spark, tf, docmap, out_dir, build_id=build_id, n_buckets=n_buckets, **mf_kw
     )
     store.publish_many([build_id])
     if gc:

@@ -128,6 +128,51 @@ def term_freqs(docs: DataFrame, use_udf: bool = True) -> DataFrame:
     )
 
 
+def _tf_arrow_kernel_fields(batches, fields: list[str], with_positions: bool = False):
+    """Multi-field tokenize+count in ONE corpus pass (E8 at build time):
+    for each input batch, every field column runs the same analyzer
+    pipeline and emits (doc_id, field_idx, term, tf, doc_len[, positions])
+    — doc_len and positions are PER-FIELD (the Lucene per-field model:
+    each field is its own token stream with its own statistics). The
+    corpus is read once and never re-scanned per field; the only
+    build-wide shuffle downstream is still the single groupBy(term).
+    """
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        did_i = rb.schema.get_field_index("doc_id")
+        for fi, f in enumerate(fields):
+            sub = pa.RecordBatch.from_arrays(
+                [rb.column(did_i), rb.column(rb.schema.get_field_index(f))],
+                names=["doc_id", "content"],
+            )
+            for out in _tf_arrow_kernel([sub], with_dl=True, with_positions=with_positions):
+                t = pa.Table.from_batches([out])
+                cols = {"doc_id": t["doc_id"],
+                        "field": pa.array(np.full(t.num_rows, fi, dtype=np.int32)),
+                        "term": t["term"], "tf": t["tf"], "doc_len": t["doc_len"]}
+                if with_positions:
+                    cols["positions"] = t["positions"]
+                yield from pa.table(cols).to_batches()
+
+
+def term_freqs_dl_fields(
+    docs: DataFrame, fields: list[str], with_positions: bool = False
+) -> DataFrame:
+    """docs -> (doc_id, field, term, tf, doc_len[, positions]) for every
+    field in ONE mapInArrow pass — the multifield build's upper half."""
+    schema = "doc_id long, field int, term string, tf int, doc_len long"
+    if with_positions:
+        schema += ", positions array<int>"
+    flds = list(fields)
+    return docs.select("doc_id", *flds).mapInArrow(
+        lambda it: _tf_arrow_kernel_fields(it, flds, with_positions=with_positions),
+        schema,
+    )
+
+
 def term_freqs_dl(docs: DataFrame, with_positions: bool = False) -> DataFrame:
     """docs -> (doc_id, term, tf, doc_len[, positions]) — doc_len computed
     in-kernel so the posting builder needs no doc_len side-join; positions

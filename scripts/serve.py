@@ -274,6 +274,16 @@ class SearchService:
         with self._lock:
             return int(self.reader.match_count(q).collect()[0]["n_docs"])
 
+    def multifield(self, q: str, fields: list[tuple[str, float]], k: int = 10) -> list[dict]:
+        """GET /api/multifield?q=...&fields=content:1,path:2 — BM25F over
+        the store's per-field terms (requires a build_multifield_index
+        store; every other endpoint already serves its primary field)."""
+        from ariadna_spark.operators.wand import multifield_topk_single
+
+        with self._lock:
+            rows = multifield_topk_single(self.reader, fields, q, k).collect()
+        return [r.asDict() for r in rows]
+
     def term_vectors(self, doc_id: int) -> list[dict]:
         """GET /api/termvectors?doc=: one doc's (term, tf, df, positions)
         — the ES `_termvectors` surface. Needs --docs (re-analysis)."""
@@ -511,6 +521,26 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     if not q:
                         return self._json(400, {"error": "missing q"})
                     return self._json(200, {"query": q, "count": service.count(q)})
+                if u.path == "/api/multifield":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    k = int((qs.get("k") or ["10"])[0])
+                    spec = (qs.get("fields") or ["content:1.0"])[0]
+                    try:
+                        fields = [
+                            (p.split(":", 1)[0], float(p.split(":", 1)[1]))
+                            for p in spec.split(",")
+                            if p
+                        ]
+                    except (IndexError, ValueError):
+                        return self._json(
+                            400, {"error": "fields must be name:boost[,name:boost...]"}
+                        )
+                    rows = service.multifield(q, fields, k)
+                    return self._json(
+                        200, {"query": q, "fields": fields, "k": k, "hits": rows}
+                    )
                 if u.path == "/api/termvectors":
                     doc = (qs.get("doc") or [""])[0]
                     if not doc:

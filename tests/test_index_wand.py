@@ -953,3 +953,112 @@ def test_bool_topk_search_after(spark, index_dir):
     got = [(r["doc_id"], r["score"]) for r in p1 + p2]
     want = [(r["doc_id"], r["score"]) for r in both]
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def mf_store(spark, docs, tmp_path_factory):
+    """One multifield store over (content, path, repo) — r6's single-pass
+    per-field-term layout."""
+    from ariadna_spark.sources.segments import build_multifield_index
+
+    out = str(tmp_path_factory.mktemp("mf_single"))
+    build_multifield_index(
+        spark, docs, out, fields=("content", "path", "repo"), build_id="mf", n_buckets=8
+    )
+    return out
+
+
+def test_multifield_store_is_dropin_superset(spark, docs, index_dir, mf_store):
+    """The multifield store's PRIMARY field serves the ENTIRE existing
+    verb surface unchanged: match / phrase / prefix / fuzzy / suggest
+    results are row-identical (ids AND scores) to a plain content-only
+    build over the same corpus."""
+    plain = IndexReader(spark, index_dir)
+    mf = IndexReader(spark, mf_store)
+    assert mf.field_stats is not None and mf.primary_field == "content"
+    # primary stats == plain stats (bit-exact: same F.avg over same rows)
+    assert mf.stats["N"] == plain.stats["N"]
+    assert mf.stats["avgdl"] == plain.stats["avgdl"]
+    for a, b in [
+        (mf.topk("merge join", 10), plain.topk("merge join", 10)),
+        (mf.phrase_topk("merge join", 10), plain.phrase_topk("merge join", 10)),
+        (mf.prefix_topk("mer", 10), plain.prefix_topk("mer", 10)),
+        (mf.fuzzy_topk("mrege", 10), plain.fuzzy_topk("mrege", 10)),
+        (mf.suggest_terms("mer", 5), plain.suggest_terms("mer", 5)),
+    ]:
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_multifield_single_store_matches_per_field_stores(
+    spark, docs, tmp_path_factory, mf_store
+):
+    """BM25F through ONE store (field-prefixed terms, per-field stats)
+    is rank- AND score-identical to the one-store-per-field layout."""
+    from ariadna_spark.operators.wand import multifield_topk, multifield_topk_single
+    from pyspark.sql import functions as F2
+
+    stores = {}
+    for f in ("content", "path", "repo"):
+        out = str(tmp_path_factory.mktemp(f"mf_{f}"))
+        d = docs if f == "content" else docs.withColumn("content", F2.col(f))
+        build_index(spark, d, out, build_id=f[0], n_buckets=8)
+        stores[f] = IndexReader(spark, out)
+
+    weights = [("content", 1.0), ("path", 2.0), ("repo", 1.5)]
+    mf = IndexReader(spark, mf_store)
+    for q in ("merge join", "doc en merge", "txt corpus scan", "zzznotaterm"):
+        single = [tuple(r) for r in multifield_topk_single(mf, weights, q, 10).collect()]
+        multi = [
+            tuple(r)
+            for r in multifield_topk(
+                [(stores[n], w) for n, w in weights], q, 10
+            ).collect()
+        ]
+        assert single == multi, q
+    # subset of fields works too (primary not required)
+    sub = multifield_topk_single(mf, [("path", 1.0)], "doc en", 5).collect()
+    assert sub and all(r["score"] > 0 for r in sub)
+    with pytest.raises(ValueError, match="unknown fields"):
+        multifield_topk_single(mf, [("nope", 1.0)], "doc", 5)
+    with pytest.raises(ValueError, match="not a multifield store"):
+        multifield_topk_single(stores["content"], weights, "doc", 5)
+
+
+def test_multifield_store_compaction(spark, docs, tmp_path_factory, mf_store):
+    """compact() on a multifield store re-derives exact per-field stats
+    from the decoded blocks: BM25F and primary-field results are
+    row-identical before and after; deletions then work end to end
+    (tombstoned BM25F raises until compacted, the documented contract)."""
+    import shutil as _sh
+
+    from ariadna_spark.operators.wand import multifield_topk_single
+    from ariadna_spark.sources.segments import compact, delete_by_query, verify_index
+
+    out = str(tmp_path_factory.mktemp("mf_compact")) + "/store"
+    _sh.copytree(mf_store, out)
+    weights = [("content", 1.0), ("path", 2.0), ("repo", 1.5)]
+    r0 = IndexReader(spark, out)
+    before_mf = [tuple(r) for r in multifield_topk_single(r0, weights, "doc en merge", 10).collect()]
+    before_match = [tuple(r) for r in r0.topk("merge join", 10).collect()]
+    compact(spark, out, build_id="c1", n_buckets=8)
+    r1 = IndexReader(spark, out)
+    assert r1.field_stats == r0.field_stats
+    assert [tuple(r) for r in multifield_topk_single(r1, weights, "doc en merge", 10).collect()] == before_mf
+    assert [tuple(r) for r in r1.topk("merge join", 10).collect()] == before_match
+    assert verify_index(spark, out)["ok"]
+
+    # delete a few docs: primary-field queries mask immediately; BM25F
+    # refuses until compaction recomputes per-field stats
+    from pyspark.sql import functions as F2
+
+    victims = {r["doc_id"] for r in r1.topk("merge join", 3).collect()}
+    delete_by_query(spark, out, flt=F2.col("doc_id").isin(list(victims)), build_id="d1")
+    r2 = IndexReader(spark, out)
+    assert not ({r["doc_id"] for r in r2.topk("merge join", 10).collect()} & victims)
+    with pytest.raises(NotImplementedError):
+        multifield_topk_single(r2, weights, "doc en merge", 10)
+    compact(spark, out, build_id="c2", n_buckets=8)
+    r3 = IndexReader(spark, out)
+    got = multifield_topk_single(r3, weights, "doc en merge", 10).collect()
+    assert got and not ({r["doc_id"] for r in got} & victims)
+    assert r3.field_stats["content"]["N"] == r1.field_stats["content"]["N"] - len(victims)

@@ -625,3 +625,44 @@ def test_http_analyze(service):
         )
     finally:
         httpd.shutdown()
+
+
+def test_multifield_endpoint(spark, docs, tmp_path_factory):
+    """GET /api/multifield serves BM25F off a single multifield store and
+    matches the operator; a plain store answers 400 (not a multifield
+    store) while its other endpoints keep working."""
+    from serve import SearchService, serve as mk_server
+
+    from ariadna_spark.operators.wand import IndexReader, multifield_topk_single
+    from ariadna_spark.sources.segments import build_multifield_index
+
+    out = str(tmp_path_factory.mktemp("serve_mf"))
+    build_multifield_index(
+        spark, docs, out, fields=("content", "path"), build_id="mf", n_buckets=4
+    )
+    svc = SearchService(spark, out)
+    httpd = mk_server(svc, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/multifield?q=doc+en+merge&fields=content:1.0,path:2.0&k=5"
+        ) as r:
+            got = json.loads(r.read())
+        want = multifield_topk_single(
+            IndexReader(spark, out), [("content", 1.0), ("path", 2.0)], "doc en merge", 5
+        ).collect()
+        assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
+            (r2["doc_id"], r2["score"]) for r2 in want
+        ]
+        assert got["hits"]
+        # primary-field verbs work on the same store through the service
+        assert svc.search("merge join", k=3)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/multifield?q=doc&fields=content:x"
+            )
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
