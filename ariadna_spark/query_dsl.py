@@ -1,0 +1,269 @@
+"""ES `_search` request-body compiler (the delegated query surface as an
+actual API).
+
+The reference never builds queries itself — every search is an
+ElasticSearch `_search` JSON body delegated to ES 7.x
+(/root/reference/elastic/elastic.go: the client passes the request
+through; /root/reference/osm/osm.go:179-186 routes the HTTP surface).
+This module is the native counterpart: it compiles the same request-body
+dialect onto this engine's own verbs, so a caller of the reference can
+POST the body they use today.
+
+Scope (loud errors outside it — never a silent wrong answer):
+
+  query:
+    match            {field: text}            -> topk (primary field) or
+                                                single-field BM25F on a
+                                                multifield store
+    match_all        {}                       -> needs sort (see below)
+    match_phrase     {field: text}            -> phrase_topk
+    match_phrase_prefix {field: text}         -> phrase_prefix_topk
+    prefix           {field: value}           -> prefix_topk
+    fuzzy            {field: {value, fuzziness}} -> fuzzy_topk
+    multi_match      {query, fields: [f^boost]} -> multifield_topk_single
+                                                  (multifield store) or
+                                                  per-field readers via
+                                                  `extra_readers`
+    bool             {must, should, must_not, filter,
+                      minimum_should_match}   -> bool_topk / filtered paths
+  filter clauses (bool.filter, non-scoring):
+    term             {col: value}             -> docmap equality
+    range            {col: {gt|gte|lt|lte}}   -> docmap range predicate
+  size               -> k
+  search_after       -> cursor (relevance sort: [score, doc_id];
+                        field sort: [value, doc_id])
+  sort: [{field: {order}}] -> sorted_topk (one sort key + doc_id tiebreak,
+                        exactly the engine's field-sort contract)
+
+All text analysis happens in the engine's own verbs — the body never
+bypasses the analyzer, exactly like ES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# docmap attributes a filter/sort may reference (the serve.py allowlist
+# plus doc_len; never arbitrary expressions from the wire)
+FILTERABLE = ("repo", "path", "commit", "lang", "doc_len")
+
+
+class DslError(ValueError):
+    """Malformed or out-of-scope request body (HTTP 400 shape)."""
+
+
+def _one_entry(d: dict, what: str) -> tuple:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise DslError(f"{what} must be a single-key object, got {d!r}")
+    return next(iter(d.items()))
+
+
+def _as_text(spec, what: str) -> str:
+    """ES allows both shorthand ({field: "text"}) and object form
+    ({field: {"query": "text"}})."""
+    if isinstance(spec, str):
+        return spec
+    if isinstance(spec, dict) and isinstance(spec.get("query"), str):
+        return spec["query"]
+    if isinstance(spec, dict) and isinstance(spec.get("value"), str):
+        return spec["value"]
+    raise DslError(f"{what}: expected text or {{query|value: text}}, got {spec!r}")
+
+
+def compile_filter(clauses) -> Column | None:
+    """bool.filter (non-scoring context) -> one conjunctive Catalyst
+    predicate over allowlisted docmap columns."""
+    if clauses is None:
+        return None
+    if isinstance(clauses, dict):
+        clauses = [clauses]
+    flt = None
+    for c in clauses:
+        kind, spec = _one_entry(c, "filter clause")
+        if kind == "term":
+            col, val = _one_entry(spec, "term filter")
+            if col not in FILTERABLE:
+                raise DslError(f"unfilterable column {col!r} (allowed: {FILTERABLE})")
+            cond = F.col(col) == val
+        elif kind == "range":
+            col, bounds = _one_entry(spec, "range filter")
+            if col not in FILTERABLE:
+                raise DslError(f"unfilterable column {col!r} (allowed: {FILTERABLE})")
+            cond = F.lit(True)
+            ops = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+            if not isinstance(bounds, dict) or not set(bounds) & set(ops):
+                raise DslError(f"range filter needs gt/gte/lt/lte, got {bounds!r}")
+            for op, v in bounds.items():
+                if op not in ops:
+                    raise DslError(f"unsupported range op {op!r}")
+                cond = cond & getattr(F.col(col), ops[op])(v)
+        else:
+            raise DslError(f"unsupported filter clause {kind!r} (term, range)")
+        flt = cond if flt is None else (flt & cond)
+    return flt
+
+
+def _field_or_primary(reader, field: str, what: str) -> None:
+    """Positional/expansion verbs run against the store's primary field;
+    a multifield store's secondary fields are BM25F-only for now."""
+    prim = reader.primary_field or "content"
+    if field != prim:
+        raise DslError(
+            f"{what} on field {field!r}: only the primary field "
+            f"({prim!r}) supports this verb; use multi_match for "
+            f"secondary-field scoring"
+        )
+
+
+def _parse_boosted(fields: list) -> list[tuple[str, float]]:
+    out = []
+    for f in fields:
+        if not isinstance(f, str):
+            raise DslError(f"multi_match field must be a string, got {f!r}")
+        name, _, boost = f.partition("^")
+        out.append((name, float(boost) if boost else 1.0))
+    return out
+
+
+def compile_search(
+    reader,
+    body: dict,
+    extra_readers: dict | None = None,
+) -> DataFrame:
+    """One ES `_search` request body -> one engine DataFrame.
+
+    `extra_readers` maps field name -> IndexReader for deployments that
+    keep the round-<=5 one-store-per-field layout; on a multifield store
+    (build_multifield_index) multi_match needs nothing extra."""
+    if not isinstance(body, dict):
+        raise DslError("request body must be an object")
+    unknown = set(body) - {"query", "size", "search_after", "sort", "from"}
+    if unknown:
+        raise DslError(f"unsupported body keys {sorted(unknown)}")
+    if "from" in body:
+        raise DslError("from+size deep paging is unsupported; use search_after")
+    k = int(body.get("size", 10))
+    q = body.get("query") or {"match_all": {}}
+    kind, spec = _one_entry(q, "query")
+
+    after = None
+    if body.get("search_after") is not None:
+        sa = body["search_after"]
+        if not isinstance(sa, list) or len(sa) != 2:
+            raise DslError("search_after must be [sort_value, doc_id]")
+        after = (sa[0], int(sa[1]))
+
+    # field sort (ES sort: [{field: {order}}]): delegate to sorted_topk —
+    # any query kind that yields candidate ids could sort, but the
+    # engine's field-sort contract is match-query candidates; keep scope.
+    if body.get("sort"):
+        sort = body["sort"]
+        if isinstance(sort, dict):
+            sort = [sort]
+        if len(sort) != 1:
+            raise DslError("exactly one sort key supported (doc_id tiebreak implied)")
+        col, order = _one_entry(sort[0], "sort")
+        asc = (order.get("order", "asc") if isinstance(order, dict) else order) != "desc"
+        if kind == "bool":
+            spec = dict(spec)
+            flt = compile_filter(spec.pop("filter", None))
+            musts = spec.pop("must", [])
+            if isinstance(musts, dict):
+                musts = [musts]
+            # sorted_topk's candidate set is an OR over the query's
+            # analyzed terms — exactly ONE match clause keeps ES
+            # semantics (N must clauses would need an AND of matches)
+            if spec or len(musts) != 1:
+                raise DslError(
+                    "sorted bool supports exactly one must match + filter, "
+                    f"got must={len(musts)} extra={sorted(spec)}"
+                )
+            mk, mspec = _one_entry(musts[0], "must clause")
+            if mk != "match":
+                raise DslError(f"sorted bool.must supports match, got {mk!r}")
+            _, inner = _one_entry(mspec, "match")
+            text = _as_text(inner, "match")
+        elif kind == "match":
+            _, mspec = _one_entry(spec, "match")
+            text, flt = _as_text(mspec, "match"), None
+        else:
+            raise DslError(f"sort composes with match/bool queries, not {kind!r}")
+        return reader.sorted_topk(text, sort_col=col, asc=asc, k=k, after=after, flt=flt)
+
+    if kind == "match":
+        field, mspec = _one_entry(spec, "match")
+        _field_or_primary(reader, field, "match")
+        return reader.topk(_as_text(mspec, "match"), k, after=after)
+    if kind == "match_phrase":
+        field, mspec = _one_entry(spec, "match_phrase")
+        _field_or_primary(reader, field, "match_phrase")
+        return reader.phrase_topk(_as_text(mspec, "match_phrase"), k)
+    if kind == "match_phrase_prefix":
+        field, mspec = _one_entry(spec, "match_phrase_prefix")
+        _field_or_primary(reader, field, "match_phrase_prefix")
+        return reader.phrase_prefix_topk(_as_text(mspec, "match_phrase_prefix"), k)
+    if kind == "prefix":
+        field, mspec = _one_entry(spec, "prefix")
+        _field_or_primary(reader, field, "prefix")
+        return reader.prefix_topk(_as_text(mspec, "prefix"), k)
+    if kind == "fuzzy":
+        field, mspec = _one_entry(spec, "fuzzy")
+        _field_or_primary(reader, field, "fuzzy")
+        dist = int(mspec.get("fuzziness", 1)) if isinstance(mspec, dict) else 1
+        return reader.fuzzy_topk(_as_text(mspec, "fuzzy"), k, max_dist=dist)
+    if kind == "multi_match":
+        if not isinstance(spec, dict) or "query" not in spec or "fields" not in spec:
+            raise DslError("multi_match needs {query, fields}")
+        fields = _parse_boosted(spec["fields"])
+        from .operators.wand import multifield_topk, multifield_topk_single
+
+        if reader.field_stats is not None:
+            return multifield_topk_single(reader, fields, spec["query"], k)
+        if extra_readers is not None:
+            missing = [n for n, _ in fields if n != "content" and n not in extra_readers]
+            if missing:
+                raise DslError(f"no reader for fields {missing}")
+            pairs = [
+                (reader if n == "content" else extra_readers[n], b) for n, b in fields
+            ]
+            return multifield_topk(pairs, spec["query"], k)
+        raise DslError(
+            "multi_match needs a multifield store (build_multifield_index) "
+            "or per-field extra_readers"
+        )
+    if kind == "bool":
+        spec = dict(spec)
+        flt = compile_filter(spec.pop("filter", None))
+        msm = int(spec.pop("minimum_should_match", 0))
+
+        def texts(key):
+            cs = spec.pop(key, [])
+            if isinstance(cs, dict):
+                cs = [cs]
+            parts = []
+            for c in cs:
+                ck, cspec = _one_entry(c, f"{key} clause")
+                if ck != "match":
+                    raise DslError(f"bool.{key} supports match clauses, got {ck!r}")
+                field, mspec = _one_entry(cspec, "match")
+                _field_or_primary(reader, field, f"bool.{key} match")
+                parts.append(_as_text(mspec, "match"))
+            return " ".join(parts)
+
+        must, should, must_not = texts("must"), texts("should"), texts("must_not")
+        if spec:
+            raise DslError(f"unsupported bool keys {sorted(spec)}")
+        if not (must or should or must_not) and flt is not None:
+            raise DslError("pure-filter bool needs a sort (non-scoring query)")
+        if should or must_not or msm:
+            return reader.bool_topk(
+                must, should, must_not, flt=flt, msm=msm, k=k, after=after
+            )
+        # must-only (+ optional filter) degenerates to the match path
+        if flt is not None:
+            return reader.filtered_topk(must, flt, k, after=after)
+        return reader.topk(must, k, after=after)
+    if kind == "match_all":
+        raise DslError("match_all needs a sort (no relevance order exists)")
+    raise DslError(f"unsupported query kind {kind!r}")

@@ -274,6 +274,26 @@ class SearchService:
         with self._lock:
             return int(self.reader.match_count(q).collect()[0]["n_docs"])
 
+    def es_search(self, body: dict) -> dict:
+        """POST /api/_search: the ES request-body dialect the reference
+        delegates today (match / match_phrase[_prefix] / prefix / fuzzy /
+        multi_match / bool + filter + search_after + sort + size),
+        compiled onto the engine's own verbs (ariadna_spark.query_dsl)
+        and answered in the ES hits envelope. Out-of-scope bodies 400
+        with the reason — never a silently different semantics."""
+        from ariadna_spark.query_dsl import compile_search
+
+        with self._lock:
+            rows = [r.asDict() for r in compile_search(self.reader, body).collect()]
+        hits = []
+        for r in rows:
+            src = {c: v for c, v in r.items() if c not in ("doc_id", "score")}
+            h = {"_id": r.get("doc_id"), "_score": r.get("score")}
+            if src:
+                h["fields"] = src
+            hits.append(h)
+        return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
+
     def multifield(self, q: str, fields: list[tuple[str, float]], k: int = 10) -> list[dict]:
         """GET /api/multifield?q=...&fields=content:1,path:2 — BM25F over
         the store's per-field terms (requires a build_multifield_index
@@ -629,6 +649,8 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     body = json.loads(self.rfile.read(ln) or b"{}")
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "invalid JSON body"})
+                if u.path == "/api/_search":
+                    return self._json(200, service.es_search(body))
                 if u.path == "/api/search:batch":
                     queries = body.get("queries")
                     if not isinstance(queries, list) or not queries:

@@ -1,0 +1,169 @@
+"""ES `_search` request-body compiler: every supported body must be
+row-identical to the direct engine call it compiles to, and every
+out-of-scope body must fail loudly (DslError -> HTTP 400)."""
+
+import json
+import os
+import sys
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+
+from ariadna_spark.operators.wand import IndexReader, multifield_topk_single
+from ariadna_spark.query_dsl import DslError, compile_filter, compile_search
+from ariadna_spark.sources.segments import build_index, build_multifield_index
+
+
+@pytest.fixture(scope="module")
+def reader(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dsl_idx"))
+    build_index(spark, docs, out, build_id="d1", n_buckets=4)
+    return IndexReader(spark, out)
+
+
+@pytest.fixture(scope="module")
+def mf_reader(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dsl_mf"))
+    build_multifield_index(
+        spark, docs, out, fields=("content", "path"), build_id="m1", n_buckets=4
+    )
+    return IndexReader(spark, out)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_dsl_matches_direct_calls(spark, reader):
+    cases = [
+        ({"query": {"match": {"content": "merge join"}}, "size": 5},
+         reader.topk("merge join", 5)),
+        ({"query": {"match": {"content": {"query": "merge join"}}}},
+         reader.topk("merge join", 10)),
+        ({"query": {"match_phrase": {"content": "merge join"}}, "size": 5},
+         reader.phrase_topk("merge join", 5)),
+        ({"query": {"match_phrase_prefix": {"content": "merge jo"}}, "size": 5},
+         reader.phrase_prefix_topk("merge jo", 5)),
+        ({"query": {"prefix": {"content": "mer"}}, "size": 5},
+         reader.prefix_topk("mer", 5)),
+        ({"query": {"fuzzy": {"content": {"value": "mrege", "fuzziness": 2}}}},
+         reader.fuzzy_topk("mrege", 10, max_dist=2)),
+        ({"query": {"bool": {
+            "must": [{"match": {"content": "scan"}}],
+            "should": [{"match": {"content": "merge join"}}],
+            "minimum_should_match": 1}}, "size": 5},
+         reader.bool_topk("scan", should="merge join", msm=1, k=5)),
+        ({"query": {"bool": {
+            "must": [{"match": {"content": "merge join"}}],
+            "filter": [{"term": {"lang": "fr"}}]}}, "size": 5},
+         reader.filtered_topk("merge join", F.col("lang") == "fr", 5)),
+        ({"query": {"bool": {
+            "must": [{"match": {"content": "merge join"}}],
+            "filter": [{"range": {"doc_len": {"gte": 40, "lt": 80}}}]}}},
+         reader.filtered_topk(
+             "merge join", (F.col("doc_len") >= 40) & (F.col("doc_len") < 80), 10)),
+        ({"query": {"match": {"content": "merge join"}},
+          "sort": [{"doc_len": {"order": "desc"}}], "size": 6},
+         reader.sorted_topk("merge join", "doc_len", asc=False, k=6)),
+        ({"query": {"bool": {
+            "must": [{"match": {"content": "merge join"}}],
+            "filter": [{"term": {"lang": "fr"}}]}},
+          "sort": [{"path": "asc"}], "size": 4},
+         reader.sorted_topk("merge join", "path", k=4, flt=F.col("lang") == "fr")),
+    ]
+    for body, want in cases:
+        assert rows(compile_search(reader, body)) == rows(want), body
+
+
+def test_dsl_search_after(spark, reader):
+    p1 = compile_search(reader, {"query": {"match": {"content": "merge join"}}, "size": 5}).collect()
+    cur = [p1[-1]["score"], p1[-1]["doc_id"]]
+    p2 = compile_search(
+        reader,
+        {"query": {"match": {"content": "merge join"}}, "size": 5, "search_after": cur},
+    ).collect()
+    full = reader.topk("merge join", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in list(p1) + list(p2)] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_dsl_multi_match(spark, reader, mf_reader):
+    body = {"query": {"multi_match": {"query": "doc en merge",
+                                      "fields": ["content", "path^2"]}}, "size": 5}
+    got = rows(compile_search(mf_reader, body))
+    want = rows(multifield_topk_single(
+        mf_reader, [("content", 1.0), ("path", 2.0)], "doc en merge", 5))
+    assert got == want
+    # single-field stores need extra_readers; without them: loud error
+    with pytest.raises(DslError, match="multifield store"):
+        compile_search(reader, body)
+    # per-field layout through extra_readers works too
+    got2 = rows(compile_search(reader, body, extra_readers={"path": mf_reader}))
+    assert len(got2) == 5
+
+
+def test_dsl_rejects_out_of_scope(spark, reader):
+    bad = [
+        {"query": {"match": {"content": "x"}}, "from": 10},
+        {"query": {"knn": {"field": "embedding"}}},
+        {"query": {"match_all": {}}},  # no relevance order
+        {"query": {"bool": {"filter": [{"term": {"lang": "fr"}}]}}},  # pure filter, no sort
+        {"query": {"bool": {"must": [{"match": {"content": "x"}}],
+                            "boost": 2}}},
+        {"query": {"match": {"content": "x"}}, "aggs": {}},
+        {"query": {"bool": {"must": [{"match": {"content": "x"}}],
+                            "filter": [{"term": {"content_sha": "z"}}]}}},
+        {"query": {"match": {"content": "x"}},
+         "sort": [{"doc_len": "asc"}, {"path": "asc"}]},
+        {"query": {"match": {"path": "docs"}}},  # secondary field w/o multi_match
+    ]
+    for body in bad:
+        with pytest.raises(DslError):
+            compile_search(reader, body)
+    with pytest.raises(DslError):
+        compile_filter([{"regexp": {"path": ".*"}}])
+
+
+def test_dsl_http_endpoint(spark, docs, tmp_path_factory):
+    from serve import SearchService, serve as mk_server
+
+    out = str(tmp_path_factory.mktemp("dsl_srv"))
+    build_index(spark, docs, out, build_id="s1", n_buckets=4)
+    svc = SearchService(spark, out)
+    httpd = mk_server(svc, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def post(body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/_search",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        got = post({"query": {"bool": {
+            "must": [{"match": {"content": "merge join"}}],
+            "filter": [{"term": {"lang": "fr"}}]}}, "size": 3})
+        want = IndexReader(spark, out).filtered_topk(
+            "merge join", F.col("lang") == "fr", 3).collect()
+        assert [(h["_id"], h["_score"]) for h in got["hits"]["hits"]] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+        assert got["hits"]["total"]["value"] == len(want)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({"query": {"knn": {"field": "embedding"}}})
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
