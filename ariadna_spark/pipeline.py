@@ -41,6 +41,16 @@ from .operators.text import chunk_documents, decontaminate, pii_scrub, train_val
 from .stats import term_freqs
 
 
+def lm_sample(docs: DataFrame, per_mille: int) -> DataFrame:
+    """Deterministic ~per_mille/1000 sample keyed on content_sha — the
+    LM-training sample for the perplexity gate. Hash-keyed (not
+    Bernoulli `.sample`) so the selected set is a pure function of the
+    corpus content: replayable across runs, partitionings, and the
+    DuckDB oracle. At tiny corpora (< ~100/per_mille docs) the sample
+    can be empty — pass lm_docs explicitly there."""
+    return docs.filter(F.pmod(F.crc32(F.col("content_sha")), F.lit(1000)) < per_mille)
+
+
 def prepare_training_set(
     docs: DataFrame,
     chunk_size: int = 128,
@@ -54,6 +64,7 @@ def prepare_training_set(
     cluster_max_iter: int = 20,
     max_nll: float | None = None,
     lm_docs: DataFrame | None = None,
+    lm_sample_per_mille: int | None = 20,
     max_top2_frac: float | None = None,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
@@ -103,13 +114,20 @@ def prepare_training_set(
 
     if max_nll is not None:
         # perplexity gate (CCNet-style): drop docs whose mean bigram nll
-        # under the corpus (or sample lm_docs) LM exceeds the budget —
-        # junk/boilerplate outliers. Runs AFTER dedup so duplicate mass
-        # can't skew the self-trained LM; docs with no bigrams are kept
-        # (no evidence either way). Sample-trained LMs broadcast, so the
-        # stage adds no corpus-side shuffle (see perplexity_scores).
+        # under the LM exceeds the budget — junk/boilerplate outliers.
+        # Runs AFTER dedup so duplicate mass can't skew the LM; docs
+        # with no bigrams are kept (no evidence either way). DEFAULT LM
+        # is a deterministic ~lm_sample_per_mille/1000 hash-sample of
+        # the deduped corpus (the CCNet production shape): the sampled
+        # (w, nx) aggregates broadcast, so the corpus-side bigram stream
+        # never shuffles for the scoring join. Pass lm_docs for an
+        # external LM corpus, or lm_sample_per_mille=None to train on
+        # the full corpus (two corpus-side exchanges — ~12x the gate
+        # cost at 1M docs, see BENCH/BASELINE.md).
         from .operators.text import perplexity_scores
 
+        if lm_docs is None and lm_sample_per_mille is not None:
+            lm_docs = lm_sample(d, lm_sample_per_mille)
         bad = (
             perplexity_scores(d, lm_docs=lm_docs)
             .filter(F.col("nll_r") > max_nll)

@@ -366,6 +366,20 @@ def query_stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
             "phrase_prefix",
             lambda: reader.phrase_prefix_topk("binary se", 10).collect(),
         )
+        # round-6: the multi-job expansion/snippet paths whose sf0.1 cost
+        # is job overhead — at 1M docs a latent full-vocab or full-corpus
+        # cost would show here. fuzzy = ONE vocabulary scan for all
+        # tokens; highlight/MLT re-read only k/1 docs via a pushed
+        # IN-list (typo'd forms of warm corpus tokens: binary, result)
+        timed(
+            "fuzzy",
+            lambda: reader.fuzzy_topk("binray resutl", 10, max_dist=2).collect(),
+        )
+        timed(
+            "highlight",
+            lambda: reader.highlight_topk(docs, q, 10, window=5).collect(),
+        )
+        timed("mlt", lambda: reader.more_like_this(docs, 42, 10).collect())
         from ariadna_spark.sources.segments import delete_by_query
 
         t0 = time.monotonic()

@@ -160,14 +160,18 @@ def test_pipeline_cluster_keep_one_per_chain(spark):
 
 
 def test_pipeline_perplexity_gate(spark):
-    """max_nll drops exactly the docs whose mean bigram nll exceeds the
-    budget, and the gate composes with the rest of the pipeline."""
+    """max_nll drops exactly the docs whose mean bigram nll (under the
+    gate's default deterministic sample-trained LM) exceeds the budget,
+    and the gate composes with the rest of the pipeline."""
     from ariadna_spark.operators.dedup import keep_first_dedup
     from ariadna_spark.operators.text import perplexity_scores
+    from ariadna_spark.pipeline import lm_sample
 
     docs = load_docs(spark, SF)
     d = keep_first_dedup(docs)  # mirror the dedup stage exactly
-    ppl = {r["doc_id"]: r["nll_r"] for r in perplexity_scores(d).collect()}
+    lm = lm_sample(d, 20)  # mirror the gate's default LM sample
+    assert lm.count() > 0, "test corpus too small for the default sample"
+    ppl = {r["doc_id"]: r["nll_r"] for r in perplexity_scores(d, lm_docs=lm).collect()}
     cut = sorted(ppl.values())[int(len(ppl) * 0.9)]  # drop the worst ~10%
     out = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4, max_nll=cut)
     kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
