@@ -1401,7 +1401,7 @@ def q_bool_topk(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score_r"))
 
 
-def _sql_bool_topk() -> str:
+def _sql_bool_topk(extra_where: str = "") -> str:
     m = sorted(set(tokenize_py(_BOOL_MUST)))
     s = sorted(set(tokenize_py(_BOOL_SHOULD)))
     n = sorted(set(tokenize_py(_BOOL_NOT)))
@@ -1426,13 +1426,59 @@ def _sql_bool_topk() -> str:
 )
 SELECT doc_id, round(s, 4) AS score_r
 FROM scored
-WHERE n_must = {len(m)} AND n_should >= {_BOOL_MSM} AND hit_not = 0
+WHERE n_must = {len(m)} AND n_should >= {_BOOL_MSM} AND hit_not = 0{extra_where}
 ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 """
     )
 
 
 SQL_BOOL_TOPK = _sql_bool_topk()
+
+
+# The ES `_search` request-body dialect the reference actually speaks
+# (/root/reference/elastic/elastic.go passes bodies through to ES 7.x):
+# one composed body exercising the compiler's bool routing — must +
+# should + must_not + minimum_should_match in scoring context, term +
+# range clauses in non-scoring filter context, explicit size.
+_DSL_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"content": _BOOL_MUST}}],
+            "should": [{"match": {"content": _BOOL_SHOULD}}],
+            "must_not": [{"match": {"content": _BOOL_NOT}}],
+            "minimum_should_match": _BOOL_MSM,
+            "filter": [
+                {"term": {"lang": _FILT_LANG}},
+                {"range": {"doc_len": {"gte": 30}}},
+            ],
+        }
+    },
+    "size": _WAND_K,
+}
+
+
+def q_es_search_dsl(spark, sf_dir) -> DataFrame:
+    """The ES `_search` request-body compiler end-to-end (the dialect the
+    reference delegates verbatim; /root/reference/elastic/elastic.go
+    search passthrough, /root/reference/osm/osm.go:179-186 HTTP routing):
+    compile_search turns one composed JSON body — bool must/should/
+    must_not + minimum_should_match with term- and range-filter clauses —
+    into the engine's pruned bool_topk plan. Filter context is
+    non-scoring and stats stay GLOBAL, exactly ES semantics; the oracle
+    replays the same body as brute-force SQL with the filters as WHERE
+    predicates over the documents/dl views."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    out = compile_search(reader, _DSL_BODY)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_ES_SEARCH_DSL = _sql_bool_topk(
+    f"""
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = '{_FILT_LANG}')
+  AND doc_id IN (SELECT doc_id FROM dl WHERE doc_len >= 30)"""
+)
 
 
 _PREFIX_Q = "sc"
@@ -3566,6 +3612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_after": q_search_after,
     "filtered_bm25": q_filtered_bm25,
     "bool_topk": q_bool_topk,
+    "es_search_dsl": q_es_search_dsl,  # r6: _search body compiler
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -3674,6 +3721,7 @@ ORACLES: dict[str, str] = {
     "search_after": SQL_SEARCH_AFTER,
     "filtered_bm25": SQL_FILTERED_BM25,
     "bool_topk": SQL_BOOL_TOPK,
+    "es_search_dsl": SQL_ES_SEARCH_DSL,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,

@@ -289,6 +289,25 @@ def stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
         t0 = time.monotonic()
         out["stress_perplexity_rows"] = perplexity_scores(docs).count()
         out["stress_perplexity_sec"] = round(time.monotonic() - t0, 2)
+
+        # round-6: the perplexity SCORING shapes head-to-head, then the
+        # composed pipeline WITH the gate on. Sample-LM = the default
+        # production shape (deterministic ~2% hash-sample, (w, nx)
+        # aggregates broadcast, zero corpus-side shuffle for the scoring
+        # join); the self-trained row above is the two-corpus-exchange
+        # comparison point. max_nll=3.5 ≈ p95 of the synthetic corpus'
+        # nll_r — a realistic drop-the-tail gate.
+        from ariadna_spark.pipeline import lm_sample
+
+        t0 = time.monotonic()
+        out["stress_perplexity_sample_rows"] = perplexity_scores(
+            docs, lm_docs=lm_sample(docs, 20)
+        ).count()
+        out["stress_perplexity_sample_sec"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        n_gated = prepare_training_set(docs, min_tokens=4, max_nll=3.5).count()
+        out["stress_pipeline_gated_sec"] = round(time.monotonic() - t0, 2)
+        out["stress_pipeline_gated_rows"] = n_gated
         return out
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
