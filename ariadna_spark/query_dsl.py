@@ -34,6 +34,12 @@ Scope (loud errors outside it — never a silent wrong answer):
                         field sort: [value, doc_id])
   sort: [{field: {order}}] -> sorted_topk (one sort key + doc_id tiebreak,
                         exactly the engine's field-sort contract)
+  aggs (with size: 0) -> compile_aggs: terms on lang/repo, range /
+                        histogram / stats on doc_len, cardinality on
+                        lang — the doc_len family shares ONE
+                        grouping-sets pass (match_aggs)
+  highlight          -> highlight_topk over the primary field (needs
+                        the source corpus via `docs=`)
 
 All text analysis happens in the engine's own verbs — the body never
 bypasses the analyzer, exactly like ES.
@@ -126,23 +132,145 @@ def _parse_boosted(fields: list) -> list[tuple[str, float]]:
     return out
 
 
+def compile_aggs(reader, body: dict) -> DataFrame:
+    """ES `aggs` body (the aggregation half of `_search`) -> one engine
+    DataFrame of (agg, bucket, n_docs, metric) rows, `agg` = the caller's
+    agg NAME. Scope (loud errors outside it): terms on lang/repo, range /
+    histogram / stats on doc_len, cardinality on lang — over a match
+    query's candidate set. The doc_len family compiles onto ONE
+    match_aggs pass (candidate decode + semi-join + grouping-sets shuffle
+    happen once no matter how many aggs the body asks for); each terms
+    agg is one id-only semi-join groupBy over docmap (content never
+    read). ES callers send size:0 with aggs-only bodies; a non-zero size
+    errors rather than silently dropping hits."""
+    from .analyze import tokenize_py
+
+    if int(body.get("size", 0)) != 0:
+        raise DslError("aggs bodies must set size: 0 (hits+aggs unsupported)")
+    q = body.get("query") or {"match_all": {}}
+    kind, spec = _one_entry(q, "query")
+    if kind != "match":
+        raise DslError(f"aggs compose with a match query, not {kind!r}")
+    field, mspec = _one_entry(spec, "match")
+    _field_or_primary(reader, field, "match")
+    text = _as_text(mspec, "match")
+
+    aggs = body["aggs"]
+    if not isinstance(aggs, dict) or not aggs:
+        raise DslError("aggs must be a non-empty object")
+    ranges, interval = None, None
+    suite_names: dict[str, str] = {}  # engine agg kind -> caller's name
+    terms_aggs: list[tuple[str, str]] = []
+
+    def _doc_len_only(aspec, ak):
+        if not isinstance(aspec, dict) or aspec.get("field") != "doc_len":
+            raise DslError(f"{ak} agg supports field 'doc_len', got {aspec!r}")
+
+    for name, aspec_outer in aggs.items():
+        ak, aspec = _one_entry(aspec_outer, f"agg {name!r}")
+        if ak in suite_names or (ak == "terms" and not isinstance(aspec, dict)):
+            raise DslError(f"duplicate {ak!r} agg" if ak in suite_names else f"bad terms agg {aspec!r}")
+        if ak == "terms":
+            f = aspec.get("field")
+            if f not in ("lang", "repo"):
+                raise DslError(f"terms agg supports lang/repo, got {f!r}")
+            terms_aggs.append((name, f))
+        elif ak == "range":
+            _doc_len_only(aspec, ak)
+            rs = []
+            for r in aspec.get("ranges", []):
+                key = r.get("key") or f"{r.get('from', '*')}-{r.get('to', '*')}"
+                rs.append((str(key), r.get("from"), r.get("to")))
+            if not rs:
+                raise DslError("range agg needs non-empty ranges")
+            ranges, suite_names["range"] = rs, name
+        elif ak == "histogram":
+            _doc_len_only(aspec, ak)
+            interval, suite_names["histogram"] = int(aspec.get("interval", 25)), name
+        elif ak == "stats":
+            _doc_len_only(aspec, ak)
+            suite_names["stats"] = name
+        elif ak == "cardinality":
+            if not isinstance(aspec, dict) or aspec.get("field") != "lang":
+                raise DslError(f"cardinality agg supports field 'lang', got {aspec!r}")
+            suite_names["cardinality"] = name
+        else:
+            raise DslError(
+                f"unsupported agg kind {ak!r} (terms, range, histogram, stats, cardinality)"
+            )
+
+    out = None
+    if suite_names:
+        suite = reader.match_aggs(text, ranges=ranges, interval=interval or 25)
+        rename = F.col("agg")
+        for ek, caller in suite_names.items():
+            rename = F.when(F.col("agg") == ek, F.lit(caller)).otherwise(rename)
+        out = suite.filter(F.col("agg").isin(list(suite_names))).withColumn("agg", rename)
+    if terms_aggs:
+        cands = reader.candidate_doc_ids(sorted(set(tokenize_py(text))))
+        for name, f in terms_aggs:
+            t = (
+                reader.docmap()
+                .select("doc_id", f)
+                .join(cands, "doc_id", "left_semi")
+                .groupBy(F.col(f).alias("bucket"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+                .select(
+                    F.lit(name).alias("agg"),
+                    "bucket",
+                    "n_docs",
+                    F.lit(None).cast("double").alias("metric"),
+                )
+            )
+            out = t if out is None else out.unionByName(t)
+    return out.orderBy("agg", "bucket")
+
+
 def compile_search(
     reader,
     body: dict,
     extra_readers: dict | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """One ES `_search` request body -> one engine DataFrame.
 
     `extra_readers` maps field name -> IndexReader for deployments that
     keep the round-<=5 one-store-per-field layout; on a multifield store
-    (build_multifield_index) multi_match needs nothing extra."""
+    (build_multifield_index) multi_match needs nothing extra. `docs` is
+    the source corpus, required only for `highlight` bodies (snippets
+    re-read the k winners' content)."""
     if not isinstance(body, dict):
         raise DslError("request body must be an object")
-    unknown = set(body) - {"query", "size", "search_after", "sort", "from"}
+    unknown = set(body) - {"query", "size", "search_after", "sort", "from", "aggs", "highlight"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
     if "from" in body:
         raise DslError("from+size deep paging is unsupported; use search_after")
+    if "aggs" in body:
+        if body.get("sort") or body.get("search_after") or "highlight" in body:
+            raise DslError("aggs bodies compose only with query+size")
+        return compile_aggs(reader, body)
+    if "highlight" in body:
+        if body.get("sort") or body.get("search_after"):
+            raise DslError("highlight composes with relevance-ranked queries only")
+        hl = body["highlight"]
+        if not isinstance(hl, dict) or list(hl.get("fields", {})) != [
+            reader.primary_field or "content"
+        ]:
+            raise DslError(
+                "highlight.fields must name exactly the primary field "
+                f"({reader.primary_field or 'content'!r})"
+            )
+        if docs is None:
+            raise DslError("highlight needs the source corpus (docs=)")
+        kind, spec = _one_entry(body.get("query") or {}, "query")
+        if kind != "match":
+            raise DslError(f"highlight composes with a match query, not {kind!r}")
+        field, mspec = _one_entry(spec, "match")
+        _field_or_primary(reader, field, "highlight match")
+        return reader.highlight_topk(
+            docs, _as_text(mspec, "match"), int(body.get("size", 10))
+        )
     k = int(body.get("size", 10))
     q = body.get("query") or {"match_all": {}}
     kind, spec = _one_entry(q, "query")

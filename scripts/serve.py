@@ -279,12 +279,26 @@ class SearchService:
         delegates today (match / match_phrase[_prefix] / prefix / fuzzy /
         multi_match / bool + filter + search_after + sort + size),
         compiled onto the engine's own verbs (ariadna_spark.query_dsl)
-        and answered in the ES hits envelope. Out-of-scope bodies 400
-        with the reason — never a silently different semantics."""
+        and answered in the ES hits envelope; `aggs` bodies (size: 0)
+        answer in the aggregations envelope, `highlight` bodies carry
+        snippets (needs --docs for the content re-read). Out-of-scope
+        bodies 400 with the reason — never a silently different
+        semantics."""
         from ariadna_spark.query_dsl import compile_search
 
         with self._lock:
-            rows = [r.asDict() for r in compile_search(self.reader, body).collect()]
+            rows = [
+                r.asDict()
+                for r in compile_search(self.reader, body, docs=self._docs).collect()
+            ]
+        if "aggs" in body:
+            buckets: dict = {}
+            for r in rows:
+                b = buckets.setdefault(r["agg"], [])
+                b.append(
+                    {"key": r["bucket"], "doc_count": r["n_docs"], "metric": r["metric"]}
+                )
+            return {"aggregations": {a: {"buckets": bs} for a, bs in buckets.items()}}
         hits = []
         for r in rows:
             src = {c: v for c, v in r.items() if c not in ("doc_id", "score")}

@@ -110,6 +110,61 @@ def test_dsl_multi_match(spark, reader, mf_reader):
     assert len(got2) == 5
 
 
+def test_dsl_aggs(spark, reader):
+    """An aggs body compiles onto the engine's one-pass aggregation
+    suite with the CALLER's agg names, plus one semi-join groupBy per
+    terms agg — row-identical to the direct verbs."""
+    body = {
+        "query": {"match": {"content": "merge join"}},
+        "size": 0,
+        "aggs": {
+            "len_ranges": {"range": {"field": "doc_len", "ranges": [
+                {"key": "short", "to": 40}, {"key": "long", "from": 40}]}},
+            "len_hist": {"histogram": {"field": "doc_len", "interval": 50}},
+            "len_stats": {"stats": {"field": "doc_len"}},
+            "n_langs": {"cardinality": {"field": "lang"}},
+            "by_lang": {"terms": {"field": "lang"}},
+        },
+    }
+    got = rows(compile_search(reader, body))
+    suite = reader.match_aggs(
+        "merge join", ranges=[("short", None, 40), ("long", 40, None)], interval=50
+    ).collect()
+    names = {"range": "len_ranges", "histogram": "len_hist",
+             "stats": "len_stats", "cardinality": "n_langs"}
+    want = [(names[r["agg"]], r["bucket"], r["n_docs"], r["metric"]) for r in suite]
+    from ariadna_spark.analyze import tokenize_py
+    cands = reader.candidate_doc_ids(sorted(set(tokenize_py("merge join"))))
+    terms = (
+        reader.docmap().select("doc_id", "lang")
+        .join(cands, "doc_id", "left_semi")
+        .groupBy("lang").count().collect()
+    )
+    want += [("by_lang", r["lang"], r["count"], None) for r in terms]
+    assert got == sorted(want, key=lambda t: (t[0], t[1]))
+    for bad in [
+        dict(body, size=5),                                   # hits+aggs
+        dict(body, aggs={"x": {"terms": {"field": "content_sha"}}}),
+        dict(body, aggs={"x": {"range": {"field": "lang", "ranges": [{}]}}}),
+        dict(body, aggs={"x": {"percentiles": {"field": "doc_len"}}}),
+        dict(body, sort=[{"doc_len": "asc"}]),
+    ]:
+        with pytest.raises(DslError):
+            compile_search(reader, bad)
+
+
+def test_dsl_highlight(spark, docs, reader):
+    body = {"query": {"match": {"content": "merge join"}}, "size": 5,
+            "highlight": {"fields": {"content": {}}}}
+    got = rows(compile_search(reader, body, docs=docs))
+    want = rows(reader.highlight_topk(docs, "merge join", 5))
+    assert got == want and len(got) == 5
+    with pytest.raises(DslError, match="source corpus"):
+        compile_search(reader, body)  # no docs=
+    with pytest.raises(DslError, match="primary field"):
+        compile_search(reader, dict(body, highlight={"fields": {"path": {}}}), docs=docs)
+
+
 def test_dsl_rejects_out_of_scope(spark, reader):
     bad = [
         {"query": {"match": {"content": "x"}}, "from": 10},
