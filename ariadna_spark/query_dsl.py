@@ -132,6 +132,51 @@ def _parse_boosted(fields: list) -> list[tuple[str, float]]:
     return out
 
 
+def msearch(
+    reader,
+    bodies: list[dict],
+    extra_readers: dict | None = None,
+    docs: DataFrame | None = None,
+) -> list[list[dict]]:
+    """ES `_msearch`: N request bodies -> N result row-lists, in order.
+
+    Plain match bodies (keys ⊆ {query, size}, match on the primary
+    field) are gathered into ONE topk_many call — blocks shared across
+    queries fetch and shuffle ONCE, and the per-query Spark-job overhead
+    that dominates single-query latency amortizes over the whole batch
+    (the production batch-scoring shape). Every other body compiles
+    individually through compile_search. Any malformed body fails the
+    whole request loudly (DslError -> 400) before ANY work runs — ES's
+    per-item error envelope is deliberately out of scope for v1."""
+    if not isinstance(bodies, list) or not bodies:
+        raise DslError("_msearch needs a non-empty list of request bodies")
+    prim = reader.primary_field or "content"
+    batch: list[tuple[int, str, int]] = []
+    singles: list[int] = []
+    for i, b in enumerate(bodies):
+        is_plain = isinstance(b, dict) and set(b) <= {"query", "size"} and b.get("query")
+        if is_plain:
+            kind, spec = _one_entry(b["query"], "query")
+            if kind == "match":
+                field, mspec = _one_entry(spec, "match")
+                if field == prim:
+                    batch.append((i, _as_text(mspec, "match"), int(b.get("size", 10))))
+                    continue
+        singles.append(i)
+    # validate every single body BEFORE running anything (loud, no partial work)
+    compiled = {i: compile_search(reader, bodies[i], extra_readers, docs) for i in singles}
+    results: list[list[dict]] = [[] for _ in bodies]
+    if batch:
+        got = reader.topk_many(batch)
+        for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            results[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": r["score"]}
+            )
+    for i, df in compiled.items():
+        results[i] = [r.asDict() for r in df.collect()]
+    return results
+
+
 def compile_aggs(reader, body: dict) -> DataFrame:
     """ES `aggs` body (the aggregation half of `_search`) -> one engine
     DataFrame of (agg, bucket, n_docs, metric) rows, `agg` = the caller's

@@ -308,6 +308,44 @@ class SearchService:
             hits.append(h)
         return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
 
+    def es_msearch(self, raw: bytes) -> dict:
+        """POST /api/_msearch: N `_search` bodies in one request, answered
+        in order. Accepts a JSON array of bodies (or {"searches": [...]})
+        or ES's NDJSON convention (header line, body line, repeated;
+        header lines are ignored). Plain match bodies execute as ONE
+        batched Spark job (query_dsl.msearch -> topk_many); the rest
+        compile individually. Malformed input 400s the whole request."""
+        from ariadna_spark.query_dsl import DslError, msearch
+
+        try:
+            parsed = json.loads(raw)
+            if isinstance(parsed, dict) and isinstance(parsed.get("searches"), list):
+                bodies = parsed["searches"]
+            elif isinstance(parsed, list):
+                bodies = parsed
+            else:
+                raise DslError("_msearch needs a JSON array of bodies or NDJSON")
+        except json.JSONDecodeError:
+            lines = [ln for ln in raw.decode("utf-8").splitlines() if ln.strip()]
+            if len(lines) % 2:
+                raise DslError("_msearch NDJSON must alternate header/body lines")
+            try:
+                bodies = [json.loads(ln) for ln in lines[1::2]]
+            except json.JSONDecodeError as e:
+                raise DslError(f"invalid NDJSON body line: {e}")
+        with self._lock:
+            results = msearch(self.reader, bodies, docs=self._docs)
+        return {
+            "responses": [
+                {"hits": {"total": {"value": len(rs), "relation": "eq"},
+                          "hits": [{"_id": r.pop("doc_id", None),
+                                    "_score": r.pop("score", None),
+                                    **({"fields": r} if r else {})}
+                                   for r in rs]}}
+                for rs in results
+            ]
+        }
+
     def multifield(self, q: str, fields: list[tuple[str, float]], k: int = 10) -> list[dict]:
         """GET /api/multifield?q=...&fields=content:1,path:2 — BM25F over
         the store's per-field terms (requires a build_multifield_index
@@ -659,8 +697,11 @@ def make_handler(service: SearchService, public_dir: str | None = None):
             u = urlparse(self.path)
             try:
                 ln = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(ln) or b"{}"
+                if u.path == "/api/_msearch":
+                    return self._json(200, service.es_msearch(raw))
                 try:
-                    body = json.loads(self.rfile.read(ln) or b"{}")
+                    body = json.loads(raw)
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "invalid JSON body"})
                 if u.path == "/api/_search":

@@ -165,6 +165,41 @@ def test_dsl_highlight(spark, docs, reader):
         compile_search(reader, dict(body, highlight={"fields": {"path": {}}}), docs=docs)
 
 
+def test_dsl_msearch(spark, reader):
+    """N bodies -> N ordered result lists; plain match bodies ride ONE
+    topk_many job and are row-identical to per-query topk; mixed bodies
+    (bool, phrase) compile individually; any bad body fails the whole
+    request before work runs."""
+    from ariadna_spark.query_dsl import msearch
+
+    bodies = [
+        {"query": {"match": {"content": "merge join"}}, "size": 5},
+        {"query": {"match_phrase": {"content": "merge join"}}, "size": 4},
+        {"query": {"match": {"content": "scan"}}, "size": 3},
+        {"query": {"bool": {"must": [{"match": {"content": "merge"}}],
+                            "filter": [{"term": {"lang": "fr"}}]}}, "size": 3},
+        {"query": {"match": {"content": "zzznotaterm"}}, "size": 3},
+    ]
+    got = msearch(reader, bodies)
+    assert len(got) == 5
+    want = [
+        reader.topk("merge join", 5),
+        reader.phrase_topk("merge join", 4),
+        reader.topk("scan", 3),
+        reader.filtered_topk("merge", F.col("lang") == "fr", 3),
+        None,
+    ]
+    for rs, w in zip(got[:4], want[:4]):
+        assert [(r["doc_id"], round(r["score"], 6)) for r in rs] == [
+            (r["doc_id"], round(r["score"], 6)) for r in w.collect()
+        ]
+    assert got[4] == []  # absent term -> empty, not an error
+    with pytest.raises(DslError):
+        msearch(reader, bodies + [{"query": {"knn": {"f": 1}}}])
+    with pytest.raises(DslError):
+        msearch(reader, [])
+
+
 def test_dsl_rejects_out_of_scope(spark, reader):
     bad = [
         {"query": {"match": {"content": "x"}}, "from": 10},
@@ -219,6 +254,32 @@ def test_dsl_http_endpoint(spark, docs, tmp_path_factory):
         assert got["hits"]["total"]["value"] == len(want)
         with pytest.raises(urllib.error.HTTPError) as ei:
             post({"query": {"knn": {"field": "embedding"}}})
+        assert ei.value.code == 400
+
+        # _msearch: JSON-array form and ES NDJSON form answer identically
+        def post_raw(data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/_msearch",
+                data=data, headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        bodies = [
+            {"query": {"match": {"content": "merge join"}}, "size": 3},
+            {"query": {"match": {"content": "scan"}}, "size": 2},
+        ]
+        m1 = post_raw(json.dumps(bodies).encode())
+        nd = "".join("{}\n" + json.dumps(b) + "\n" for b in bodies)
+        m2 = post_raw(nd.encode())
+        assert m1 == m2 and len(m1["responses"]) == 2
+        top = IndexReader(spark, out).topk("merge join", 3).collect()
+        assert [h["_id"] for h in m1["responses"][0]["hits"]["hits"]] == [
+            r["doc_id"] for r in top
+        ]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_raw(b'[{"query": {"knn": {"f": 1}}}]')
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
