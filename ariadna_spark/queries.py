@@ -2097,6 +2097,80 @@ def q_filtered_phrase(spark, sf_dir) -> DataFrame:
 
 SQL_FILTERED_PHRASE = _sql_phrase_topk(f"lang = '{_FILT_PHRASE_LANG}'")
 
+
+# _msearch gate: two plain match bodies (gathered into ONE topk_many
+# batch — blocks fetched/shuffled once) sandwiching a match_phrase body
+# (the per-body compile_search path), so one driver query pins BOTH
+# msearch routes plus the order-preservation contract.
+_MSEARCH_BODIES = [
+    {"query": {"match": {"content": _WAND_QUERY}}, "size": _WAND_K},
+    {"query": {"match_phrase": {"content": _PHRASE_Q}}, "size": _WAND_K},
+    {"query": {"match": {"content": FLAGSHIP_QUERY}}, "size": 5},
+]
+
+
+def q_es_msearch(spark, sf_dir) -> DataFrame:
+    """ES `_msearch` end-to-end (the batched request surface of the
+    delegated ES API; /root/reference/elastic/elastic.go search
+    passthrough): three request bodies answered in order — the two plain
+    match bodies ride ONE topk_many job, the phrase body compiles
+    individually — and the flattened (body, rank, doc_id, score) rows
+    must equal three independent brute-force oracles stitched by body
+    index. A batching bug (cross-body block mixup, wrong k, reordered
+    results) breaks the hash."""
+    from .query_dsl import msearch
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    res = msearch(reader, _MSEARCH_BODIES)
+    rows = [
+        (body, rank, int(h["doc_id"]), float(h["score"]))
+        for body, hits in enumerate(res)
+        for rank, h in enumerate(hits, start=1)
+    ]
+    return (
+        spark.createDataFrame(rows, "body int, rank int, doc_id long, score double")
+        .select("body", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy("body", "rank")
+    )
+
+
+def _sql_es_msearch() -> str:
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    parts = []
+    for body, b in enumerate(_MSEARCH_BODIES):
+        kind, spec = next(iter(b["query"].items()))
+        text = next(iter(spec.values()))
+        k = b["size"]
+        terms = list(tokenize_py(text))
+        tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        if kind == "match_phrase":
+            m = len(terms)
+            conds = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(terms))
+            matched = (
+                f"(SELECT doc_id FROM (SELECT doc_id, {_TOK} AS t FROM documents) "
+                f"WHERE len(t) >= {m} AND "
+                f"list_contains(list_transform(range(1, len(t) - {m} + 2), i -> {conds}), true))"
+            )
+            match_clause = f" AND tf.doc_id IN {matched}"
+        else:
+            match_clause = ""
+        parts.append(
+            f"""
+(SELECT {body} AS body,
+        CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank,
+        doc_id, round(s, 4) AS score_r
+ FROM (SELECT tf.doc_id, sum({score}) AS s
+       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       WHERE tf.term IN ({tlist}){match_clause} GROUP BY tf.doc_id)
+ ORDER BY s DESC, doc_id ASC LIMIT {k})"""
+        )
+    return _SQL_PRELUDE + "\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_ES_MSEARCH = _sql_es_msearch()
+
 _PPX_Q = "merge s"  # fixed token 'merge' + prefix 's' (6 completions)
 _PPX_MAXEXP = 50
 
@@ -3613,6 +3687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_bm25": q_filtered_bm25,
     "bool_topk": q_bool_topk,
     "es_search_dsl": q_es_search_dsl,  # r6: _search body compiler
+    "es_msearch": q_es_msearch,  # r6: batched _msearch (one topk_many job)
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -3722,6 +3797,7 @@ ORACLES: dict[str, str] = {
     "filtered_bm25": SQL_FILTERED_BM25,
     "bool_topk": SQL_BOOL_TOPK,
     "es_search_dsl": SQL_ES_SEARCH_DSL,
+    "es_msearch": SQL_ES_MSEARCH,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,
