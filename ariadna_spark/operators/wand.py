@@ -1084,6 +1084,39 @@ class IndexReader:
             t.select(F.col("dead_build").alias("bid"), "doc_id"), ["bid", "doc_id"], "left_anti"
         ).drop("bid")
 
+    def mget(self, doc_ids: list[int]) -> DataFrame:
+        """ES `_mget`: fetch live documents by id in one request (the
+        delegated ES document surface; /root/reference/elastic/elastic.go
+        passes doc APIs straight through). One tombstone-masked docmap
+        read with the id IN-list pushed to the parquet scan; ids whose
+        doc is dead (overwritten or deleted) or absent come back with
+        found=false and null attributes — never a stale version, exactly
+        the merge-on-read contract every query path honors.
+
+        Scale shape: the asked-ids side is a tiny driver-local DataFrame
+        broadcast into the join; the docmap side is the same pruned
+        kb=<b> union-read docmap() always does, with row-group skipping
+        from the pushed IN filter. Cost ∝ docmap scan, never content."""
+        ids = sorted({int(i) for i in doc_ids})
+        if not ids:
+            raise ValueError("mget needs at least one doc id")
+        asked = self.spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        hit = self.docmap().filter(F.col("doc_id").isin(ids))
+        return (
+            asked.join(F.broadcast(hit), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("repo").isNotNull().alias("found"),
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                "doc_len",
+                "content_sha",
+            )
+            .orderBy("doc_id")
+        )
+
     def _bucket_dirs(self, terms: list[str], sub: str | None = None) -> list[str]:
         """Matching bucket=<b> leaf dirs across ALL live segments (each
         segment may have its own n_buckets). Only directories that can

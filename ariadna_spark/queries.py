@@ -2171,6 +2171,47 @@ def _sql_es_msearch() -> str:
 
 SQL_ES_MSEARCH = _sql_es_msearch()
 
+
+# _mget gate: four live ids + one absent id; the absent id must come back
+# found=false with null attributes (and a stale/tombstoned version must
+# never surface — the same docmap mask every query path uses).
+_MGET_IDS = [2, 98, 290, 428, 999_999_999]
+
+
+def q_es_mget(spark, sf_dir) -> DataFrame:
+    """ES `_mget` end-to-end (the delegated ES document surface;
+    /root/reference/elastic/elastic.go doc-API passthrough): fetch a
+    batch of ids through the tombstone-masked docmap in one pruned read,
+    including the content_sha ingest invariant per returned doc. The
+    oracle recomputes every derived column (repo/path/commit synthesis,
+    doc_len, sha256) from the raw documents table — a drift in ANY of
+    the ingest derivations breaks the hash, not just the id lookup."""
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.mget(_MGET_IDS)
+
+
+def _sql_es_mget() -> str:
+    ids = ", ".join(str(i) for i in _MGET_IDS)
+    return (
+        _SQL_PRELUDE
+        + f"""
+, asked AS (SELECT CAST(unnest([{ids}]) AS BIGINT) AS doc_id),
+md AS (
+  SELECT d.doc_id, 'corpus/' || d.source AS repo,
+         'docs/' || d.lang || '/doc_' || d.doc_id || '.txt' AS path,
+         substr(sha256(d.source || '|' || CAST(d.doc_id AS VARCHAR)), 1, 40) AS cmt,
+         d.lang, dl.doc_len, sha256(d.text) AS content_sha
+  FROM documents d JOIN dl USING (doc_id)
+)
+SELECT a.doc_id, md.repo IS NOT NULL AS found, md.repo, md.path,
+       md.cmt AS "commit", md.lang, md.doc_len, md.content_sha
+FROM asked a LEFT JOIN md USING (doc_id) ORDER BY a.doc_id
+"""
+    )
+
+
+SQL_ES_MGET = _sql_es_mget()
+
 _PPX_Q = "merge s"  # fixed token 'merge' + prefix 's' (6 completions)
 _PPX_MAXEXP = 50
 
@@ -3688,6 +3729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_topk": q_bool_topk,
     "es_search_dsl": q_es_search_dsl,  # r6: _search body compiler
     "es_msearch": q_es_msearch,  # r6: batched _msearch (one topk_many job)
+    "es_mget": q_es_mget,  # r6: _mget through the tombstone-masked docmap
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -3798,6 +3840,7 @@ ORACLES: dict[str, str] = {
     "bool_topk": SQL_BOOL_TOPK,
     "es_search_dsl": SQL_ES_SEARCH_DSL,
     "es_msearch": SQL_ES_MSEARCH,
+    "es_mget": SQL_ES_MGET,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,

@@ -308,6 +308,40 @@ class SearchService:
             hits.append(h)
         return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
 
+    def es_mget(self, body: dict) -> dict:
+        """POST /api/_mget: {"ids": [...]} -> ES-shaped docs array. One
+        tombstone-masked pruned docmap read; absent/dead ids come back
+        found=false (never a stale version)."""
+        ids = body.get("ids")
+        if not isinstance(ids, list) or not ids or not all(
+            isinstance(i, int) for i in ids
+        ):
+            raise ValueError("_mget needs a non-empty integer ids array")
+        with self._lock:
+            rows = self.reader.mget(ids).collect()
+        return {
+            "docs": [
+                {
+                    "_id": r["doc_id"],
+                    "found": bool(r["found"]),
+                    **(
+                        {
+                            "fields": {
+                                c: r[c]
+                                for c in (
+                                    "repo", "path", "commit", "lang",
+                                    "doc_len", "content_sha",
+                                )
+                            }
+                        }
+                        if r["found"]
+                        else {}
+                    ),
+                }
+                for r in rows
+            ]
+        }
+
     def es_msearch(self, raw: bytes) -> dict:
         """POST /api/_msearch: N `_search` bodies in one request, answered
         in order. Accepts a JSON array of bodies (or {"searches": [...]})
@@ -706,6 +740,8 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     return self._json(400, {"error": "invalid JSON body"})
                 if u.path == "/api/_search":
                     return self._json(200, service.es_search(body))
+                if u.path == "/api/_mget":
+                    return self._json(200, service.es_mget(body))
                 if u.path == "/api/search:batch":
                     queries = body.get("queries")
                     if not isinstance(queries, list) or not queries:

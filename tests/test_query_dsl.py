@@ -281,5 +281,30 @@ def test_dsl_http_endpoint(spark, docs, tmp_path_factory):
         with pytest.raises(urllib.error.HTTPError) as ei:
             post_raw(b'[{"query": {"knn": {"f": 1}}}]')
         assert ei.value.code == 400
+
+        # _mget: live ids found with docmap attributes, absent id
+        # found=false; non-integer ids rejected
+        def post_mget(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/_mget",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        dm = {r["doc_id"]: r for r in IndexReader(spark, out).docmap().collect()}
+        some = sorted(dm)[:2]
+        got = post_mget({"ids": some + [10**9]})
+        assert [d["_id"] for d in got["docs"]] == some + [10**9]
+        for d in got["docs"][:2]:
+            want_row = dm[d["_id"]]
+            assert d["found"] and d["fields"]["content_sha"] == want_row["content_sha"]
+            assert d["fields"]["repo"] == want_row["repo"]
+        assert got["docs"][2] == {"_id": 10**9, "found": False}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_mget({"ids": ["x"]})
+        assert ei.value.code == 400
     finally:
         httpd.shutdown()

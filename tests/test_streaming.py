@@ -121,6 +121,29 @@ def test_overwrite_masks_old_version(spark, overwrite_corpus, tmp_path):
     assert [r["doc_id"] for r in reader.scores(["newtoken"]).collect()] == [0]
 
 
+def test_mget_masks_dead_versions(spark, overwrite_corpus, tmp_path):
+    """ES _mget over a store with an overwritten doc: the asked id comes
+    back found=true with the NEW version's commit/sha (the dead version
+    never surfaces), and an absent id comes back found=false."""
+    from ariadna_spark.sources.segments import append_segment
+
+    base, upd, new_content = overwrite_corpus
+    out = str(tmp_path / "mget")
+    build_index(spark, base, out, build_id="base", n_buckets=2)
+    append_segment(spark, upd, out, build_id="upd", n_buckets=2)
+
+    reader = IndexReader(spark, out)
+    rows = {r["doc_id"]: r for r in reader.mget([0, 1, 10**9]).collect()}
+    assert rows[0]["found"] and rows[0]["commit"] == "c9"
+    import hashlib
+
+    assert rows[0]["content_sha"] == hashlib.sha256(new_content.encode()).hexdigest()
+    assert rows[1]["found"]
+    assert not rows[10**9]["found"] and rows[10**9]["repo"] is None
+    with pytest.raises(ValueError):
+        reader.mget([])
+
+
 def test_overwrite_compaction_equals_fresh_build(spark, overwrite_corpus, tmp_path):
     """After compaction the shadowed postings are physically gone: results
     equal a monolithic build over (unchanged docs + newest versions),
