@@ -364,6 +364,11 @@ def compile_search(
             raise DslError(f"sort composes with match/bool queries, not {kind!r}")
         return reader.sorted_topk(text, sort_col=col, asc=asc, k=k, after=after, flt=flt)
 
+    # past the sort block: only match/bool relevance cursors remain —
+    # a silently dropped cursor would make pagination (and the scroll
+    # API built on it) loop on page 1 forever
+    if after is not None and kind not in ("match", "bool"):
+        raise DslError(f"search_after unsupported for {kind!r} queries")
     if kind == "match":
         field, mspec = _one_entry(spec, "match")
         _field_or_primary(reader, field, "match")

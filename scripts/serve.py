@@ -51,6 +51,10 @@ class SearchService:
         self.spark = spark
         self.reader = IndexReader(spark, index_dir, build_id=build_id)
         self._lock = threading.Lock()
+        # open scroll contexts: scroll_id -> cursor state (body, last
+        # search_after, done flag, ttl). Purged lazily on every scroll
+        # call; hard-capped so a client can't grow driver memory.
+        self._scrolls: dict[str, dict] = {}
         self._docs = None
         if docs_dir:
             from ariadna_spark.corpus import load_docs
@@ -307,6 +311,117 @@ class SearchService:
                 h["fields"] = src
             hits.append(h)
         return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
+
+    _SCROLL_MAX = 64  # open contexts cap (driver-memory guard)
+
+    @staticmethod
+    def _parse_keep(s: str) -> int:
+        import re
+
+        m = re.fullmatch(r"(\d+)([sm])", s or "1m")
+        if not m:
+            raise ValueError("scroll must look like '30s' or '1m'")
+        return int(m.group(1)) * (60 if m.group(2) == "m" else 1)
+
+    def _purge_scrolls(self) -> None:
+        import time
+
+        now = time.monotonic()
+        for sid in [s for s, c in self._scrolls.items() if c["exp"] < now]:
+            del self._scrolls[sid]
+
+    def _scroll_page(self, body: dict, after) -> tuple[dict, list | None, bool]:
+        """One scroll page: inject the stored search_after cursor and run
+        the body through the normal compiler — a pruned top-k job per
+        page, never a from+size over-fetch. Returns (hits envelope,
+        next cursor, exhausted)."""
+        from ariadna_spark.query_dsl import compile_search
+
+        b = dict(body)
+        if after is not None:
+            b["search_after"] = after
+        with self._lock:
+            rows = [r.asDict() for r in compile_search(self.reader, b).collect()]
+        if body.get("sort"):
+            sort = body["sort"] if isinstance(body["sort"], list) else [body["sort"]]
+            col = next(iter(sort[0]))
+        else:
+            col = "score"
+        new_after = [rows[-1][col], rows[-1]["doc_id"]] if rows else after
+        hits = []
+        for r in rows:
+            src = {c: v for c, v in r.items() if c not in ("doc_id", "score")}
+            h = {"_id": r.get("doc_id"), "_score": r.get("score")}
+            if src:
+                h["fields"] = src
+            hits.append(h)
+        env = {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
+        return env, new_after, len(rows) < int(body.get("size", 10))
+
+    def es_scroll_open(self, body: dict, keep: str = "1m") -> dict:
+        """POST /api/_search?scroll=<keep>: first page + a scroll_id
+        cursor. ES's scroll contract served over the engine's
+        search_after machinery — the server keeps only (body, cursor),
+        never result state, so each page is an independent pruned top-k
+        job and the context costs O(1) driver memory."""
+        import time
+        import uuid
+
+        from ariadna_spark.query_dsl import DslError
+
+        if not isinstance(body, dict):
+            raise DslError("request body must be an object")
+        bad = set(body) - {"query", "size", "sort"}
+        if bad:
+            raise DslError(f"scroll bodies support query+size+sort, got {sorted(bad)}")
+        kind = next(iter(body.get("query") or {"match_all": None}))
+        if not body.get("sort") and kind not in ("match", "bool"):
+            raise DslError(
+                f"scroll needs a cursorable body: match/bool relevance or a "
+                f"sorted query, got {kind!r}"
+            )
+        ttl = self._parse_keep(keep)
+        self._purge_scrolls()
+        if len(self._scrolls) >= self._SCROLL_MAX:
+            raise ValueError("too many open scroll contexts")
+        env, after, done = self._scroll_page(body, None)
+        sid = uuid.uuid4().hex
+        self._scrolls[sid] = {
+            "body": body,
+            "after": after,
+            "done": done,
+            "ttl": ttl,
+            "exp": time.monotonic() + ttl,
+        }
+        env["_scroll_id"] = sid
+        return env
+
+    def es_scroll_next(self, body: dict) -> dict:
+        """POST /api/_search/scroll: {"scroll_id"} -> next page (empty
+        hits once exhausted, like ES). Each call renews the keep-alive."""
+        import time
+
+        sid = body.get("scroll_id")
+        self._purge_scrolls()
+        ctx = self._scrolls.get(sid)
+        if ctx is None:
+            raise ValueError("unknown or expired scroll_id")
+        if ctx["done"]:
+            env = {"hits": {"total": {"value": 0, "relation": "eq"}, "hits": []}}
+        else:
+            env, after, done = self._scroll_page(ctx["body"], ctx["after"])
+            ctx["after"], ctx["done"] = after, done
+        ctx["exp"] = time.monotonic() + ctx["ttl"]
+        env["_scroll_id"] = sid
+        return env
+
+    def es_scroll_clear(self, body: dict) -> dict:
+        """DELETE /api/_search/scroll: free contexts explicitly."""
+        ids = body.get("scroll_id")
+        if isinstance(ids, str):
+            ids = [ids]
+        n = sum(1 for s in ids or [] if self._scrolls.pop(s, None) is not None)
+        return {"succeeded": True, "num_freed": n}
 
     def es_mget(self, body: dict) -> dict:
         """POST /api/_mget: {"ids": [...]} -> ES-shaped docs array. One
@@ -739,7 +854,14 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                 except json.JSONDecodeError:
                     return self._json(400, {"error": "invalid JSON body"})
                 if u.path == "/api/_search":
+                    qs = parse_qs(u.query)
+                    if qs.get("scroll"):
+                        return self._json(
+                            200, service.es_scroll_open(body, qs["scroll"][0])
+                        )
                     return self._json(200, service.es_search(body))
+                if u.path == "/api/_search/scroll":
+                    return self._json(200, service.es_scroll_next(body))
                 if u.path == "/api/_mget":
                     return self._json(200, service.es_mget(body))
                 if u.path == "/api/search:batch":
@@ -763,6 +885,23 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     )
                 return self._json(404, {"error": "unknown endpoint"})
             except ValueError as e:  # malformed entries -> client error
+                return self._json(400, {"error": str(e)})
+            except Exception as e:
+                return self._json(500, {"error": str(e)})
+
+        def do_DELETE(self):
+            u = urlparse(self.path)
+            try:
+                ln = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(ln) or b"{}"
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "invalid JSON body"})
+                if u.path == "/api/_search/scroll":
+                    return self._json(200, service.es_scroll_clear(body))
+                return self._json(404, {"error": "unknown endpoint"})
+            except ValueError as e:
                 return self._json(400, {"error": str(e)})
             except Exception as e:
                 return self._json(500, {"error": str(e)})

@@ -306,5 +306,43 @@ def test_dsl_http_endpoint(spark, docs, tmp_path_factory):
         with pytest.raises(urllib.error.HTTPError) as ei:
             post_mget({"ids": ["x"]})
         assert ei.value.code == 400
+
+        # scroll: pages tile the full ranked result set exactly once,
+        # exhaust to empty, and the cursor survives across requests
+        def req(path, body, method="POST"):
+            r = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method=method,
+            )
+            with urllib.request.urlopen(r) as resp:
+                return json.loads(resp.read())
+
+        full = req("/api/_search", {"query": {"match": {"content": "merge join"}},
+                                    "size": 1000})
+        all_ids = [h["_id"] for h in full["hits"]["hits"]]
+        assert len(all_ids) > 4
+        page = req("/api/_search?scroll=1m",
+                   {"query": {"match": {"content": "merge join"}}, "size": 3})
+        sid = page["_scroll_id"]
+        seen = [h["_id"] for h in page["hits"]["hits"]]
+        for _ in range(200):
+            page = req("/api/_search/scroll", {"scroll_id": sid})
+            ids = [h["_id"] for h in page["hits"]["hits"]]
+            if not ids:
+                break
+            seen += ids
+        assert seen == all_ids  # exact tiling, ES scroll contract
+        assert req("/api/_search/scroll", {"scroll_id": sid})["hits"]["hits"] == []
+        cleared = req("/api/_search/scroll", {"scroll_id": sid}, method="DELETE")
+        assert cleared == {"succeeded": True, "num_freed": 1}
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("/api/_search/scroll", {"scroll_id": sid})
+        assert ei.value.code == 400  # freed context is gone
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            req("/api/_search?scroll=1m",
+                {"query": {"match_phrase": {"content": "merge join"}}})
+        assert ei.value.code == 400  # non-cursorable body rejected at open
     finally:
         httpd.shutdown()
