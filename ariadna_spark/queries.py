@@ -2019,6 +2019,83 @@ ORDER BY agg, bucket
 SQL_MATCH_AGGS = _sql_match_aggs()
 
 
+# aggs half of the _search body compiler: caller-named aggs of BOTH
+# families — a terms agg (id-only docmap semi-join) and the doc_len
+# suite (range with explicit ES from/to bounds + stats) which must share
+# ONE grouping-sets pass no matter how many aggs the body asks for.
+_AGGS_DSL_BODY = {
+    "size": 0,
+    "query": {"match": {"content": _FACET_Q}},
+    "aggs": {
+        "by_lang": {"terms": {"field": "lang"}},
+        "len_ranges": {
+            "range": {
+                "field": "doc_len",
+                "ranges": [
+                    {"key": "short", "to": 40},
+                    {"key": "medium", "from": 40, "to": 80},
+                    {"key": "long", "from": 80},
+                ],
+            }
+        },
+        "len_stats": {"stats": {"field": "doc_len"}},
+    },
+}
+
+
+def q_es_aggs_dsl(spark, sf_dir) -> DataFrame:
+    """The aggregations half of the `_search` body compiler end-to-end
+    (ES aggs envelope the reference's UI surface issues; /root/reference/
+    elastic/elastic.go search passthrough): one body with a caller-named
+    terms agg + range agg (explicit from/to bounds) + stats agg over a
+    match query. compile_aggs must route the doc_len family through ONE
+    match_aggs grouping-sets pass, rename every row to the caller's agg
+    names, and union the terms agg's semi-join counts; the oracle
+    replays all three as independent SQL aggregations."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    return compile_search(reader, _AGGS_DSL_BODY)
+
+
+def _sql_es_aggs_dsl() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    return (
+        _SQL_PRELUDE
+        + f"""
+, md AS (
+  SELECT d.lang, dl.doc_len
+  FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+  WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist}))
+)
+SELECT * FROM (
+  SELECT 'by_lang' AS agg, lang AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS metric
+  FROM md GROUP BY 2
+  UNION ALL
+  SELECT 'len_ranges',
+         CASE WHEN doc_len < 40 THEN 'short'
+              WHEN doc_len >= 40 AND doc_len < 80 THEN 'medium'
+              WHEN doc_len >= 80 THEN 'long' END,
+         CAST(count(*) AS BIGINT), CAST(NULL AS DOUBLE)
+  FROM md GROUP BY 2
+  UNION ALL
+  SELECT 'len_stats', 'min', CAST(count(*) AS BIGINT), CAST(min(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'len_stats', 'max', CAST(count(*) AS BIGINT), CAST(max(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'len_stats', 'sum', CAST(count(*) AS BIGINT), CAST(sum(doc_len) AS DOUBLE) FROM md
+  UNION ALL
+  SELECT 'len_stats', 'avg', CAST(count(*) AS BIGINT), round(avg(doc_len), 4) FROM md
+)
+ORDER BY agg, bucket
+"""
+    )
+
+
+SQL_ES_AGGS_DSL = _sql_es_aggs_dsl()
+
+
 def q_wand_queryset(spark, sf_dir) -> DataFrame:
     """The whole reference query set through the compressed index in ONE
     Spark job (IndexReader.topk_many) — must equal the brute-force
@@ -3730,6 +3807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "es_search_dsl": q_es_search_dsl,  # r6: _search body compiler
     "es_msearch": q_es_msearch,  # r6: batched _msearch (one topk_many job)
     "es_mget": q_es_mget,  # r6: _mget through the tombstone-masked docmap
+    "es_aggs_dsl": q_es_aggs_dsl,  # r6: aggs half of the body compiler
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "explain_score": q_explain_score,
@@ -3841,6 +3919,7 @@ ORACLES: dict[str, str] = {
     "es_search_dsl": SQL_ES_SEARCH_DSL,
     "es_msearch": SQL_ES_MSEARCH,
     "es_mget": SQL_ES_MGET,
+    "es_aggs_dsl": SQL_ES_AGGS_DSL,
     "prefix_topk": SQL_PREFIX_TOPK,
     "fuzzy_topk": SQL_FUZZY_TOPK,
     "explain_score": SQL_EXPLAIN_SCORE,
