@@ -2262,9 +2262,23 @@ def q_es_mget(spark, sf_dir) -> DataFrame:
     including the content_sha ingest invariant per returned doc. The
     oracle recomputes every derived column (repo/path/commit synthesis,
     doc_len, sha256) from the raw documents table — a drift in ANY of
-    the ingest derivations breaks the hash, not just the id lookup."""
+    the ingest derivations breaks the hash, not just the id lookup.
+    Missing-doc attributes are coalesced to sentinels ('' / -1) on BOTH
+    sides — harness canonicalizers sort every column and mixed null/str
+    cells break that (the r5 term_vectors lesson); the true null
+    contract is pinned in pytest (test_mget_masks_dead_versions)."""
     reader = _wand_gate_reader(spark, sf_dir)
-    return reader.mget(_MGET_IDS)
+    out = reader.mget(_MGET_IDS)
+    return out.select(
+        "doc_id",
+        "found",
+        F.coalesce("repo", F.lit("")).alias("repo"),
+        F.coalesce("path", F.lit("")).alias("path"),
+        F.coalesce("commit", F.lit("")).alias("commit"),
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.coalesce("doc_len", F.lit(-1)).alias("doc_len"),
+        F.coalesce("content_sha", F.lit("")).alias("content_sha"),
+    )
 
 
 def _sql_es_mget() -> str:
@@ -2280,8 +2294,11 @@ md AS (
          d.lang, dl.doc_len, sha256(d.text) AS content_sha
   FROM documents d JOIN dl USING (doc_id)
 )
-SELECT a.doc_id, md.repo IS NOT NULL AS found, md.repo, md.path,
-       md.cmt AS "commit", md.lang, md.doc_len, md.content_sha
+SELECT a.doc_id, md.repo IS NOT NULL AS found,
+       coalesce(md.repo, '') AS repo, coalesce(md.path, '') AS path,
+       coalesce(md.cmt, '') AS "commit", coalesce(md.lang, '') AS lang,
+       coalesce(md.doc_len, -1) AS doc_len,
+       coalesce(md.content_sha, '') AS content_sha
 FROM asked a LEFT JOIN md USING (doc_id) ORDER BY a.doc_id
 """
     )
@@ -3036,6 +3053,91 @@ def q_attach_index(spark, sf_dir) -> DataFrame:
 
 
 SQL_ATTACH_INDEX = _bm25_sql(tokenize_py(_ATT_QUERY), _WAND_K)
+
+
+def q_alias_rotation(spark, sf_dir) -> DataFrame:
+    """Zero-downtime alias rotation end-to-end — the reference's exact
+    production flow (/root/reference/elastic/elastic.go:33-97: create
+    `<base>-<ts>`, PutAlias the serving name at it, DeleteIndices every
+    other `<base>-*`): phase 1 queries the serving alias while it points
+    at the v1 store; a v2 store (the even-doc_id half, a deterministic
+    reindex) is built, the alias atomically swaps, and the old store is
+    GC'd; phase 2 queries the SAME alias name again. Phase-2 scores must
+    equal a brute-force BM25 computed with the v2 subset's OWN stats —
+    a stale alias read, a half-applied swap, or a leaked v1 statistic
+    all break the hash. The gc result is asserted in-query (exactly the
+    v1 store removed) so a rotation that silently keeps serving the old
+    index fails the gate rather than passing on lucky scores."""
+    from .sources.aliases import AliasRegistry
+    from .sources.segments import build_index
+
+    root = _gate_tmp("alias_gate_")
+    reg = AliasRegistry(root)
+    docs = load_docs(spark, sf_dir)
+    idx1 = _os.path.join(root, "idx-1")
+    build_index(spark, docs, idx1, build_id="v1", n_buckets=8)
+    reg.put_alias("serving", idx1)
+    p1 = reg.reader(spark, "serving").topk(_WAND_QUERY, _WAND_K).collect()
+
+    idx2 = _os.path.join(root, "idx-2")
+    build_index(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), idx2, build_id="v2", n_buckets=8
+    )
+    reg.put_alias("serving", idx2)  # atomic add-new + remove-old
+    removed = reg.gc_stores("idx")  # DeleteIndices analog
+    if removed != [_os.path.abspath(idx1)] or reg.get_alias("serving") != [
+        _os.path.abspath(idx2)
+    ]:
+        raise RuntimeError(f"rotation left wrong state: {removed}, {reg.aliases()}")
+    p2 = reg.search(spark, "serving", _WAND_QUERY, _WAND_K).collect()
+
+    rows = [(1, int(r["doc_id"]), float(r["score"])) for r in p1] + [
+        (2, int(r["doc_id"]), float(r["score"])) for r in p2
+    ]
+    return (
+        spark.createDataFrame(rows, "phase int, doc_id long, score double")
+        .select("phase", "doc_id", F.round("score", 4).alias("score_r"))
+        .orderBy("phase", "doc_id")
+    )
+
+
+def _sql_alias_rotation() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_WAND_QUERY))))
+    s1 = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    s2 = duckdb_bm25_sql(
+        "tf2.tf", "dfreq2.df", "dl2.doc_len", "(SELECT n FROM stats2)",
+        "(SELECT avgdl FROM stats2)",
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, dv2 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+toks2 AS (SELECT doc_id, unnest({_TOK}) AS term FROM dv2),
+tf2 AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM toks2 GROUP BY doc_id, term),
+dl2 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf2 GROUP BY doc_id),
+stats2 AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(doc_len) AS avgdl FROM dl2),
+dfreq2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term)
+SELECT * FROM (
+  (SELECT 1 AS phase, doc_id, round(s, 4) AS score_r
+   FROM (SELECT tf.doc_id, sum({s1}) AS s
+         FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+         WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)
+   ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K})
+  UNION ALL
+  (SELECT 2, doc_id, round(s, 4)
+   FROM (SELECT tf2.doc_id, sum({s2}) AS s
+         FROM tf2 JOIN dfreq2 USING (term) JOIN dl2 USING (doc_id)
+         WHERE tf2.term IN ({tlist}) GROUP BY tf2.doc_id)
+   ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K})
+)
+ORDER BY phase, doc_id
+"""
+    )
+
+
+SQL_ALIAS_ROTATION = _sql_alias_rotation()
 
 
 _TIERS = [(0.0, 2000.0, "low"), (2000.0, 6000.0, "mid"), (6000.0, 1e18, "high")]
@@ -3829,6 +3931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "update_by_query": q_update_by_query,  # r6: NEW
     "snapshot_restore": q_snapshot_restore,  # r6: NEW
     "attach_index": q_attach_index,  # r6: NEW
+    "alias_rotation": q_alias_rotation,  # r6: alias swap + GC lifecycle
     "suggest_complete": q_suggest_complete,
     "suggest_fuzzy": q_suggest_fuzzy,
     # -- multifield --
@@ -3940,6 +4043,7 @@ ORACLES: dict[str, str] = {
     "update_by_query": SQL_UPDATE_BY_QUERY,
     "snapshot_restore": SQL_SNAPSHOT_RESTORE,
     "attach_index": SQL_ATTACH_INDEX,
+    "alias_rotation": SQL_ALIAS_ROTATION,
     "multifield3": SQL_MULTIFIELD3,
     "multifield_onepass": SQL_MULTIFIELD3,
     "suggest_complete": SQL_SUGGEST_COMPLETE,

@@ -72,9 +72,14 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     order = sorted(spark_cols)
-    s_set = sorted(_row_key(r.asDict(), order) for r in spark_rows)
+
+    def _sort_key(t):  # total order even with None/mixed-type cells
+        return tuple((v is None, type(v).__name__, str(v)) for v in t)
+
+    s_set = sorted((_row_key(r.asDict(), order) for r in spark_rows), key=_sort_key)
     d_set = sorted(
-        tuple(_norm(dict(zip(duck_cols, r))[c]) for c in order) for r in duck_rows
+        (tuple(_norm(dict(zip(duck_cols, r))[c]) for c in order) for r in duck_rows),
+        key=_sort_key,
     )
     for i, (a, b) in enumerate(zip(s_set, d_set)):
         assert a == b, f"{name}: value mismatch at sorted row {i}: {a} vs {b}"
