@@ -66,6 +66,8 @@ def prepare_training_set(
     lm_docs: DataFrame | None = None,
     lm_sample_per_mille: int | None = 20,
     max_top2_frac: float | None = None,
+    max_dup_frac: float | None = None,
+    dup_span_n: int = 8,
 ) -> DataFrame:
     """docs (canonical: doc_id, content, content_sha, ...) ->
     (doc_id, chunk_id, split, n_tokens, chunk_text).
@@ -98,6 +100,24 @@ def prepare_training_set(
         # overflow instead of failing the run (r4 ADVICE)
         clusters = cluster_ids(dups.select("da", "db"), max_iter=cluster_max_iter)
         d = cluster_keep_policy(d, clusters)
+
+    if max_dup_frac is not None:
+        # cross-document duplicated-span gate (Lee et al. exact-substring
+        # dedup): drop docs whose dup_span_n-token windows are mostly
+        # verbatim copies of other documents — partial clones that
+        # whole-doc exact dedup and MinHash both keep. Runs AFTER the
+        # doc-level dedups so a doc's surviving canonical copy isn't
+        # dropped just because its (removed) duplicates made its spans
+        # look repeated... the distinct-doc count is computed on the
+        # ALREADY-deduped corpus.
+        from .operators.text import duplicate_spans
+
+        span_bad = (
+            duplicate_spans(d, n=dup_span_n)
+            .filter(F.col("dup_frac") > max_dup_frac)
+            .select("doc_id")
+        )
+        d = d.join(span_bad, "doc_id", "left_anti")
 
     if max_top2_frac is not None:
         # Gopher repetition gate: drop docs whose most frequent bigram

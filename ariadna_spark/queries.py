@@ -963,6 +963,51 @@ FROM dg JOIN bg USING (ngram) GROUP BY doc_id ORDER BY doc_id
 SQL_DECONTAMINATE = _sql_decontaminate()
 
 
+_DUPSPAN_N = 6
+
+
+def q_duplicate_spans(spark, sf_dir) -> DataFrame:
+    """Cross-document duplicated-span detection (exact-substring dedup,
+    Lee et al. 2022): per-doc count and fraction of n-token analyzer
+    windows occurring verbatim in >= 2 distinct documents. The oracle
+    replays the window construction with DuckDB list ops and the
+    distinct-doc HAVING — an off-by-one in the window sweep, a
+    within-doc-repeat leak into the distinct-doc count, or a fraction
+    denominator drift all break the hash."""
+    from .corpus import load_docs as _ld
+    from .operators.text import duplicate_spans
+
+    docs = _ld(spark, sf_dir)
+    return duplicate_spans(docs, n=_DUPSPAN_N).orderBy("doc_id")
+
+
+def _sql_duplicate_spans() -> str:
+    n = _DUPSPAN_N
+    return f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+el AS (SELECT doc_id, len(t) AS m, t FROM d WHERE len(t) >= {n}),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, m - {n} + 1),
+         i -> array_to_string(t[i + 1:i + {n}], ' '))) AS ngram
+  FROM el
+),
+dup AS (SELECT ngram FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+  FROM w WHERE ngram IN (SELECT ngram FROM dup) GROUP BY doc_id
+)
+SELECT el.doc_id, CAST(el.m - {n} + 1 AS BIGINT) AS n_windows,
+       coalesce(per.dup_windows, 0) AS dup_windows,
+       round(CAST(coalesce(per.dup_windows, 0) AS DOUBLE) / (el.m - {n} + 1), 4)
+         AS dup_frac
+FROM el LEFT JOIN per USING (doc_id) ORDER BY el.doc_id
+"""
+
+
+SQL_DUPLICATE_SPANS = _sql_duplicate_spans()
+
+
 def q_near_dup_clusters(spark, sf_dir) -> DataFrame:
     """Connected components over the verified Jaccard near-dup pair graph
     (VERDICT r3 #4): (doc_id, cluster_id, cluster_size) with cluster_id =
@@ -3895,7 +3940,6 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal_r FROM (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- core fulltext surface (cheap, anchor the window) --
     "term_counts": q_term_counts,
-    "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "doc_freq_idf": q_doc_freq_idf,
     "bm25_flagship": q_bm25_flagship,
@@ -3947,12 +3991,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": q_training_pipeline,
     "regex_search": q_regex_search,
     "near_dup_clusters": q_near_dup_clusters,
+    "duplicate_spans": q_duplicate_spans,  # r6: exact-substring dedup signal
     # -- stable pipeline ops kept in-window as regression anchors --
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_take": q_stratified_take,
+    "doc_stats": q_doc_stats,  # rotated out r6: r1 scalar, unchanged since
     "train_val_split": q_train_val_split,
     "fingerprint": q_fingerprint,
     # ---- position 50+: rotated out (hash-green in a prior round, code
@@ -4070,6 +4116,7 @@ ORACLES: dict[str, str] = {
     "regex_search": SQL_REGEX_SEARCH,
     "decontaminate": SQL_DECONTAMINATE,
     "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "lang_profile": SQL_LANG_PROFILE,
     "embedding_topk": SQL_EMBEDDING_TOPK,

@@ -204,3 +204,32 @@ def test_pipeline_repetition_gate(spark):
     assert dropped and kept < base_kept
     assert all(rep[i] > cut for i in dropped)
     assert all(rep.get(i, 0.0) <= cut for i in kept)
+
+
+def test_pipeline_duplicate_span_gate(spark):
+    """max_dup_frac drops exactly the post-dedup docs whose n-token
+    windows are mostly verbatim copies of OTHER surviving documents
+    (Lee et al. exact-substring signal) — and the distinct-doc counts
+    come from the deduped corpus, not the raw one."""
+    from ariadna_spark.operators.dedup import keep_first_dedup
+    from ariadna_spark.operators.text import duplicate_spans
+
+    docs = load_docs(spark, SF)
+    d = keep_first_dedup(docs)
+    spans = {r["doc_id"]: r["dup_frac"] for r in duplicate_spans(d, n=6).collect()}
+    nz = sorted({v for v in spans.values() if v > 0})
+    assert nz, "fixture corpus must contain cross-doc duplicated spans"
+    # pick a cut strictly below the max distinct value so the strict->
+    # gate provably drops something even when scores tie
+    cut = nz[(len(nz) - 1) // 2] if len(nz) > 1 else nz[0] / 2
+    out = prepare_training_set(
+        docs, chunk_size=32, overlap=8, min_tokens=4,
+        max_dup_frac=cut, dup_span_n=6,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    base = prepare_training_set(docs, chunk_size=32, overlap=8, min_tokens=4)
+    base_kept = {r["doc_id"] for r in base.select("doc_id").distinct().collect()}
+    dropped = base_kept - kept
+    assert dropped and kept < base_kept
+    assert all(spans[i] > cut for i in dropped)
+    assert all(spans.get(i, 0.0) <= cut for i in kept)
