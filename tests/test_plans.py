@@ -254,6 +254,29 @@ def test_suggesters_prune_and_take_ordered(spark, index_dir):
     assert_pushed_filter(corr, "StringStartsWith")
 
 
+def test_mget_broadcasts_and_pushes_ids(spark, index_dir):
+    """_mget: the pruned docmap side must join via broadcast (the hit set
+    is bounded by the asked ids) and the id IN-list must reach the
+    parquet scan as a pushed filter."""
+    reader = IndexReader(spark, index_dir)
+    out = reader.mget([1, 2, 3])
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert_pushed_filter(out, "doc_id")
+
+
+def test_duplicate_spans_shape(spark, docs):
+    """duplicate_spans: the per-doc tally must reach the dup-ngram set
+    through a LeftSemi join, and the ngram count must partial-aggregate
+    map-side (HashAggregate before the exchange) — the corpus-sized
+    window table itself is never cached or collected."""
+    from ariadna_spark.operators.text import duplicate_spans
+
+    plan = physical_plan(duplicate_spans(docs, n=6))
+    assert "LeftSemi" in plan, plan
+    assert "HashAggregate" in plan and "Exchange" in plan, plan
+
+
 def test_perplexity_sample_lm_broadcasts(spark, docs):
     """The CCNet production shape: a sample-trained LM must reach the
     corpus-side scoring join as broadcasts — the corpus bigram stream
