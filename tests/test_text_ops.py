@@ -430,3 +430,28 @@ def test_repetition_arrow_equals_catalyst(spark, docs):
     a = sorted(tuple(r) for r in repetition_metrics(docs).collect())
     b = sorted(tuple(r) for r in repetition_metrics(docs, use_arrow=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_duplicate_spans_semantics(spark):
+    """Handcrafted contract: a span shared verbatim by two docs marks
+    exactly the overlapping windows in BOTH docs; a unique doc reports
+    zero; intra-doc repeats alone do NOT count (distinct-doc rule); docs
+    shorter than n are absent from the output."""
+    from ariadna_spark.operators.text import duplicate_spans
+
+    shared = "alpha bravo charlie delta"  # 4 tokens, n=4 -> one window
+    rows = [
+        (0, f"{shared} unique tail zero"),
+        (1, f"head one two {shared}"),
+        (2, "all original tokens nothing shared here"),
+        (3, "loop loop loop loop loop loop loop loop"),  # intra-doc repeat only
+        (4, "tiny doc"),  # < n tokens: no windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, n=4).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["n_windows"] == 4 and got[0]["dup_windows"] == 1
+    assert got[1]["n_windows"] == 4 and got[1]["dup_windows"] == 1
+    assert got[2]["dup_windows"] == 0 and got[2]["dup_frac"] == 0.0
+    assert got[3]["dup_windows"] == 0  # 5 identical windows, ONE doc
+    assert got[0]["dup_frac"] == 0.25
