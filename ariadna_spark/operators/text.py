@@ -685,7 +685,11 @@ def decontaminate(
 
 
 def duplicate_spans(
-    docs: DataFrame, n: int = 8, min_docs: int = 2, content_col: str = "content"
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    content_col: str = "content",
+    exact_keys: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-span detection — the exact-substring
     dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -699,44 +703,55 @@ def duplicate_spans(
     catching partial copies — boilerplate headers, vendored code spans,
     quoted passages.
 
-    Scale shape: windows are streamed (explode over the analyzer token
-    array, never materialized per doc), counted per n-gram with map-side
-    partial aggregation, and the duplicated-n-gram set — an aggregate
-    bounded by the operator's output domain, never the corpus — is
-    localCheckpoint'd and semi-joined against a second window stream.
-    Two tokenize passes beat persisting a corpus-sized window table (the
-    collocations r4 lesson: persist the SMALL aggregate only). The
-    window key is the raw n-token string: exact semantics, zero
-    hash-collision false positives; at 10^12 docs swap in a 128-bit
-    fingerprint column to cut shuffle bytes (documented trade, not a
-    semantics change)."""
+    Scale shape — ONE corpus pass: windows are streamed (explode over
+    the analyzer token array, never materialized per doc), keyed on
+    xxhash64(ngram) — an 8-byte key instead of the ~n*6-byte window
+    string — and collapsed to counted DISTINCT (doc_id, key) pairs with
+    map-side partial aggregation before anything rides an exchange.
+    That pair table (16 B/row — affordable to hold precisely BECAUSE
+    the key is hashed; the r4 collocations lesson forbade persisting
+    the ~50 B/row STRING window table) is localCheckpoint'd once, and
+    all three aggregates derive from it: the duplicated-key set
+    (groupBy key, HAVING >= min_docs distinct docs), the per-doc
+    duplicated-window tally (semi-join + sum(cnt)), and the per-doc
+    window totals (sum(cnt)) — so the corpus is tokenized ONCE, not
+    three times, and the semi-join probes collapsed pairs, not the raw
+    window stream. Measured at the 1M-doc stress (template-heavy
+    corpus, ~100% of windows cross-doc duplicated — worst-case shuffle
+    volume): 935 s (string keys, three tokenize passes) -> 699 s
+    (hashed keys, three passes) -> 568 s single-pass (BENCH §7r6b).
 
-    def grams() -> DataFrame:
-        return (
-            docs.select("doc_id", tokenize_expr(content_col).alias("t"))
-            .filter(F.size("t") >= n)
-            .select("doc_id", F.explode(_token_ngrams(F.col("t"), n)).alias("ngram"))
-        )
+    A 64-bit collision falsely marks ONE window duplicated with
+    probability ~(windows^2)/2^65 — ~1e-4 corpus-wide at 55M windows,
+    zero observed effect on any gate; pass exact_keys=True to key on
+    the raw strings (heavier shuffles + a string-keyed checkpoint) when
+    auditable exactness matters more than bytes."""
+    key = (
+        F.col("ngram") if exact_keys else F.xxhash64("ngram")
+    )
 
-    dup = (
-        grams()
-        .select("doc_id", "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("ngram")
+    pairs = (
+        docs.select("doc_id", tokenize_expr(content_col).alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", F.explode(_token_ngrams(F.col("t"), n)).alias("ngram"))
+        .select("doc_id", key.alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    totals = docs.select(
-        "doc_id",
-        (F.size(tokenize_expr(content_col)) - F.lit(n - 1)).alias("n_windows"),
-    ).filter(F.col("n_windows") >= 1)
+    dup = (
+        pairs.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    totals = pairs.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_windows")
+    )
     dupw = (
-        grams()
-        .join(dup, "ngram", "left_semi")
+        pairs.join(dup, "k", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("dup_windows"))
+        .agg(F.sum("cnt").cast("long").alias("dup_windows"))
     )
     return totals.join(dupw, "doc_id", "left").select(
         "doc_id",

@@ -308,6 +308,23 @@ def stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
         n_gated = prepare_training_set(docs, min_tokens=4, max_nll=3.5).count()
         out["stress_pipeline_gated_sec"] = round(time.monotonic() - t0, 2)
         out["stress_pipeline_gated_rows"] = n_gated
+
+        # round-6: cross-document duplicated-span detection — the
+        # heaviest text op by shuffle volume (every n-token window rides
+        # the exchange as a string key; collocations cost class). Two
+        # tokenize passes by design: the duplicated-ngram aggregate is
+        # checkpointed, the corpus-sized window table never is.
+        from ariadna_spark.operators.text import duplicate_spans
+
+        t0 = time.monotonic()
+        ds = duplicate_spans(docs, n=8)
+        agg = ds.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum((F.col("dup_windows") > 0).cast("long")).alias("docs_with_dups"),
+        ).collect()[0]
+        out["stress_dupspan_sec"] = round(time.monotonic() - t0, 2)
+        out["stress_dupspan_docs"] = int(agg["docs"])
+        out["stress_dupspan_docs_with_dups"] = int(agg["docs_with_dups"])
         return out
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
