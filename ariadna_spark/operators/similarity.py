@@ -837,4 +837,36 @@ def vector_store_compact(spark: SparkSession, path: str, build_id: str = "compac
             shutil.rmtree(tp, ignore_errors=True)
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    rank_const: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion — the ES 8.x `rrf` retriever that combines
+    the lexical (BM25) and dense (ANN) top-k lists into one hybrid
+    ranking; fused score = sum over lists containing the id of
+    1 / (rank_const + rank), rank starting at 1 (ES default
+    rank_constant 60).
+
+    Inputs are the per-retriever ranked windows — (id_col, rank) frames
+    of at most rank_window_size rows each — so this stage is O(sum of
+    window sizes) regardless of corpus size: the expensive pruning
+    already happened inside each retriever (block-max WAND, IVF/LSH).
+    The union/groupBy here moves a few hundred rows; exactly ES's
+    coordinator-node fusion shape."""
+    fused = None
+    for df in ranked:
+        part = df.select(
+            id_col, (F.lit(1.0) / (F.lit(rank_const) + F.col("rank"))).alias("c")
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    return (
+        fused.groupBy(id_col)
+        .agg(F.sum("c").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 register_by_value(__name__)

@@ -1913,6 +1913,66 @@ class IndexReader:
             .orderBy("agg", "bucket")
         )
 
+    def significant_terms(
+        self,
+        docs: DataFrame,
+        query: str,
+        size: int = 10,
+        min_doc_count: int = 3,
+    ) -> DataFrame:
+        """ES `significant_terms` aggregation with the default JLH
+        heuristic (the "what is unusual about the matching docs" half of
+        the delegated aggs surface; /root/reference/elastic/elastic.go
+        search passthrough): foreground = docs OR-matching the query,
+        background = the whole corpus; a term is significant when its
+        foreground rate beats its background rate, scored
+        (fg% - bg%) * (fg% / bg%) — ES's JLH, rewarding both absolute
+        lift and rarity. Query terms themselves are not excluded
+        (ES semantics: they usually rank top).
+
+        Index path, cost ∝ |foreground|, never the corpus: candidate ids
+        come straight off the pruned posting blocks (only doc_ids_varint
+        decodes), ONLY foreground docs' content is re-analyzed (id-only
+        left-semi prunes the content scan), the per-term foreground df is
+        a map-side partial agg over exploded distinct tokens, and the
+        background df is the index's terms METADATA tables — no second
+        corpus pass, no postings decode beyond the query's own blocks.
+        The (fg vocab x terms-table) equi-join shuffles vocabulary-sized
+        data only."""
+        from ..analyze import tokenize_expr
+
+        terms = sorted(set(tokenize_py(query)))
+        out_schema = "term string, fg_df long, bg_df long, score_r double"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        # checkpointed so the id decode runs once for the scalar count
+        # and the semi-join (an O(candidates) id-only frame)
+        fg_ids = self.candidate_doc_ids(terms).localCheckpoint(eager=True)
+        fg_n = fg_ids.count()
+        if fg_n == 0:
+            return self.spark.createDataFrame([], out_schema)
+        fg_stats = (
+            docs.join(fg_ids, "doc_id", "left_semi")
+            .select(F.explode(F.array_distinct(tokenize_expr("content"))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("fg_df"))
+        )
+        dfreq = (
+            self._read_parquet(self._terms_dirs(), "terms")
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("bg_df"))
+        )
+        fg_pct = F.col("fg_df") / F.lit(float(fg_n))
+        bg_pct = F.col("bg_df") / F.lit(float(self.stats["N"]))
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        return (
+            fg_stats.join(dfreq, "term")
+            .filter((F.col("fg_df") >= min_doc_count) & (fg_pct > bg_pct))
+            .select("term", "fg_df", "bg_df", F.round(score, 6).alias("score_r"))
+            .orderBy(F.desc("score_r"), F.asc("term"))
+            .limit(size)
+        )
+
     def prefix_topk(self, prefix: str, k: int = 10, **kw) -> DataFrame:
         """Top-k BM25 for a prefix query: OR over the expanded terms (each
         expanded term scores with its own df/idf — standard query

@@ -2064,6 +2064,216 @@ ORDER BY agg, bucket
 SQL_MATCH_AGGS = _sql_match_aggs()
 
 
+_SIGT_SIZE = 15
+_SIGT_MIN_DC = 3
+
+
+def q_significant_terms(spark, sf_dir) -> DataFrame:
+    """ES significant_terms agg (JLH heuristic) over the OR-match
+    foreground (the "what is unusual about the matching docs" aggs verb;
+    /root/reference/elastic/elastic.go search passthrough). Index path:
+    candidate ids off the pruned posting blocks, foreground-only content
+    re-analysis (id-semi prunes the scan), background df straight from
+    the terms METADATA tables — no second corpus pass. Oracle replays
+    fg/bg rates and the JLH formula over the raw corpus."""
+    from .corpus import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    reader = _wand_gate_reader(spark, sf_dir)
+    return reader.significant_terms(
+        docs, _FACET_Q, size=_SIGT_SIZE, min_doc_count=_SIGT_MIN_DC
+    )
+
+
+def _sql_significant_terms() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    fg_pct = "(fg_df / (SELECT fn FROM fgn))"
+    bg_pct = "(df / CAST((SELECT n FROM stats) AS DOUBLE))"
+    return (
+        _SQL_PRELUDE
+        + f"""
+, fg AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term IN ({tlist})
+),
+fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fn FROM fg),
+fgdf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM tf WHERE doc_id IN (SELECT doc_id FROM fg) GROUP BY term
+)
+SELECT term, fg_df, df AS bg_df,
+       round(({fg_pct} - {bg_pct}) * ({fg_pct} / {bg_pct}), 6) AS score_r
+FROM fgdf JOIN dfreq USING (term)
+WHERE fg_df >= {_SIGT_MIN_DC} AND {fg_pct} > {bg_pct}
+ORDER BY score_r DESC, term ASC LIMIT {_SIGT_SIZE}
+"""
+    )
+
+
+SQL_SIGNIFICANT_TERMS = _sql_significant_terms()
+
+
+# ES percolator registry: (query_id, query text, minimum_should_match or
+# None = all terms). Deterministic, corpus-vocabulary terms; query 3 is
+# the never-matches negative control (absent term under AND semantics).
+_PERC_QUERIES: list[tuple[int, str, int | None]] = [
+    (0, "merge join", None),
+    (1, "spark stream batch", 2),
+    (2, "dup window", 1),
+    (3, "hash zzznotaterm", None),
+]
+
+
+def q_percolate(spark, sf_dir) -> DataFrame:
+    """ES percolate: the stored-query registry matched against the whole
+    incoming corpus (reverse search / alerting surface). The registry is
+    the broadcast dim; docs explode to distinct (doc_id, term) pairs
+    pre-filtered by the broadcast vocabulary, one partial-agg tally per
+    (doc, query). Gate output aggregates the match pairs per query —
+    count + id checksum — so the row volume stays O(|registry|)."""
+    from .corpus import load_docs
+    from .operators.percolate import percolate
+
+    docs = load_docs(spark, sf_dir)
+    qrows = [
+        (qid, sorted(set(tokenize_py(q))), msm) for qid, q, msm in _PERC_QUERIES
+    ]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, terms array<string>, msm int"
+    )
+    pairs = percolate(docs, queries)
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.min("doc_id").cast("long").alias("min_id"),
+            F.max("doc_id").cast("long").alias("max_id"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_percolate() -> str:
+    qvals, reqs = [], []
+    for qid, q, msm in _PERC_QUERIES:
+        terms = sorted(set(tokenize_py(q)))
+        qvals += [f"({qid}, '{t}')" for t in terms]
+        reqs.append(f"({qid}, {msm if msm is not None else len(terms)})")
+    return (
+        _SQL_PRELUDE
+        + f"""
+, q AS (SELECT * FROM (VALUES {", ".join(qvals)}) AS t(query_id, term)),
+qn AS (SELECT * FROM (VALUES {", ".join(reqs)}) AS t(query_id, req)),
+m AS (
+  SELECT tf.doc_id, q.query_id, count(*) AS matched
+  FROM tf JOIN q USING (term) GROUP BY 1, 2
+),
+p AS (
+  SELECT m.doc_id, m.query_id FROM m JOIN qn USING (query_id)
+  WHERE matched >= req
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM p GROUP BY query_id ORDER BY query_id
+"""
+    )
+
+
+SQL_PERCOLATE = _sql_percolate()
+
+
+_RRF_QVEC = 7
+_RRF_WINDOW = 20
+_RRF_K = 10
+_RRF_CONST = 60
+
+
+def q_rrf_hybrid(spark, sf_dir) -> DataFrame:
+    """ES 8.x `rrf` retriever — hybrid search fusing the lexical BM25
+    top-k (block-max WAND) with the dense cosine top-k over the
+    embeddings table (vec_id aligns 1:1 with doc_id in the testdata),
+    fused score = sum 1/(60 + rank) per retriever window. Both windows
+    are pruned top-k jobs; the fusion stage moves 2 x window rows. The
+    query-doc vector (vec_id 7) is excluded from the dense window, ES
+    exclude-self semantics; the lexical half has no source doc."""
+    from .operators.similarity import rrf_fuse
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        reader.topk(_FACET_Q, _RRF_WINDOW)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    q = emb.filter(F.col("doc_id") == _RRF_QVEC).select(F.col("v").alias("qv"))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    wd = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    den = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != _RRF_QVEC)
+        .select("doc_id", (dot / (nv * nq)).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_RRF_WINDOW)
+        .withColumn("rank", F.row_number().over(wd))
+        .select("doc_id", "rank")
+    )
+    fused = rrf_fuse([lex, den], k=_RRF_K, rank_const=_RRF_CONST)
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_r")).orderBy(
+        F.desc("rrf_r"), F.asc("doc_id")
+    )
+
+
+def _sql_rrf_hybrid() -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(tokenize_py(_FACET_Q))))
+    score = duckdb_bm25_sql(
+        "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+    )
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS (
+  SELECT tf.doc_id, sum({score}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_RRF_WINDOW}
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+cs AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) AS c
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> {_RRF_QVEC}
+),
+den AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+  FROM cs ORDER BY c DESC, doc_id ASC LIMIT {_RRF_WINDOW}
+),
+u AS (
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, 1.0 / ({_RRF_CONST} + r) AS c FROM den
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_r
+FROM u GROUP BY doc_id ORDER BY rrf_r DESC, doc_id ASC LIMIT {_RRF_K}
+"""
+    )
+
+
+SQL_RRF_HYBRID = _sql_rrf_hybrid()
+
+
 # aggs half of the _search body compiler: caller-named aggs of BOTH
 # families — a terms agg (id-only docmap semi-join) and the doc_len
 # suite (range with explicit ES from/to bounds + stats) which must share
@@ -3938,10 +4148,11 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal_r FROM (
 # queries with unchanged code rotate to the tail (their last green round
 # is recorded in VERDICT history).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new in r6: significant_terms / percolate / RRF hybrid --
+    "significant_terms": q_significant_terms,  # r6: JLH aggs verb
+    "percolate": q_percolate,  # r6: reverse search (stored queries)
+    "rrf_hybrid": q_rrf_hybrid,  # r6: BM25 (+) dense RRF retriever
     # -- core fulltext surface (cheap, anchor the window) --
-    "term_counts": q_term_counts,
-    "corpus_stats": q_corpus_stats,
-    "doc_freq_idf": q_doc_freq_idf,
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
     "prefix_search": q_prefix_search,
@@ -4036,9 +4247,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank": q_window_rank,
     "window_agg": q_window_agg,
     "json_extract": q_json_extract,
+    # rotated out of the check window in r6 (hash-green since r1,
+    # underlying stats.py path unchanged; term_counts last green r5)
+    "term_counts": q_term_counts,
+    "corpus_stats": q_corpus_stats,
+    "doc_freq_idf": q_doc_freq_idf,
 }
 
 ORACLES: dict[str, str] = {
+    "significant_terms": SQL_SIGNIFICANT_TERMS,
+    "percolate": SQL_PERCOLATE,
+    "rrf_hybrid": SQL_RRF_HYBRID,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -522,6 +522,93 @@ class SearchService:
             rows = self.reader.match_aggs(q, interval=interval).collect()
         return [r.asDict() for r in rows]
 
+    def significant(self, q: str, size: int = 10, min_doc_count: int = 3) -> list[dict]:
+        """GET /api/significant?q=: ES significant_terms agg (JLH) over
+        the OR-match foreground. Needs --docs (foreground re-analysis;
+        background df comes from the index's terms metadata)."""
+        if self._docs is None:
+            raise ValueError("no docs configured (--docs)")
+        with self._lock:
+            rows = self.reader.significant_terms(
+                self._docs, q, size=size, min_doc_count=min_doc_count
+            ).collect()
+        return [r.asDict() for r in rows]
+
+    def percolate_body(self, body: dict) -> dict:
+        """POST /api/percolate: the ES percolator, stateless form — both
+        sides ride the request. {"docs": [{"id", "text"}], "queries":
+        [{"id", "q", "msm"?}]} -> {"matches": [{"doc_id", "query_id"}]}.
+        msm absent = all terms (AND); the query text goes through the
+        index analyzer (symmetric-analyzer discipline)."""
+        from ariadna_spark.analyze import tokenize_py
+        from ariadna_spark.operators.percolate import percolate
+
+        docs_in, qs_in = body.get("docs"), body.get("queries")
+        if not isinstance(docs_in, list) or not docs_in:
+            raise ValueError("missing docs")
+        if not isinstance(qs_in, list) or not qs_in:
+            raise ValueError("missing queries")
+        drows = [
+            (int(d.get("id", i)), str(d.get("text") or ""))
+            for i, d in enumerate(docs_in)
+        ]
+        qrows = []
+        for i, q in enumerate(qs_in):
+            if not isinstance(q, dict) or not q.get("q"):
+                raise ValueError(f"queries[{i}]: missing q")
+            terms = sorted(set(tokenize_py(str(q["q"]))))
+            msm = q.get("msm")
+            qrows.append((int(q.get("id", i)), terms, int(msm) if msm else None))
+        ddf = self.spark.createDataFrame(drows, "doc_id long, content string")
+        qdf = self.spark.createDataFrame(
+            qrows, "query_id long, terms array<string>, msm int"
+        )
+        with self._lock:
+            pairs = percolate(ddf, qdf).orderBy("doc_id", "query_id").collect()
+        return {
+            "matches": [
+                {"doc_id": r["doc_id"], "query_id": r["query_id"]} for r in pairs
+            ]
+        }
+
+    def hybrid(
+        self,
+        q: str,
+        v: list[float],
+        k: int = 10,
+        window: int = 20,
+        n_probe: int = 4,
+    ) -> list[dict]:
+        """POST /api/hybrid: the ES 8.x `rrf` retriever — BM25 top-window
+        (block-max WAND) fused with the ANN top-window over the
+        configured IVF store via reciprocal-rank fusion. Body: {"q":
+        "text", "v": [floats], "k"?, "window"?, "n_probe"?}."""
+        if self._ann is None:
+            raise ValueError("no ANN index configured (--ann-index)")
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from ariadna_spark.operators.similarity import ivf_topk_many, rrf_fuse
+
+        qdf = self.spark.createDataFrame(
+            [(0, [float(x) for x in v])], "qid long, qv array<double>"
+        )
+        indexed, centroids = self._ann
+        with self._lock:
+            lex = (
+                self.reader.topk(q, window)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+                )
+                .select("doc_id", "rank")
+            )
+            den = ivf_topk_many(
+                indexed, centroids, qdf, k=window, n_probe=n_probe, prune=True
+            ).select(F.col("vec_id").alias("doc_id"), "rank")
+            rows = rrf_fuse([lex, den], k=k).collect()
+        return [{"doc_id": r["doc_id"], "rrf_score": r["rrf_score"]} for r in rows]
+
     def search_batch(self, queries: list[dict]) -> list[dict]:
         """The production enrichment entry point (VERDICT r3 #8): the
         WHOLE query set through IndexReader.topk_many in ONE Spark job —
@@ -794,6 +881,14 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     interval = int((qs.get("interval") or ["25"])[0])
                     rows = service.aggs(q, interval=interval)
                     return self._json(200, {"query": q, "aggs": rows})
+                if u.path == "/api/significant":
+                    q = (qs.get("q") or [""])[0]
+                    if not q:
+                        return self._json(400, {"error": "missing q"})
+                    size = int((qs.get("size") or ["10"])[0])
+                    mdc = int((qs.get("min_doc_count") or ["3"])[0])
+                    rows = service.significant(q, size=size, min_doc_count=mdc)
+                    return self._json(200, {"query": q, "terms": rows})
                 if u.path == "/api/facets":
                     q = (qs.get("q") or [""])[0]
                     if not q:
@@ -864,6 +959,25 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     return self._json(200, service.es_scroll_next(body))
                 if u.path == "/api/_mget":
                     return self._json(200, service.es_mget(body))
+                if u.path == "/api/percolate":
+                    return self._json(200, service.percolate_body(body))
+                if u.path == "/api/hybrid":
+                    q, v = body.get("q"), body.get("v")
+                    if not q or not isinstance(v, list) or not v:
+                        return self._json(400, {"error": "missing q or v"})
+                    return self._json(
+                        200,
+                        {
+                            "query": q,
+                            "hits": service.hybrid(
+                                str(q),
+                                v,
+                                k=int(body.get("k", 10)),
+                                window=int(body.get("window", 20)),
+                                n_probe=int(body.get("n_probe", 4)),
+                            ),
+                        },
+                    )
                 if u.path == "/api/search:batch":
                     queries = body.get("queries")
                     if not isinstance(queries, list) or not queries:

@@ -666,3 +666,83 @@ def test_multifield_endpoint(spark, docs, tmp_path_factory):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_hybrid_and_reverse_search_endpoints(service, spark):
+    """Round-6 verbs over HTTP: GET /api/significant (JLH aggs), POST
+    /api/percolate (stateless reverse search, exact handcrafted pairs),
+    POST /api/hybrid (RRF fusion whose lexical half must agree with
+    /api/search ranks); missing-arg requests 400."""
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, obj):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/significant?q=merge+join&size=5&min_doc_count=2"
+        ) as r:
+            sig = json.loads(r.read())
+        assert sig["terms"], sig
+        scores = [row["score_r"] for row in sig["terms"]]
+        assert scores == sorted(scores, reverse=True) and len(scores) <= 5
+        assert all(row["fg_df"] >= 2 and row["bg_df"] >= row["fg_df"] for row in sig["terms"])
+
+        perc = post(
+            "/api/percolate",
+            {
+                "docs": [
+                    {"id": 0, "text": "alpha beta gamma"},
+                    {"id": 1, "text": "alpha only"},
+                ],
+                "queries": [
+                    {"id": 0, "q": "alpha beta"},           # AND -> doc 0
+                    {"id": 1, "q": "alpha beta", "msm": 1}, # OR  -> docs 0,1
+                ],
+            },
+        )
+        assert perc["matches"] == [
+            {"doc_id": 0, "query_id": 0},
+            {"doc_id": 0, "query_id": 1},
+            {"doc_id": 1, "query_id": 1},
+        ]
+
+        indexed, _ = service._ann
+        v0 = [float(x) for x in indexed.filter("vec_id = 0").select("v").first()[0]]
+        hyb = post("/api/hybrid", {"q": "merge join", "v": v0, "k": 5, "window": 10})
+        hits = hyb["hits"]
+        assert 1 <= len(hits) <= 5
+        ss = [h["rrf_score"] for h in hits]
+        assert ss == sorted(ss, reverse=True) and all(0 < s <= 2 / 61 for s in ss)
+        # the lexical half must be exactly the /api/search ranking
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/search?q=merge+join&k=10"
+        ) as r:
+            lex_ids = [h["doc_id"] for h in json.loads(r.read())["hits"]]
+        lex_contrib = {h["doc_id"]: h["rrf_score"] for h in hits if h["doc_id"] in lex_ids}
+        assert lex_contrib, (hits, lex_ids)
+
+        for path, obj in [
+            ("/api/percolate", {"docs": []}),
+            ("/api/hybrid", {"q": "x"}),
+        ]:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post(path, obj)
+            assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/api/significant")
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
