@@ -4140,6 +4140,269 @@ SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal_r FROM (
 
 
 # ---------------------------------------------------------------------------
+# r6 late surface: simple_query_string / collapse / top_hits / dis_max /
+# rank_eval — the remaining ES result-shaping verbs of the delegated
+# `_search` surface (/root/reference/elastic/elastic.go passthrough)
+# ---------------------------------------------------------------------------
+_BM25_SCORE_SQL = duckdb_bm25_sql(
+    "tf.tf", "dfreq.df", "dl.doc_len", "(SELECT n FROM stats)", "(SELECT avgdl FROM stats)"
+)
+
+
+def _scored_cte(terms: list[str]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+  SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id"""
+
+
+# one string exercising the whole simple_query_string dialect in term
+# mode: a must (+), a default-operator should, a must_not (-), and a
+# non-scoring field filter
+_QS_STRING = "+table scan -window lang:fr"
+
+
+def q_query_string(spark, sf_dir) -> DataFrame:
+    """ES `simple_query_string` (the one-line dialect of the delegated
+    `_search` surface; /root/reference/elastic/elastic.go passthrough):
+    `+table scan -window lang:fr` parses to must=table, should=scan
+    (default_operator or, minimum_should_match 1), must_not=window and a
+    non-scoring lang filter, compiling onto the pruned bool_topk plan —
+    one block read, one rid shuffle, filter ids riding it as pseudo-rows.
+    Stats stay GLOBAL (ES filter context). Oracle: the bool brute-force
+    SQL with the filter as a WHERE over documents."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {"simple_query_string": {"query": _QS_STRING, "default_operator": "or"}},
+        "size": _WAND_K,
+    }
+    out = compile_search(reader, body)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_query_string() -> str:
+    m, s, n = ["table"], ["scan"], ["window"]
+    q = lambda ts: ", ".join(f"'{t}'" for t in ts)  # noqa: E731
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS (
+  SELECT tf.doc_id,
+         sum(CASE WHEN tf.term IN ({q(m + s)}) THEN {_BM25_SCORE_SQL} ELSE 0 END) AS s,
+         count(DISTINCT CASE WHEN tf.term IN ({q(m)}) THEN tf.term END) AS n_must,
+         count(DISTINCT CASE WHEN tf.term IN ({q(s)}) THEN tf.term END) AS n_should,
+         max(CASE WHEN tf.term IN ({q(n)}) THEN 1 ELSE 0 END) AS hit_not
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({q(m + s + n)})
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored
+WHERE n_must = {len(m)} AND n_should >= 1 AND hit_not = 0
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'fr')
+ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_QUERY_STRING = _sql_query_string()
+
+
+def q_collapse_topk(spark, sf_dir) -> DataFrame:
+    """ES `collapse`: the relevance ranking deduplicated by repo — each
+    repo's best hit only, cut to k (the "one hit per repository" result
+    shape a code-search UI wants). Exhaustive disjunctive Arrow kernel
+    (pruning can't cut early: any repo may still need its
+    representative), docmap equi-join for the group key, ONE window
+    shuffle partitioned by repo, TakeOrdered k."""
+    from .operators.ranking import collapse_topk
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {"match": {"content": _WAND_QUERY}},
+        "collapse": {"field": "repo"},
+        "size": _WAND_K,
+    }
+    out = compile_search(reader, body)
+    return out.select("repo", "doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_COLLAPSE_TOPK = (
+    _SQL_PRELUDE
+    + f"""
+, scored AS ({_scored_cte(tokenize_py(_WAND_QUERY))}
+), g AS (
+  SELECT 'corpus/' || d.source AS repo, s.doc_id, s.s,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.s DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT repo, doc_id, round(s, 4) AS score_r
+FROM g WHERE rn = 1 ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+)
+
+
+def q_top_hits(spark, sf_dir) -> DataFrame:
+    """ES `terms` agg with a `top_hits` sub-agg: every lang bucket's top-3
+    hits by BM25, through the `_search` body compiler. Same plan family
+    as collapse (exhaustive scores + docmap join) with the window keeping
+    rank <= 3 per bucket instead of 1."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "size": 0,
+        "query": {"match": {"content": _WAND_QUERY}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"}, "aggs": {"top": {"top_hits": {"size": 3}}}}},
+    }
+    out = compile_search(reader, body)
+    return out.select("bucket", "rank", "doc_id", F.round("score", 4).alias("score_r"))
+
+
+SQL_TOP_HITS = (
+    _SQL_PRELUDE
+    + f"""
+, scored AS ({_scored_cte(tokenize_py(_WAND_QUERY))}
+), g AS (
+  SELECT d.lang AS bucket, s.doc_id, s.s,
+         CAST(row_number() OVER (PARTITION BY d.lang ORDER BY s.s DESC, s.doc_id ASC) AS INT) AS rank
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT bucket, rank, doc_id, round(s, 4) AS score_r
+FROM g WHERE rank <= 3 ORDER BY bucket, rank
+"""
+)
+
+
+_DISMAX_CLAUSES = ["merge join", "window scan", "table group"]
+_DISMAX_TIE = 0.3
+
+
+def q_dis_max(spark, sf_dir) -> DataFrame:
+    """ES `dis_max`: score = best clause + tie_breaker * (sum of the
+    rest), three match clauses. ONE block read for the union of all
+    clauses' terms, one rid shuffle, per-clause exhaustive scores from
+    the multiquery Arrow kernel, map-side-partial groupBy(doc_id)
+    combine, TakeOrdered k."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {
+            "dis_max": {
+                "queries": [{"match": {"content": c}} for c in _DISMAX_CLAUSES],
+                "tie_breaker": _DISMAX_TIE,
+            }
+        },
+        "size": _WAND_K,
+    }
+    out = compile_search(reader, body)
+    return out.select("doc_id", F.round("score", 4).alias("score_r"))
+
+
+def _sql_dis_max() -> str:
+    parts = []
+    for i, c in enumerate(_DISMAX_CLAUSES):
+        parts.append(f"SELECT {i} AS cid, doc_id, s FROM (\n{_scored_cte(tokenize_py(c))})")
+    u = "\nUNION ALL\n".join(parts)
+    return (
+        _SQL_PRELUDE
+        + f"""
+, cs AS (
+{u}
+), comb AS (
+  SELECT doc_id, max(s) AS best, sum(s) AS total FROM cs GROUP BY doc_id
+)
+SELECT doc_id, round(best + {_DISMAX_TIE} * (total - best), 4) AS score_r
+FROM comb
+ORDER BY best + {_DISMAX_TIE} * (total - best) DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_DIS_MAX = _sql_dis_max()
+
+
+_RANKEVAL_K = 5
+
+
+def q_rank_eval(spark, sf_dir) -> DataFrame:
+    """ES `_rank_eval`: the whole reference query set runs through ONE
+    topk_many job; graded relevance judgments (rating = the doc's tf of
+    each query's first analyzed token — deterministic from the corpus,
+    both sides derive them identically) broadcast-join the <= k hit rows;
+    per-query precision@k, MRR and DCG@k. The absent-term query (id 6)
+    reports zeros, never a dropped row."""
+    from .operators.ranking import rank_eval
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    _, tf = _docs_tf(spark, sf_dir)
+    jt = spark.createDataFrame(
+        [(qid, tokenize_py(q)[0]) for qid, q, _ in REFERENCE_QUERIES],
+        "query_id long, term string",
+    )
+    ratings = tf.join(F.broadcast(jt), "term").select(
+        "query_id", "doc_id", F.col("tf").cast("double").alias("rating")
+    )
+    return rank_eval(
+        reader, [(qid, q) for qid, q, _ in REFERENCE_QUERIES], ratings, k=_RANKEVAL_K
+    )
+
+
+def _sql_rank_eval() -> str:
+    ranked = []
+    judge = []
+    for qid, qtext, _ in REFERENCE_QUERIES:
+        terms = sorted(set(tokenize_py(qtext)))
+        judge.append(f"({qid}, '{tokenize_py(qtext)[0]}')")
+        if not terms:
+            continue
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        ranked.append(
+            f"""
+(SELECT CAST({qid} AS BIGINT) AS query_id,
+        CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank, doc_id
+ FROM (SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS s
+       FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)
+ ORDER BY s DESC, doc_id ASC LIMIT {_RANKEVAL_K})"""
+        )
+    ids = ", ".join(f"({qid})" for qid, _, _ in REFERENCE_QUERIES)
+    return (
+        _SQL_PRELUDE
+        + f"""
+, ranked AS ({" UNION ALL ".join(ranked)}
+), ratings AS (
+  SELECT jt.query_id, tf.doc_id, CAST(tf.tf AS DOUBLE) AS rating
+  FROM tf JOIN (VALUES {", ".join(judge)}) AS jt(query_id, term) ON tf.term = jt.term
+), j AS (
+  SELECT r.query_id, r.rank, coalesce(rt.rating, 0.0) AS rating
+  FROM ranked r LEFT JOIN ratings rt ON r.query_id = rt.query_id AND r.doc_id = rt.doc_id
+), m AS (
+  SELECT query_id,
+         round(sum(CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END) / {_RANKEVAL_K}, 4) AS p_at_k,
+         round(coalesce(max(CASE WHEN rating >= 1 THEN 1.0 / rank END), 0.0), 4) AS mrr,
+         round(sum(rating / log2(rank + 1)), 4) AS dcg
+  FROM j GROUP BY query_id
+)
+SELECT CAST(q.query_id AS BIGINT) AS query_id,
+       coalesce(m.p_at_k, 0.0) AS p_at_k,
+       coalesce(m.mrr, 0.0) AS mrr,
+       coalesce(m.dcg, 0.0) AS dcg
+FROM (VALUES {ids}) AS q(query_id) LEFT JOIN m ON m.query_id = q.query_id
+ORDER BY query_id
+"""
+    )
+
+
+SQL_RANK_EVAL = _sql_rank_eval()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 # ORDER MATTERS: the driver checks the FIRST 50 entries each round.
@@ -4152,6 +4415,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "significant_terms": q_significant_terms,  # r6: JLH aggs verb
     "percolate": q_percolate,  # r6: reverse search (stored queries)
     "rrf_hybrid": q_rrf_hybrid,  # r6: BM25 (+) dense RRF retriever
+    "query_string": q_query_string,  # r6: simple_query_string dialect
+    "collapse_topk": q_collapse_topk,  # r6: ES collapse (best hit per repo)
+    "top_hits": q_top_hits,  # r6: terms agg + top_hits sub-agg
+    "dis_max": q_dis_max,  # r6: dis_max tie_breaker scoring
+    "rank_eval": q_rank_eval,  # r6: _rank_eval metrics (p@k, MRR, DCG)
     # -- core fulltext surface (cheap, anchor the window) --
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
@@ -4167,9 +4435,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "es_aggs_dsl": q_es_aggs_dsl,  # r6: aggs half of the body compiler
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
-    "explain_score": q_explain_score,
-    "highlight_topk": q_highlight_topk,
-    "more_like_this": q_more_like_this,
     "facet_counts": q_facet_counts,
     "match_aggs": q_match_aggs,
     "sorted_search": q_sorted_search,  # r6: flt-before-narrow fix
@@ -4187,8 +4452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_restore": q_snapshot_restore,  # r6: NEW
     "attach_index": q_attach_index,  # r6: NEW
     "alias_rotation": q_alias_rotation,  # r6: alias swap + GC lifecycle
-    "suggest_complete": q_suggest_complete,
-    "suggest_fuzzy": q_suggest_fuzzy,
     # -- multifield --
     "multifield_bm25": q_multifield_bm25,
     "multifield_indexed": q_multifield_indexed,
@@ -4214,6 +4477,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     # ---- position 50+: rotated out (hash-green in a prior round, code
     # unchanged since) ----
+    # rotated out r6 for the five new verbs: all r5 hash-green, and their
+    # wand.py paths (suggest_terms/suggest_corrections/explain_score/
+    # more_like_this/highlight_topk) are untouched by the r6 diff
+    "suggest_complete": q_suggest_complete,
+    "suggest_fuzzy": q_suggest_fuzzy,
+    "explain_score": q_explain_score,
+    "highlight_topk": q_highlight_topk,
+    "more_like_this": q_more_like_this,
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
     "minhash_shingles": q_minhash_shingles,
@@ -4258,6 +4529,11 @@ ORACLES: dict[str, str] = {
     "significant_terms": SQL_SIGNIFICANT_TERMS,
     "percolate": SQL_PERCOLATE,
     "rrf_hybrid": SQL_RRF_HYBRID,
+    "query_string": SQL_QUERY_STRING,
+    "collapse_topk": SQL_COLLAPSE_TOPK,
+    "top_hits": SQL_TOP_HITS,
+    "dis_max": SQL_DIS_MAX,
+    "rank_eval": SQL_RANK_EVAL,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -177,6 +177,111 @@ def msearch(
     return results
 
 
+import re as _re
+
+# one query-string token: quoted phrase | bare token (with optional
+# leading +/-, field: prefix, trailing * or ~N)
+_QS_TOKEN = _re.compile(r'"[^"]*"|\S+')
+
+
+def compile_query_string(
+    reader,
+    qs: str,
+    default_operator: str = "or",
+    k: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """ES `simple_query_string`: the one-line query dialect, compiled onto
+    the engine's verbs. Supported syntax (loud errors outside it):
+
+      term            scoring term (default_operator: or -> should,
+                                    and -> must)
+      +term           must           -term          must_not
+      "a b c"         exact phrase   (must be the only scoring clause)
+      term*           prefix         (only scoring clause)
+      term~N          fuzzy, edit distance N (default 1; only scoring
+                      clause)
+      field:value     non-scoring filter over an allowlisted docmap
+                      column (term semantics)
+
+    Analysis happens in the engine's verbs — the string never bypasses
+    the analyzer. Scoring follows the compiled verb's BM25 contract with
+    GLOBAL stats; filters never change scores (ES filter context).
+    """
+    if not isinstance(qs, str) or not qs.strip():
+        raise DslError("query_string must be a non-empty string")
+    if default_operator not in ("or", "and"):
+        raise DslError(f"default_operator must be or/and, got {default_operator!r}")
+    must: list[str] = []
+    should: list[str] = []
+    must_not: list[str] = []
+    filters: list[dict] = []
+    phrase = prefix = fuzzy = None
+    fuzzy_dist = 1
+    for tok in _QS_TOKEN.findall(qs):
+        if tok.startswith('"'):
+            if not tok.endswith('"') or len(tok) < 3:
+                raise DslError(f"unterminated phrase {tok!r}")
+            if phrase is not None:
+                raise DslError("at most one phrase clause supported")
+            phrase = tok[1:-1]
+            continue
+        neg = tok.startswith("-")
+        req = tok.startswith("+")
+        if neg or req:
+            tok = tok[1:]
+            if not tok:
+                raise DslError("dangling +/- operator")
+        if ":" in tok:
+            col, _, val = tok.partition(":")
+            if col not in FILTERABLE:
+                raise DslError(f"unfilterable column {col!r} (allowed: {FILTERABLE})")
+            if neg or req:
+                raise DslError("field filters take no +/- (non-scoring context)")
+            filters.append({"term": {col: int(val) if col == "doc_len" else val}})
+            continue
+        m = _re.fullmatch(r"(.+?)~(\d*)", tok)
+        if m:
+            if fuzzy is not None:
+                raise DslError("at most one fuzzy clause supported")
+            fuzzy, fuzzy_dist = m.group(1), int(m.group(2) or 1)
+            continue
+        if tok.endswith("*"):
+            if prefix is not None:
+                raise DslError("at most one prefix clause supported")
+            prefix = tok[:-1]
+            if not prefix:
+                raise DslError("bare * is not a query")
+            continue
+        (must_not if neg else must if req else (must if default_operator == "and" else should)).append(tok)
+
+    flt = compile_filter(filters) if filters else None
+    expansion = [c for c in (phrase, prefix, fuzzy) if c is not None]
+    if expansion:
+        if len(expansion) > 1 or must or should or must_not:
+            raise DslError(
+                "phrase/prefix/fuzzy must be the only scoring clause "
+                "(compose via the bool body for more)"
+            )
+        if after is not None:
+            raise DslError("search_after composes with term queries only")
+        if phrase is not None:
+            return reader.phrase_topk(phrase, k, flt=flt)
+        if prefix is not None:
+            return reader.prefix_topk(prefix, k, flt=flt)
+        return reader.fuzzy_topk(fuzzy, k, max_dist=fuzzy_dist, flt=flt)
+    m_text, s_text, n_text = " ".join(must), " ".join(should), " ".join(must_not)
+    if not (m_text or s_text):
+        raise DslError("query_string needs >= 1 scoring clause")
+    if s_text or n_text:
+        return reader.bool_topk(
+            m_text, s_text, n_text, flt=flt, msm=1 if s_text else 0, k=k, after=after
+        )
+    if flt is not None:
+        return reader.filtered_topk(m_text, flt, k, after=after)
+    return reader.topk(m_text, k, after=after)
+
+
 def compile_aggs(reader, body: dict) -> DataFrame:
     """ES `aggs` body (the aggregation half of `_search`) -> one engine
     DataFrame of (agg, bucket, n_docs, metric) rows, `agg` = the caller's
@@ -203,6 +308,24 @@ def compile_aggs(reader, body: dict) -> DataFrame:
     aggs = body["aggs"]
     if not isinstance(aggs, dict) or not aggs:
         raise DslError("aggs must be a non-empty object")
+    # terms agg with a top_hits sub-agg: per-bucket hit lists, a different
+    # result shape (bucket, rank, doc_id, score) — supported only as the
+    # body's single agg so the shape is unambiguous
+    if len(aggs) == 1:
+        (aname, aspec_outer), = aggs.items()
+        if isinstance(aspec_outer, dict) and set(aspec_outer) == {"terms", "aggs"}:
+            tfield = (aspec_outer["terms"] or {}).get("field")
+            if tfield not in ("lang", "repo"):
+                raise DslError(f"terms agg supports lang/repo, got {tfield!r}")
+            hname, hspec_outer = _one_entry(aspec_outer["aggs"], "sub-agg")
+            hk, hspec = _one_entry(hspec_outer, f"sub-agg {hname!r}")
+            if hk != "top_hits":
+                raise DslError(f"only top_hits sub-aggs supported, got {hk!r}")
+            from .operators.ranking import top_hits
+
+            return top_hits(reader, text, tfield, int((hspec or {}).get("size", 3)))
+    if any(isinstance(v, dict) and "aggs" in v for v in aggs.values()):
+        raise DslError("sub-aggs supported only as a lone terms+top_hits agg")
     ranges, interval = None, None
     suite_names: dict[str, str] = {}  # engine agg kind -> caller's name
     terms_aggs: list[tuple[str, str]] = []
@@ -286,9 +409,37 @@ def compile_search(
     re-read the k winners' content)."""
     if not isinstance(body, dict):
         raise DslError("request body must be an object")
-    unknown = set(body) - {"query", "size", "search_after", "sort", "from", "aggs", "highlight"}
+    unknown = set(body) - {
+        "query", "size", "search_after", "sort", "from", "aggs", "highlight", "collapse",
+    }
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
+    if "collapse" in body:
+        if set(body) - {"query", "size", "collapse"}:
+            raise DslError("collapse composes only with query+size")
+        cf = (body["collapse"] or {}).get("field")
+        if cf not in FILTERABLE:
+            raise DslError(f"collapse.field must be a docmap column, got {cf!r}")
+        kind, spec = _one_entry(body.get("query") or {}, "query")
+        flt = None
+        if kind == "bool":
+            spec = dict(spec)
+            flt = compile_filter(spec.pop("filter", None))
+            musts = spec.pop("must", [])
+            if isinstance(musts, dict):
+                musts = [musts]
+            if spec or len(musts) != 1:
+                raise DslError("collapse bool supports exactly one must match + filter")
+            kind, spec = _one_entry(musts[0], "must clause")
+        if kind != "match":
+            raise DslError(f"collapse composes with match queries, not {kind!r}")
+        field, mspec = _one_entry(spec, "match")
+        _field_or_primary(reader, field, "collapse match")
+        from .operators.ranking import collapse_topk
+
+        return collapse_topk(
+            reader, _as_text(mspec, "match"), cf, int(body.get("size", 10)), flt=flt
+        )
     if "from" in body:
         raise DslError("from+size deep paging is unsupported; use search_after")
     if "aggs" in body:
@@ -367,7 +518,7 @@ def compile_search(
     # past the sort block: only match/bool relevance cursors remain —
     # a silently dropped cursor would make pagination (and the scroll
     # API built on it) loop on page 1 forever
-    if after is not None and kind not in ("match", "bool"):
+    if after is not None and kind not in ("match", "bool", "simple_query_string"):
         raise DslError(f"search_after unsupported for {kind!r} queries")
     if kind == "match":
         field, mspec = _one_entry(spec, "match")
@@ -442,6 +593,32 @@ def compile_search(
         if flt is not None:
             return reader.filtered_topk(must, flt, k, after=after)
         return reader.topk(must, k, after=after)
+    if kind == "simple_query_string":
+        if not isinstance(spec, dict) or not isinstance(spec.get("query"), str):
+            raise DslError("simple_query_string needs {query: string}")
+        return compile_query_string(
+            reader,
+            spec["query"],
+            default_operator=str(spec.get("default_operator", "or")).lower(),
+            k=k,
+            after=after,
+        )
+    if kind == "dis_max":
+        if not isinstance(spec, dict) or not isinstance(spec.get("queries"), list):
+            raise DslError("dis_max needs {queries: [...]}")
+        texts = []
+        for c in spec["queries"]:
+            ck, cspec = _one_entry(c, "dis_max clause")
+            if ck != "match":
+                raise DslError(f"dis_max clauses support match, got {ck!r}")
+            field, mspec = _one_entry(cspec, "match")
+            _field_or_primary(reader, field, "dis_max match")
+            texts.append(_as_text(mspec, "match"))
+        if not texts:
+            raise DslError("dis_max needs >= 1 clause")
+        from .operators.ranking import dis_max_topk
+
+        return dis_max_topk(reader, texts, float(spec.get("tie_breaker", 0.0)), k)
     if kind == "match_all":
         raise DslError("match_all needs a sort (no relevance order exists)")
     raise DslError(f"unsupported query kind {kind!r}")

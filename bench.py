@@ -193,6 +193,48 @@ def run_search_extras(spark, sf_dir: str, out_dir: str) -> dict:
     return out
 
 
+def run_result_shaping(spark, sf_dir: str, out_dir: str) -> dict:
+    """Round-6 result-shaping verbs — informational (outside the summed
+    total): collapse and top_hits are exhaustive-candidate passes (the
+    per-group cut can't prune early) so their cost class is match_aggs,
+    NOT the pruned top-k; dis_max reads the union of its clauses' blocks
+    once; query_string compiles onto bool_topk; rank_eval is one
+    topk_many batch over the whole request set."""
+    from pyspark.sql import functions as F
+
+    from ariadna_spark.operators.ranking import (
+        collapse_topk,
+        dis_max_topk,
+        rank_eval,
+        top_hits,
+    )
+    from ariadna_spark.operators.wand import IndexReader
+    from ariadna_spark.query_dsl import compile_query_string
+
+    reader = IndexReader(spark, out_dir)
+    out = {}
+    t0 = time.monotonic()
+    collapse_topk(reader, "merge join", "repo", 10).collect()
+    out["query_collapse_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    top_hits(reader, "merge join", "lang", 3).collect()
+    out["query_top_hits_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    dis_max_topk(reader, ["merge join", "window scan", "table group"], 0.3, 10).collect()
+    out["query_dis_max_sec"] = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    compile_query_string(reader, "+table scan -window lang:fr", k=10).collect()
+    out["query_query_string_sec"] = round(time.monotonic() - t0, 4)
+    reqs = [(0, "merge join"), (1, "window scan"), (2, "table group")]
+    ratings = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 1.0)], "query_id long, doc_id long, rating double"
+    )
+    t0 = time.monotonic()
+    rank_eval(reader, reqs, ratings, k=5).collect()
+    out["query_rank_eval_sec"] = round(time.monotonic() - t0, 4)
+    return out
+
+
 def run_aux(spark, sf_dir: str) -> dict:
     from ariadna_spark import queries as Q
 
@@ -416,6 +458,36 @@ def query_stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
             lambda: reader.highlight_topk(docs, q, 10, window=5).collect(),
         )
         timed("mlt", lambda: reader.more_like_this(docs, 42, 10).collect())
+        # round-6 result-shaping verbs at 1M docs: collapse/top_hits are
+        # exhaustive-candidate passes (cost ∝ matching docs, like aggs —
+        # NOT corpus size: the docmap join and window shuffle move only
+        # candidate rows); dis_max reads its clauses' union of blocks
+        # once; rank_eval is one topk_many batch
+        from ariadna_spark.operators.ranking import (
+            collapse_topk,
+            dis_max_topk,
+            rank_eval,
+            top_hits,
+        )
+
+        timed("collapse", lambda: collapse_topk(reader, q, "repo", 10).collect())
+        timed("top_hits", lambda: top_hits(reader, q, "lang", 3).collect())
+        timed(
+            "dis_max",
+            lambda: dis_max_topk(
+                reader, ["binary search", "hashMap index"], 0.3, 10
+            ).collect(),
+        )
+        _re_ratings = spark.createDataFrame(
+            [(0, p1[0]["doc_id"], 2.0), (1, 42, 1.0)],
+            "query_id long, doc_id long, rating double",
+        )
+        timed(
+            "rank_eval",
+            lambda: rank_eval(
+                reader, [(0, q), (1, "binary search")], _re_ratings, k=10
+            ).collect(),
+        )
         from ariadna_spark.sources.segments import delete_by_query
 
         t0 = time.monotonic()
@@ -739,6 +811,7 @@ def main():
         qt = run_queries(spark, out_dir)
         aux = run_aux(spark, args.sf_dir)
         extras = run_search_extras(spark, args.sf_dir, out_dir)
+        shaping = run_result_shaping(spark, args.sf_dir, out_dir)
         regex = run_regex(spark, args.sf_dir, out_dir)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -766,6 +839,7 @@ def main():
         "query_phrase_sec": phrase_sec,
         "query_phrase_stopword_sec": phrase_stop_sec,
         **extras,
+        **shaping,
         **regex,
         "cpus": CPUS,
     }

@@ -296,6 +296,24 @@ class SearchService:
                 for r in compile_search(self.reader, body, docs=self._docs).collect()
             ]
         if "aggs" in body:
+            if rows and "agg" not in rows[0]:
+                # lone terms+top_hits agg: (bucket, rank, doc_id, score)
+                # rows -> per-bucket hit arrays under the caller's name
+                (aname,) = body["aggs"].keys()
+                per: dict = {}
+                for r in rows:
+                    per.setdefault(r["bucket"], []).append(
+                        {"_id": r["doc_id"], "_score": r["score"], "rank": r["rank"]}
+                    )
+                return {
+                    "aggregations": {
+                        aname: {
+                            "buckets": [
+                                {"key": k, "hits": hs} for k, hs in sorted(per.items())
+                            ]
+                        }
+                    }
+                }
             buckets: dict = {}
             for r in rows:
                 b = buckets.setdefault(r["agg"], [])
@@ -494,6 +512,33 @@ class SearchService:
                 for rs in results
             ]
         }
+
+    def es_rank_eval(self, body: dict) -> dict:
+        """POST /api/_rank_eval: {"requests": [{"id": int, "query": str,
+        "ratings": [[doc_id, rating], ...]}], "k": int} -> per-request
+        precision@k / MRR / DCG@k. One batched topk_many job for the whole
+        request set; ratings broadcast into the join."""
+        reqs = body.get("requests")
+        if not isinstance(reqs, list) or not reqs:
+            raise ValueError("_rank_eval needs a non-empty requests array")
+        k = int(body.get("k", 10))
+        pairs, rating_rows = [], []
+        for r in reqs:
+            if not isinstance(r, dict) or "id" not in r or not r.get("query"):
+                raise ValueError("each request needs id + query")
+            qid = int(r["id"])
+            pairs.append((qid, str(r["query"])))
+            for it in r.get("ratings") or []:
+                rating_rows.append((qid, int(it[0]), float(it[1])))
+        from ariadna_spark.operators.ranking import rank_eval
+
+        with self._lock:
+            ratings = self.spark.createDataFrame(
+                rating_rows or [(int(-1), int(-1), 0.0)],
+                "query_id long, doc_id long, rating double",
+            )
+            rows = rank_eval(self.reader, pairs, ratings, k=k).collect()
+        return {"details": [r.asDict() for r in rows], "k": k}
 
     def multifield(self, q: str, fields: list[tuple[str, float]], k: int = 10) -> list[dict]:
         """GET /api/multifield?q=...&fields=content:1,path:2 — BM25F over
@@ -959,6 +1004,8 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     return self._json(200, service.es_scroll_next(body))
                 if u.path == "/api/_mget":
                     return self._json(200, service.es_mget(body))
+                if u.path == "/api/_rank_eval":
+                    return self._json(200, service.es_rank_eval(body))
                 if u.path == "/api/percolate":
                     return self._json(200, service.percolate_body(body))
                 if u.path == "/api/hybrid":

@@ -289,3 +289,42 @@ def test_perplexity_sample_lm_broadcasts(spark, docs):
     assert "BroadcastHashJoin" in plan, plan
     # no sort-merge join anywhere in the scoring graph
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_collapse_single_group_shuffle_and_take_ordered(spark, index_dir):
+    """collapse: ONE window exchange partitioned by the collapse key and a
+    TakeOrdered global cut — never a global sort of the full candidate
+    set before the per-group dedup."""
+    from ariadna_spark.operators.ranking import collapse_topk
+
+    reader = IndexReader(spark, index_dir)
+    plan = physical_plan(collapse_topk(reader, "table scan filter group", "repo", 10))
+    assert "Window" in plan, plan
+    assert "TakeOrdered" in plan, plan
+    assert plan.count("hashpartitioning(repo") == 1, plan
+
+
+def test_dis_max_partial_agg_and_take_ordered(spark, index_dir):
+    """dis_max: the per-doc clause combine must partial-aggregate map-side
+    (HashAggregate on both sides of the exchange) and the global cut must
+    be a TakeOrdered, not a full sort."""
+    from ariadna_spark.operators.ranking import dis_max_topk
+
+    reader = IndexReader(spark, index_dir)
+    plan = physical_plan(dis_max_topk(reader, ["merge join", "window scan"], 0.3, 10))
+    assert "TakeOrdered" in plan, plan
+    assert plan.count("HashAggregate") >= 2 and "Exchange" in plan, plan
+
+
+def test_rank_eval_ratings_broadcast(spark, index_dir):
+    """rank_eval: the judgments table is tiny by construction and must
+    reach the hit join as a broadcast — the ranked hits never shuffle for
+    it."""
+    from ariadna_spark.operators.ranking import rank_eval
+
+    reader = IndexReader(spark, index_dir)
+    ratings = spark.createDataFrame(
+        [(1, 3, 1.0), (2, 5, 2.0)], "query_id long, doc_id long, rating double"
+    )
+    plan = physical_plan(rank_eval(reader, [(1, "merge join"), (2, "window scan")], ratings, k=5))
+    assert "BroadcastHashJoin" in plan, plan

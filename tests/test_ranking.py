@@ -1,0 +1,215 @@
+"""Result-shaping verbs (collapse / top_hits / dis_max / rank_eval) and
+the simple_query_string dialect: engine semantics against independent
+recomputation from the exhaustive score table, DSL routing parity with
+the direct calls, and loud errors for out-of-scope input."""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ariadna_spark.analyze import tokenize_py
+from ariadna_spark.operators.ranking import (
+    collapse_topk,
+    dis_max_topk,
+    rank_eval,
+    top_hits,
+)
+from ariadna_spark.operators.wand import IndexReader
+from ariadna_spark.query_dsl import DslError, compile_query_string, compile_search
+from ariadna_spark.sources.segments import build_index
+
+Q = "table scan filter group"
+
+
+@pytest.fixture(scope="module")
+def reader(spark, docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rank_idx"))
+    build_index(spark, docs, out, build_id="r1", n_buckets=4)
+    return IndexReader(spark, out)
+
+
+@pytest.fixture(scope="module")
+def exhaustive(reader):
+    """(doc_id, score, repo, lang) for every doc matching Q — recomputed
+    from reader.scores (hash-green machinery) as the independent base."""
+    s = reader.scores(sorted(set(tokenize_py(Q))))
+    dm = reader.docmap().select("doc_id", "repo", "lang")
+    return {r["doc_id"]: (r["score"], r["repo"], r["lang"]) for r in s.join(dm, "doc_id").collect()}
+
+
+def test_collapse_semantics(reader, exhaustive):
+    got = collapse_topk(reader, Q, "repo", 10).collect()
+    # expected: best (score desc, doc_id asc) per repo, then global cut
+    best = {}
+    for did, (s, repo, _) in sorted(exhaustive.items()):
+        if repo not in best or s > best[repo][1]:
+            best[repo] = (did, s)
+    want = sorted(best.values(), key=lambda t: (-t[1], t[0]))[:10]
+    assert [(r["doc_id"], r["repo"]) for r in got] == [
+        (did, [k for k, v in best.items() if v == (did, s)][0]) for did, s in want
+    ]
+    for r in got:
+        assert r["score"] == pytest.approx(exhaustive[r["doc_id"]][0])
+    # one row per group, scores non-increasing
+    assert len({r["repo"] for r in got}) == len(got)
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_top_hits_semantics(reader, exhaustive):
+    got = top_hits(reader, Q, "lang", 3).collect()
+    per = {}
+    for did, (s, _, lang) in sorted(exhaustive.items()):
+        per.setdefault(lang, []).append((-s, did))
+    want = []
+    for lang in sorted(per):
+        for rank, (neg_s, did) in enumerate(sorted(per[lang])[:3], start=1):
+            want.append((lang, rank, did))
+    assert [(r["bucket"], r["rank"], r["doc_id"]) for r in got] == want
+
+
+def test_dis_max_semantics(reader):
+    clauses = ["merge join", "window scan"]
+    per_doc = {}
+    for i, c in enumerate(clauses):
+        for r in reader.scores(sorted(set(tokenize_py(c)))).collect():
+            per_doc.setdefault(r["doc_id"], {})[i] = r["score"]
+    tie = 0.4
+    want = sorted(
+        (
+            (-(max(v.values()) + tie * (sum(v.values()) - max(v.values()))), did)
+            for did, v in per_doc.items()
+        ),
+    )[:10]
+    got = dis_max_topk(reader, clauses, tie_breaker=tie, k=10).collect()
+    assert [r["doc_id"] for r in got] == [did for _, did in want]
+    for r, (neg_s, _) in zip(got, want):
+        assert r["score"] == pytest.approx(-neg_s)
+    # tie_breaker=0 -> pure max of clause scores
+    got0 = dis_max_topk(reader, clauses, tie_breaker=0.0, k=10).collect()
+    for r in got0:
+        assert r["score"] == pytest.approx(max(per_doc[r["doc_id"]].values()))
+
+
+def test_rank_eval_semantics(spark, reader):
+    k = 5
+    requests = [(1, "merge join"), (2, "zzznotaterm")]
+    top = {r["rank"]: r["doc_id"] for r in reader.topk("merge join", k).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    ).collect()}
+    # judge: ranks 2 and 4 relevant, graded 2.0 / 1.0
+    rated = [(1, top[2], 2.0), (1, top[4], 1.0), (2, 999_999, 3.0)]
+    ratings = spark.createDataFrame(rated, "query_id long, doc_id long, rating double")
+    got = {r["query_id"]: r for r in rank_eval(reader, requests, ratings, k=k).collect()}
+    assert got[1]["p_at_k"] == pytest.approx(2 / 5)
+    assert got[1]["mrr"] == pytest.approx(round(1 / 2, 4))
+    want_dcg = round(2.0 / math.log2(3) + 1.0 / math.log2(5), 4)
+    assert got[1]["dcg"] == pytest.approx(want_dcg)
+    # absent-term request present with zeros, never dropped
+    assert (got[2]["p_at_k"], got[2]["mrr"], got[2]["dcg"]) == (0.0, 0.0, 0.0)
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_query_string_routes(reader):
+    cases = [
+        ("merge join", {}, reader.topk("merge join", 10)),
+        ("+merge +join", {}, reader.topk("merge join", 10)),
+        ('"merge join"', {}, reader.phrase_topk("merge join", 10)),
+        ("mer*", {}, reader.prefix_topk("mer", 10)),
+        ("mrege~2", {}, reader.fuzzy_topk("mrege", 10, max_dist=2)),
+        (
+            "+scan merge join",
+            {},
+            reader.bool_topk("scan", should="merge join", msm=1, k=10),
+        ),
+        (
+            "+merge -window",
+            {},
+            reader.bool_topk("merge", must_not="window", k=10),
+        ),
+        (
+            "+merge +join lang:fr",
+            {},
+            reader.filtered_topk("merge join", F.col("lang") == "fr", 10),
+        ),
+        (
+            "merge join",
+            {"default_operator": "and"},
+            reader.topk("merge join", 10),
+        ),
+    ]
+    for qs, kw, want in cases:
+        assert rows(compile_query_string(reader, qs, **kw)) == rows(want), qs
+
+
+def test_query_string_errors(reader):
+    for bad in ["", "   ", "*", "-only", "+", "lang:fr", '"unterminated',
+                '"a b" extra', "mer* scan", "a~1 b~2", "badcol:x"]:
+        with pytest.raises(DslError):
+            compile_query_string(reader, bad)
+    with pytest.raises(DslError):
+        compile_query_string(reader, "ok", default_operator="xor")
+
+
+def test_dsl_routes_new_kinds(reader):
+    body_qs = {
+        "query": {"simple_query_string": {"query": "+merge -window lang:fr"}},
+        "size": 7,
+    }
+    want = reader.bool_topk("merge", must_not="window", flt=F.col("lang") == "fr", k=7)
+    assert rows(compile_search(reader, body_qs)) == rows(want)
+
+    body_dm = {
+        "query": {
+            "dis_max": {
+                "queries": [
+                    {"match": {"content": "merge join"}},
+                    {"match": {"content": "window scan"}},
+                ],
+                "tie_breaker": 0.3,
+            }
+        },
+        "size": 6,
+    }
+    assert rows(compile_search(reader, body_dm)) == rows(
+        dis_max_topk(reader, ["merge join", "window scan"], 0.3, 6)
+    )
+
+    body_cl = {
+        "query": {"match": {"content": Q}},
+        "collapse": {"field": "repo"},
+        "size": 5,
+    }
+    assert rows(compile_search(reader, body_cl)) == rows(collapse_topk(reader, Q, "repo", 5))
+
+    body_th = {
+        "size": 0,
+        "query": {"match": {"content": Q}},
+        "aggs": {"g": {"terms": {"field": "lang"}, "aggs": {"h": {"top_hits": {"size": 2}}}}},
+    }
+    assert rows(compile_search(reader, body_th)) == rows(top_hits(reader, Q, "lang", 2))
+
+
+def test_dsl_new_kind_errors(reader):
+    for body in [
+        {"query": {"dis_max": {"queries": []}}},
+        {"query": {"dis_max": {"queries": [{"prefix": {"content": "me"}}]}}},
+        {"query": {"match": {"content": Q}}, "collapse": {"field": "nope"}},
+        {"query": {"match": {"content": Q}}, "collapse": {"field": "repo"}, "sort": [{"doc_len": "asc"}]},
+        {"query": {"simple_query_string": {"query": 3}}},
+        {
+            "size": 0,
+            "query": {"match": {"content": Q}},
+            "aggs": {
+                "g": {"terms": {"field": "lang"}, "aggs": {"h": {"top_hits": {}}}},
+                "extra": {"stats": {"field": "doc_len"}},
+            },
+        },
+    ]:
+        with pytest.raises(DslError):
+            compile_search(reader, body)

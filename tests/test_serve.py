@@ -746,3 +746,104 @@ def test_hybrid_and_reverse_search_endpoints(service, spark):
         assert ei.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_result_shaping_endpoints(service, spark):
+    """POST /api/_search bodies for the r6 result-shaping verbs
+    (simple_query_string / dis_max / collapse / top_hits) and the
+    /api/_rank_eval endpoint — each HTTP answer must equal the direct
+    engine call it compiles onto."""
+    from serve import serve as mk_server
+
+    from ariadna_spark.operators.ranking import (
+        collapse_topk,
+        dis_max_topk,
+        rank_eval,
+        top_hits,
+    )
+    from ariadna_spark.query_dsl import compile_query_string
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    reader = service.reader
+    try:
+        got = post("/api/_search", {
+            "query": {"simple_query_string": {"query": "+merge -window"}}, "size": 5,
+        })
+        want = compile_query_string(reader, "+merge -window", k=5).collect()
+        assert [h["_id"] for h in got["hits"]["hits"]] == [r["doc_id"] for r in want]
+
+        got = post("/api/_search", {
+            "query": {"dis_max": {"queries": [
+                {"match": {"content": "merge join"}},
+                {"match": {"content": "window scan"}},
+            ], "tie_breaker": 0.5}},
+            "size": 4,
+        })
+        want = dis_max_topk(reader, ["merge join", "window scan"], 0.5, 4).collect()
+        assert [h["_id"] for h in got["hits"]["hits"]] == [r["doc_id"] for r in want]
+
+        got = post("/api/_search", {
+            "query": {"match": {"content": "merge join"}},
+            "collapse": {"field": "repo"}, "size": 5,
+        })
+        want = collapse_topk(reader, "merge join", "repo", 5).collect()
+        assert [h["_id"] for h in got["hits"]["hits"]] == [r["doc_id"] for r in want]
+        assert [h["fields"]["repo"] for h in got["hits"]["hits"]] == [r["repo"] for r in want]
+
+        got = post("/api/_search", {
+            "size": 0,
+            "query": {"match": {"content": "merge join"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang"},
+                                 "aggs": {"top": {"top_hits": {"size": 2}}}}},
+        })
+        buckets = got["aggregations"]["by_lang"]["buckets"]
+        want = top_hits(reader, "merge join", "lang", 2).collect()
+        flat = [(b["key"], h["rank"], h["_id"]) for b in buckets for h in b["hits"]]
+        assert flat == [(r["bucket"], r["rank"], r["doc_id"]) for r in want]
+
+        body = {
+            "requests": [
+                {"id": 1, "query": "merge join",
+                 "ratings": [[want[0]["doc_id"], 2.0]]},
+                {"id": 2, "query": "zzznotaterm", "ratings": []},
+            ],
+            "k": 5,
+        }
+        got = post("/api/_rank_eval", body)
+        ratings = spark.createDataFrame(
+            [(1, int(want[0]["doc_id"]), 2.0)], "query_id long, doc_id long, rating double"
+        )
+        direct = rank_eval(
+            reader, [(1, "merge join"), (2, "zzznotaterm")], ratings, k=5
+        ).collect()
+        assert got["details"] == [r.asDict() for r in direct]
+        assert got["details"][1]["p_at_k"] == 0.0
+
+        # out-of-scope bodies 400 loudly
+        for bad in (
+            {"query": {"dis_max": {"queries": []}}},
+            {"query": {"match": {"content": "x"}}, "collapse": {"field": "nope"}},
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/_search",
+                data=json.dumps(bad).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req)
+            assert exc.value.code == 400
+    finally:
+        httpd.shutdown()
