@@ -87,31 +87,23 @@ def top_hits(
     )
 
 
-def dis_max_topk(
-    reader,
-    clauses: list[str],
-    tie_breaker: float = 0.0,
-    k: int = 10,
-    range_size: int = RANGE_SIZE_DEFAULT,
-) -> DataFrame:
-    """ES `dis_max`: score(doc) = best clause score + tie_breaker * (sum
-    of the other clauses' scores). Each clause is a match query over the
-    primary field; clause score = BM25 over the clause's analyzed terms.
-
-    One block read for the union of all clauses' terms, one rid shuffle,
-    per-clause exhaustive scores from the multiquery Arrow kernel (k =
-    range_size means nothing is cut before the combine), then a map-side-
-    partial groupBy(doc_id) and a TakeOrdered k.
-    """
+def _clause_scores(
+    reader, clauses: list[str], range_size: int = RANGE_SIZE_DEFAULT
+) -> DataFrame | None:
+    """Per-clause exhaustive BM25 scores in ONE pass: the union of all
+    clauses' terms is fetched and rid-shuffled once, and the multiquery
+    Arrow kernel emits (query_id=clause index, doc_id, score) with k =
+    range_size so nothing is cut before the caller's combine. A block
+    shared by clauses is read once. Returns None when no clause has any
+    known term."""
     per_q = {i: sorted(set(tokenize_py(c))) for i, c in enumerate(clauses)}
     k_by_q = {i: range_size for i in per_q}
     all_terms = sorted({t for ts in per_q.values() for t in ts})
-    empty = reader.spark.createDataFrame([], "doc_id long, score double")
     if not all_terms:
-        return empty
+        return None
     blocks = reader._blocks_for_terms(all_terms)
     if blocks is None:
-        return empty
+        return None
     n_docs = reader.stats["N"]
     avgdl = reader.stats["avgdl"]
     rid = F.explode(
@@ -128,15 +120,111 @@ def dis_max_topk(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return multiquery_kernel(pdf, per_q, k_by_q, n_docs, avgdl, range_size)
 
-    local = ranged.groupBy("rid").applyInPandas(
+    return ranged.groupBy("rid").applyInPandas(
         kernel, "query_id long, doc_id long, score double"
     )
+
+
+def dis_max_topk(
+    reader,
+    clauses: list[str],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    range_size: int = RANGE_SIZE_DEFAULT,
+) -> DataFrame:
+    """ES `dis_max`: score(doc) = best clause score + tie_breaker * (sum
+    of the other clauses' scores). Each clause is a match query over the
+    primary field; clause score = BM25 over the clause's analyzed terms.
+
+    One block read for the union of all clauses' terms (_clause_scores),
+    then a map-side-partial groupBy(doc_id) and a TakeOrdered k.
+    """
+    local = _clause_scores(reader, clauses, range_size)
+    if local is None:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
     agg = local.groupBy("doc_id").agg(
         F.max("score").alias("_best"), F.sum("score").alias("_total")
     )
     score = F.col("_best") + F.lit(float(tie_breaker)) * (F.col("_total") - F.col("_best"))
     return (
         agg.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boosting_topk(
+    reader,
+    positive: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    range_size: int = RANGE_SIZE_DEFAULT,
+) -> DataFrame:
+    """ES `boosting` query: docs matching `positive` score BM25 as usual,
+    but any of them ALSO matching `negative` has its score multiplied by
+    `negative_boost` (demotion without exclusion — must_not's softer
+    sibling). Docs matching only `negative` never appear.
+
+    Same single-pass shape as dis_max: one block read for both clauses'
+    terms, per-clause scores from the multiquery kernel, then a
+    groupBy(doc_id) combine keeping positive-scored docs and applying the
+    demotion where a negative score exists."""
+    local = _clause_scores(reader, [positive, negative], range_size)
+    if local is None:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+    agg = local.groupBy("doc_id").agg(
+        F.max(F.when(F.col("query_id") == 0, F.col("score"))).alias("_pos"),
+        F.max(F.when(F.col("query_id") == 1, F.col("score"))).alias("_neg"),
+    )
+    score = F.col("_pos") * F.when(
+        F.col("_neg").isNotNull(), F.lit(float(negative_boost))
+    ).otherwise(F.lit(1.0))
+    return (
+        agg.filter(F.col("_pos").isNotNull())
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# field_value_factor modifiers (ES semantics: modifier applied to
+# factor * field_value; log1p is log BASE 10 of (x + 1) in ES)
+_FVF_MODIFIERS = {
+    "none": lambda x: x,
+    "log1p": lambda x: F.log10(x + F.lit(1.0)),
+    "sqrt": lambda x: F.sqrt(x),
+}
+
+
+def function_score_topk(
+    reader,
+    query: str,
+    field: str = "doc_len",
+    factor: float = 1.0,
+    modifier: str = "none",
+    boost_mode: str = "multiply",
+    k: int = 10,
+) -> DataFrame:
+    """ES `function_score` with a `field_value_factor` function: rescore
+    the match query's BM25 by a docmap attribute — score' = bm25 OP
+    modifier(factor * field_value), OP = multiply|sum.
+
+    Rescoring reorders, so WAND's bm25-only bound cannot prune: this is
+    an exhaustive-candidate pass (reader.scores) + docmap equi-join for
+    the attribute + TakeOrdered — the same declared cost class as
+    collapse/top_hits (cost ∝ matching docs, not corpus size)."""
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"unsupported modifier {modifier!r} (none, log1p, sqrt)")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(f"unsupported boost_mode {boost_mode!r} (multiply, sum)")
+    s = reader.scores(sorted(set(tokenize_py(query))))
+    dm = reader.docmap().select("doc_id", F.col(field).cast("double").alias("_fv"))
+    fn = _FVF_MODIFIERS[modifier](F.lit(float(factor)) * F.col("_fv"))
+    combined = (F.col("score") * fn) if boost_mode == "multiply" else (F.col("score") + fn)
+    return (
+        s.join(dm, "doc_id")
+        .select("doc_id", combined.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

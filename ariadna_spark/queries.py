@@ -4327,6 +4327,110 @@ ORDER BY best + {_DISMAX_TIE} * (total - best) DESC, doc_id ASC LIMIT {_WAND_K}
 SQL_DIS_MAX = _sql_dis_max()
 
 
+_BOOSTING_POS = "table scan"
+_BOOSTING_NEG = "window"
+_BOOSTING_NB = 0.4
+
+
+def q_boosting(spark, sf_dir) -> DataFrame:
+    """ES `boosting` query (must_not's softer sibling on the delegated
+    `_search` surface; /root/reference/elastic/elastic.go passthrough):
+    positive-match docs score BM25; those ALSO matching the negative
+    clause are demoted by negative_boost instead of excluded. One block
+    read for both clauses' terms through the multiquery kernel, map-side
+    partial combine."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {
+            "boosting": {
+                "positive": {"match": {"content": _BOOSTING_POS}},
+                "negative": {"match": {"content": _BOOSTING_NEG}},
+                "negative_boost": _BOOSTING_NB,
+            }
+        },
+        "size": _WAND_K,
+    }
+    return compile_search(reader, body).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+def _sql_boosting() -> str:
+    return (
+        _SQL_PRELUDE
+        + f"""
+, cs AS (
+SELECT 0 AS cid, doc_id, s FROM (
+{_scored_cte(tokenize_py(_BOOSTING_POS))})
+UNION ALL
+SELECT 1 AS cid, doc_id, s FROM (
+{_scored_cte(tokenize_py(_BOOSTING_NEG))})
+), comb AS (
+  SELECT doc_id,
+         max(CASE WHEN cid = 0 THEN s END) AS pos,
+         max(CASE WHEN cid = 1 THEN s END) AS neg
+  FROM cs GROUP BY doc_id
+)
+SELECT doc_id,
+       round(pos * CASE WHEN neg IS NOT NULL THEN CAST({_BOOSTING_NB} AS DOUBLE) ELSE 1.0 END, 4) AS score_r
+FROM comb WHERE pos IS NOT NULL
+ORDER BY pos * CASE WHEN neg IS NOT NULL THEN CAST({_BOOSTING_NB} AS DOUBLE) ELSE 1.0 END DESC,
+         doc_id ASC
+LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_BOOSTING = _sql_boosting()
+
+
+_FVF_FACTOR = 0.1
+
+
+def q_function_score(spark, sf_dir) -> DataFrame:
+    """ES `function_score` + `field_value_factor` (the delegated `_search`
+    surface's rescoring verb): score' = bm25 * log10(1 + 0.1 * doc_len) —
+    longer docs boosted on a log scale. Rescoring reorders, so WAND's
+    bm25-only bound can't prune: exhaustive candidate pass + docmap join
+    + TakeOrdered (the collapse/top_hits cost class)."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {
+            "function_score": {
+                "query": {"match": {"content": _WAND_QUERY}},
+                "field_value_factor": {
+                    "field": "doc_len",
+                    "factor": _FVF_FACTOR,
+                    "modifier": "log1p",
+                },
+                "boost_mode": "multiply",
+            }
+        },
+        "size": _WAND_K,
+    }
+    return compile_search(reader, body).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+SQL_FUNCTION_SCORE = (
+    _SQL_PRELUDE
+    + f"""
+, scored AS ({_scored_cte(tokenize_py(_WAND_QUERY))}
+)
+SELECT s.doc_id,
+       round(s.s * log10(1.0 + CAST({_FVF_FACTOR} AS DOUBLE) * dl.doc_len), 4) AS score_r
+FROM scored s JOIN dl ON s.doc_id = dl.doc_id
+ORDER BY s.s * log10(1.0 + CAST({_FVF_FACTOR} AS DOUBLE) * dl.doc_len) DESC, s.doc_id ASC
+LIMIT {_WAND_K}
+"""
+)
+
+
 _RANKEVAL_K = 5
 
 
@@ -4420,10 +4524,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_hits": q_top_hits,  # r6: terms agg + top_hits sub-agg
     "dis_max": q_dis_max,  # r6: dis_max tie_breaker scoring
     "rank_eval": q_rank_eval,  # r6: _rank_eval metrics (p@k, MRR, DCG)
+    "boosting": q_boosting,  # r6: demote-don't-exclude negative clause
+    "function_score": q_function_score,  # r6: field_value_factor rescore
     # -- core fulltext surface (cheap, anchor the window) --
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
-    "prefix_search": q_prefix_search,
     "posting_intersection": q_posting_intersection,
     "wand_topk": q_wand_topk,
     "search_after": q_search_after,
@@ -4444,7 +4549,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_phrase": q_filtered_phrase,  # r6: NEW (filter context on positional paths)
     "phrase_prefix": q_phrase_prefix,
     "near_topk": q_near_topk,
-    "wand_queryset": q_wand_queryset,
     # -- lifecycle / maintenance verbs --
     "overwrite_reindex": q_overwrite_reindex,
     "delete_by_query": q_delete_by_query,  # r6: replay republish fix
@@ -4485,6 +4589,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "explain_score": q_explain_score,
     "highlight_topk": q_highlight_topk,
     "more_like_this": q_more_like_this,
+    # rotated out r6 for boosting/function_score: wand_queryset gates the
+    # same _topk_terms path as the in-window wand_topk/search_after rows
+    # (shared oracle with bm25_queryset); prefix_search's edge-ngram
+    # expansion rides analyze.py, untouched since r1 (prefix_topk stays)
+    "wand_queryset": q_wand_queryset,
+    "prefix_search": q_prefix_search,
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
     "minhash_shingles": q_minhash_shingles,
@@ -4534,6 +4644,8 @@ ORACLES: dict[str, str] = {
     "top_hits": SQL_TOP_HITS,
     "dis_max": SQL_DIS_MAX,
     "rank_eval": SQL_RANK_EVAL,
+    "boosting": SQL_BOOSTING,
+    "function_score": SQL_FUNCTION_SCORE,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -619,6 +619,55 @@ def compile_search(
         from .operators.ranking import dis_max_topk
 
         return dis_max_topk(reader, texts, float(spec.get("tie_breaker", 0.0)), k)
+    if kind == "boosting":
+        if not isinstance(spec, dict) or not {"positive", "negative"} <= set(spec):
+            raise DslError("boosting needs {positive, negative[, negative_boost]}")
+
+        def _match_text(q, what):
+            ck, cspec = _one_entry(q, what)
+            if ck != "match":
+                raise DslError(f"boosting.{what} supports match, got {ck!r}")
+            field, mspec = _one_entry(cspec, "match")
+            _field_or_primary(reader, field, f"boosting {what}")
+            return _as_text(mspec, "match")
+
+        from .operators.ranking import boosting_topk
+
+        return boosting_topk(
+            reader,
+            _match_text(spec["positive"], "positive"),
+            _match_text(spec["negative"], "negative"),
+            float(spec.get("negative_boost", 0.5)),
+            k,
+        )
+    if kind == "function_score":
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise DslError("function_score needs {query, field_value_factor}")
+        fvf = spec.get("field_value_factor")
+        if not isinstance(fvf, dict) or fvf.get("field") not in FILTERABLE:
+            raise DslError(
+                "function_score supports field_value_factor over a docmap "
+                f"column (allowed: {FILTERABLE})"
+            )
+        qk, qspec = _one_entry(spec["query"], "function_score.query")
+        if qk != "match":
+            raise DslError(f"function_score composes with match, got {qk!r}")
+        field, mspec = _one_entry(qspec, "match")
+        _field_or_primary(reader, field, "function_score match")
+        from .operators.ranking import function_score_topk
+
+        try:
+            return function_score_topk(
+                reader,
+                _as_text(mspec, "match"),
+                field=fvf["field"],
+                factor=float(fvf.get("factor", 1.0)),
+                modifier=str(fvf.get("modifier", "none")),
+                boost_mode=str(spec.get("boost_mode", "multiply")),
+                k=k,
+            )
+        except ValueError as e:  # modifier/boost_mode scope -> 400 shape
+            raise DslError(str(e))
     if kind == "match_all":
         raise DslError("match_all needs a sort (no relevance order exists)")
     raise DslError(f"unsupported query kind {kind!r}")

@@ -213,3 +213,77 @@ def test_dsl_new_kind_errors(reader):
     ]:
         with pytest.raises(DslError):
             compile_search(reader, body)
+
+
+def test_boosting_semantics(reader):
+    from ariadna_spark.operators.ranking import boosting_topk
+
+    pos = {r["doc_id"]: r["score"] for r in reader.scores(sorted(set(tokenize_py("table scan")))).collect()}
+    neg = {r["doc_id"]: r["score"] for r in reader.scores(sorted(set(tokenize_py("window")))).collect()}
+    nb = 0.4
+    want = sorted(
+        ((-(s * (nb if d in neg else 1.0)), d) for d, s in pos.items())
+    )[:10]
+    got = boosting_topk(reader, "table scan", "window", nb, 10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (neg_s, _) in zip(got, want):
+        assert r["score"] == pytest.approx(-neg_s)
+    # negative-only docs never appear
+    assert not ({r["doc_id"] for r in got} - set(pos))
+    # at least one demoted doc exists in the corpus for this pair
+    assert any(d in neg for d in pos), "fixture lost its demotion case"
+
+
+def test_function_score_semantics(reader, exhaustive):
+    from ariadna_spark.operators.ranking import function_score_topk
+
+    dl = {r["doc_id"]: r["doc_len"] for r in reader.docmap().select("doc_id", "doc_len").collect()}
+    want = sorted(
+        ((-(s * math.log10(1.0 + 0.1 * dl[d])), d) for d, (s, _, _) in exhaustive.items())
+    )[:10]
+    got = function_score_topk(reader, Q, "doc_len", 0.1, "log1p", "multiply", 10).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (neg_s, _) in zip(got, want):
+        assert r["score"] == pytest.approx(-neg_s)
+    # sum mode and sqrt modifier also honored
+    got2 = function_score_topk(reader, Q, "doc_len", 1.0, "sqrt", "sum", 5).collect()
+    want2 = sorted(
+        ((-(s + math.sqrt(dl[d])), d) for d, (s, _, _) in exhaustive.items())
+    )[:5]
+    assert [r["doc_id"] for r in got2] == [d for _, d in want2]
+
+
+def test_dsl_routes_boosting_and_function_score(reader):
+    from ariadna_spark.operators.ranking import boosting_topk, function_score_topk
+
+    body_b = {
+        "query": {"boosting": {
+            "positive": {"match": {"content": "table scan"}},
+            "negative": {"match": {"content": "window"}},
+            "negative_boost": 0.4,
+        }},
+        "size": 6,
+    }
+    assert rows(compile_search(reader, body_b)) == rows(
+        boosting_topk(reader, "table scan", "window", 0.4, 6)
+    )
+    body_f = {
+        "query": {"function_score": {
+            "query": {"match": {"content": Q}},
+            "field_value_factor": {"field": "doc_len", "factor": 0.1, "modifier": "log1p"},
+            "boost_mode": "multiply",
+        }},
+        "size": 6,
+    }
+    assert rows(compile_search(reader, body_f)) == rows(
+        function_score_topk(reader, Q, "doc_len", 0.1, "log1p", "multiply", 6)
+    )
+    for bad in [
+        {"query": {"boosting": {"positive": {"match": {"content": "x"}}}}},
+        {"query": {"function_score": {"query": {"match": {"content": "x"}},
+                                      "field_value_factor": {"field": "nope"}}}},
+        {"query": {"function_score": {"query": {"match": {"content": "x"}},
+                                      "field_value_factor": {"field": "doc_len", "modifier": "exp"}}}},
+    ]:
+        with pytest.raises(DslError):
+            compile_search(reader, bad)
