@@ -4330,6 +4330,15 @@ SQL_DIS_MAX = _sql_dis_max()
 _BOOSTING_POS = "table scan"
 _BOOSTING_NEG = "window"
 _BOOSTING_NB = 0.4
+# k=12 for the rescoring verbs, NOT _WAND_K: the synthetic corpus has
+# exact-duplicate docs, and at k=10 both queries' raw cut lands ON a
+# bit-identical score tie (function_score docs 129/218, boosting
+# 226/407 at sf0.01). The engine breaks ties by doc_id, but the
+# oracle's parallel DuckDB sum() can differ in the last ULP and break
+# the SAME tie the other way — a flaky hash. k=12 puts each tie pair
+# strictly inside the cut (11->12 gaps are 3.5e-3 / 5.5e-3, far above
+# ULP noise).
+_RESCORE_K = 12
 
 
 def q_boosting(spark, sf_dir) -> DataFrame:
@@ -4350,7 +4359,7 @@ def q_boosting(spark, sf_dir) -> DataFrame:
                 "negative_boost": _BOOSTING_NB,
             }
         },
-        "size": _WAND_K,
+        "size": _RESCORE_K,
     }
     return compile_search(reader, body).select(
         "doc_id", F.round("score", 4).alias("score_r")
@@ -4378,7 +4387,7 @@ SELECT doc_id,
 FROM comb WHERE pos IS NOT NULL
 ORDER BY pos * CASE WHEN neg IS NOT NULL THEN CAST({_BOOSTING_NB} AS DOUBLE) ELSE 1.0 END DESC,
          doc_id ASC
-LIMIT {_WAND_K}
+LIMIT {_RESCORE_K}
 """
     )
 
@@ -4410,7 +4419,7 @@ def q_function_score(spark, sf_dir) -> DataFrame:
                 "boost_mode": "multiply",
             }
         },
-        "size": _WAND_K,
+        "size": _RESCORE_K,
     }
     return compile_search(reader, body).select(
         "doc_id", F.round("score", 4).alias("score_r")
@@ -4426,7 +4435,7 @@ SELECT s.doc_id,
        round(s.s * log10(1.0 + CAST({_FVF_FACTOR} AS DOUBLE) * dl.doc_len), 4) AS score_r
 FROM scored s JOIN dl ON s.doc_id = dl.doc_id
 ORDER BY s.s * log10(1.0 + CAST({_FVF_FACTOR} AS DOUBLE) * dl.doc_len) DESC, s.doc_id ASC
-LIMIT {_WAND_K}
+LIMIT {_RESCORE_K}
 """
 )
 
