@@ -88,14 +88,19 @@ def top_hits(
 
 
 def _clause_scores(
-    reader, clauses: list[str], range_size: int = RANGE_SIZE_DEFAULT
+    reader,
+    clauses: list[str],
+    range_size: int = RANGE_SIZE_DEFAULT,
+    rid_filter: list[int] | None = None,
 ) -> DataFrame | None:
     """Per-clause exhaustive BM25 scores in ONE pass: the union of all
     clauses' terms is fetched and rid-shuffled once, and the multiquery
     Arrow kernel emits (query_id=clause index, doc_id, score) with k =
     range_size so nothing is cut before the caller's combine. A block
     shared by clauses is read once. Returns None when no clause has any
-    known term."""
+    known term. `rid_filter` restricts decoding to the given rid ranges
+    (the rescore window shape: only blocks overlapping the window's doc
+    ranges are decoded)."""
     per_q = {i: sorted(set(tokenize_py(c))) for i, c in enumerate(clauses)}
     k_by_q = {i: range_size for i in per_q}
     all_terms = sorted({t for ts in per_q.values() for t in ts})
@@ -116,6 +121,8 @@ def _clause_scores(
     tomb = reader._tomb_ranged(range_size)
     if tomb is not None:
         ranged = ranged.unionByName(tomb, allowMissingColumns=True)
+    if rid_filter is not None:
+        ranged = ranged.filter(F.col("rid").isin([int(r) for r in rid_filter]))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         return multiquery_kernel(pdf, per_q, k_by_q, n_docs, avgdl, range_size)
@@ -225,6 +232,56 @@ def function_score_topk(
     return (
         s.join(dm, "doc_id")
         .select("doc_id", combined.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rescore_topk(
+    reader,
+    query: str,
+    rescore_query: str,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+    range_size: int = RANGE_SIZE_DEFAULT,
+) -> DataFrame:
+    """ES `rescore`: re-rank the primary query's top `window_size` hits
+    with a secondary match query — combined = query_weight * primary +
+    rescore_query_weight * secondary. Unlike function_score, the primary
+    pass KEEPS its block-max pruning (only the window is rescored): the
+    production shape for expensive secondary signals.
+
+    Plan: one pruned WAND top-window job; O(window) winner collect (the
+    documented bounded-collect shape); the secondary pass reads only the
+    rescore terms' pruned blocks and decodes only the rid ranges that
+    contain window ids; broadcast-joined combine + TakeOrdered k.
+    """
+    rows = reader.topk(query, window_size, range_size=range_size).collect()
+    if not rows:
+        return reader.spark.createDataFrame([], "doc_id long, score double")
+    ids = [int(r["doc_id"]) for r in rows]
+    rids = sorted({i // range_size for i in ids})
+    sec = _clause_scores(reader, [rescore_query], range_size, rid_filter=rids)
+    prim = reader.spark.createDataFrame(
+        [(int(r["doc_id"]), float(r["score"])) for r in rows], "doc_id long, p double"
+    )
+    if sec is None:
+        j = prim.withColumn("s", F.lit(None).cast("double"))
+    else:
+        j = prim.join(
+            sec.filter(F.col("doc_id").isin(ids)).select(
+                "doc_id", F.col("score").alias("s")
+            ),
+            "doc_id",
+            "left",
+        )
+    combined = F.lit(float(query_weight)) * F.col("p") + F.lit(
+        float(rescore_query_weight)
+    ) * F.coalesce(F.col("s"), F.lit(0.0))
+    return (
+        j.select("doc_id", combined.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

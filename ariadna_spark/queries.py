@@ -4440,6 +4440,68 @@ LIMIT {_RESCORE_K}
 )
 
 
+_RESCORE_WINDOW = 20
+_RESCORE_RQ = "merge join"
+_RESCORE_RQW = 0.7
+# 1.99 sits mid-gap between combined ranks 7/8 (1.9928 / 1.9869 at
+# sf0.01) so the floor REALLY cuts (8 of 10 rows survive) and no value
+# is within ULP reach of the threshold on either engine
+_RESCORE_MIN = 1.99
+
+
+def q_rescore_topk(spark, sf_dir) -> DataFrame:
+    """ES `rescore` + `min_score` (the delegated `_search` surface's
+    window rescoring): the primary match keeps its block-max pruning (a
+    top-window WAND job, NOT an exhaustive pass), then only the window's
+    docs are rescored by the secondary match — combined = 1.0 * primary
+    + 0.7 * secondary — cut to k and floored by min_score. The secondary
+    pass decodes only the rid ranges containing window ids. Oracle
+    replays window -> left-join -> combine -> floor in SQL."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {
+        "query": {"match": {"content": _WAND_QUERY}},
+        "rescore": {
+            "window_size": _RESCORE_WINDOW,
+            "query": {
+                "rescore_query": {"match": {"content": _RESCORE_RQ}},
+                "query_weight": 1.0,
+                "rescore_query_weight": _RESCORE_RQW,
+            },
+        },
+        "size": _WAND_K,
+        "min_score": _RESCORE_MIN,
+    }
+    return compile_search(reader, body).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+def _sql_rescore_topk() -> str:
+    return (
+        _SQL_PRELUDE
+        + f"""
+, scored AS ({_scored_cte(tokenize_py(_WAND_QUERY))}
+), win AS (
+  SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_RESCORE_WINDOW}
+), sec AS (
+  SELECT doc_id, s AS s2 FROM ({_scored_cte(tokenize_py(_RESCORE_RQ))})
+), fin AS (
+  SELECT w.doc_id,
+         1.0 * w.s + CAST({_RESCORE_RQW} AS DOUBLE) * coalesce(x.s2, 0.0) AS c
+  FROM win w LEFT JOIN sec x ON w.doc_id = x.doc_id
+)
+SELECT doc_id, round(c, 4) AS score_r
+FROM fin WHERE c >= CAST({_RESCORE_MIN} AS DOUBLE)
+ORDER BY c DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+    )
+
+
+SQL_RESCORE_TOPK = _sql_rescore_topk()
+
+
 _RANKEVAL_K = 5
 
 
@@ -4535,6 +4597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_eval": q_rank_eval,  # r6: _rank_eval metrics (p@k, MRR, DCG)
     "boosting": q_boosting,  # r6: demote-don't-exclude negative clause
     "function_score": q_function_score,  # r6: field_value_factor rescore
+    "rescore_topk": q_rescore_topk,  # r6: window rescore + min_score
     # -- core fulltext surface (cheap, anchor the window) --
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
@@ -4549,7 +4612,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "es_aggs_dsl": q_es_aggs_dsl,  # r6: aggs half of the body compiler
     "prefix_topk": q_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
-    "facet_counts": q_facet_counts,
     "match_aggs": q_match_aggs,
     "sorted_search": q_sorted_search,  # r6: flt-before-narrow fix
     "term_vectors": q_term_vectors,  # r6: csv positions (canonicalizer fix)
@@ -4604,6 +4666,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # expansion rides analyze.py, untouched since r1 (prefix_topk stays)
     "wand_queryset": q_wand_queryset,
     "prefix_search": q_prefix_search,
+    # rotated out r6 for rescore_topk: r5 green; the facets path is
+    # superseded in-window by match_aggs/es_aggs_dsl (grouping-sets) and
+    # its own wand.py code is untouched by the r6 diff
+    "facet_counts": q_facet_counts,
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
     "minhash_shingles": q_minhash_shingles,
@@ -4655,6 +4721,7 @@ ORACLES: dict[str, str] = {
     "rank_eval": SQL_RANK_EVAL,
     "boosting": SQL_BOOSTING,
     "function_score": SQL_FUNCTION_SCORE,
+    "rescore_topk": SQL_RESCORE_TOPK,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

@@ -410,10 +410,47 @@ def compile_search(
     if not isinstance(body, dict):
         raise DslError("request body must be an object")
     unknown = set(body) - {
-        "query", "size", "search_after", "sort", "from", "aggs", "highlight", "collapse",
+        "query", "size", "search_after", "sort", "from", "aggs", "highlight",
+        "collapse", "rescore", "min_score",
     }
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
+    if "min_score" in body:
+        if "aggs" in body or "collapse" in body or body.get("sort"):
+            raise DslError("min_score composes with relevance-ranked queries only")
+        sub = {kk: vv for kk, vv in body.items() if kk != "min_score"}
+        out = compile_search(reader, sub, extra_readers, docs)
+        # scores sort desc, so filter-after-topk == ES semantics: docs
+        # below min_score are a suffix of the ranking (no backfill exists)
+        return out.filter(F.col("score") >= float(body["min_score"]))
+    if "rescore" in body:
+        if set(body) - {"query", "size", "rescore"}:
+            raise DslError("rescore composes only with query+size")
+        rc = body["rescore"]
+        if not isinstance(rc, dict) or "query" not in rc:
+            raise DslError("rescore needs {query: {rescore_query, ...}, window_size}")
+        rq = rc["query"]
+        qk, qspec = _one_entry((rq or {}).get("rescore_query") or {}, "rescore_query")
+        if qk != "match":
+            raise DslError(f"rescore_query supports match, got {qk!r}")
+        f2, m2 = _one_entry(qspec, "match")
+        _field_or_primary(reader, f2, "rescore match")
+        pk, pspec = _one_entry(body.get("query") or {}, "query")
+        if pk != "match":
+            raise DslError(f"rescore composes with a match primary, not {pk!r}")
+        f1, m1 = _one_entry(pspec, "match")
+        _field_or_primary(reader, f1, "rescore primary match")
+        from .operators.ranking import rescore_topk
+
+        return rescore_topk(
+            reader,
+            _as_text(m1, "match"),
+            _as_text(m2, "match"),
+            window_size=int(rc.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            k=int(body.get("size", 10)),
+        )
     if "collapse" in body:
         if set(body) - {"query", "size", "collapse"}:
             raise DslError("collapse composes only with query+size")

@@ -287,3 +287,63 @@ def test_dsl_routes_boosting_and_function_score(reader):
     ]:
         with pytest.raises(DslError):
             compile_search(reader, bad)
+
+
+def test_rescore_semantics(reader):
+    from ariadna_spark.operators.ranking import rescore_topk
+
+    window, rqw = 12, 0.7
+    prim = {r["doc_id"]: r["score"] for r in reader.topk(Q, window).collect()}
+    sec = {r["doc_id"]: r["score"] for r in reader.scores(sorted(set(tokenize_py("merge join")))).collect()}
+    want = sorted(
+        ((-(p + rqw * sec.get(d, 0.0)), d) for d, p in prim.items())
+    )[:5]
+    got = rescore_topk(reader, Q, "merge join", window, 1.0, rqw, k=5).collect()
+    assert [r["doc_id"] for r in got] == [d for _, d in want]
+    for r, (neg_s, _) in zip(got, want):
+        assert r["score"] == pytest.approx(-neg_s)
+    # only window docs can appear, even if a non-window doc has a huge
+    # secondary score
+    assert set(r["doc_id"] for r in got) <= set(prim)
+    # unknown-term rescore query degrades to the primary ranking
+    got2 = rescore_topk(reader, Q, "zzznotaterm", window, 1.0, rqw, k=5).collect()
+    want2 = sorted(((-p, d) for d, p in prim.items()))[:5]
+    assert [r["doc_id"] for r in got2] == [d for _, d in want2]
+
+
+def test_min_score_and_rescore_dsl(reader):
+    from ariadna_spark.operators.ranking import rescore_topk
+
+    base = compile_search(reader, {"query": {"match": {"content": Q}}, "size": 10}).collect()
+    cut = base[4]["score"]  # floor at the 5th hit's score
+    got = compile_search(
+        reader, {"query": {"match": {"content": Q}}, "size": 10, "min_score": cut}
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base if r["score"] >= cut]
+
+    body = {
+        "query": {"match": {"content": Q}},
+        "rescore": {
+            "window_size": 12,
+            "query": {
+                "rescore_query": {"match": {"content": "merge join"}},
+                "query_weight": 1.0,
+                "rescore_query_weight": 0.7,
+            },
+        },
+        "size": 5,
+    }
+    assert rows(compile_search(reader, body)) == rows(
+        rescore_topk(reader, Q, "merge join", 12, 1.0, 0.7, 5)
+    )
+    for bad in [
+        {"query": {"match": {"content": Q}}, "sort": [{"doc_len": "asc"}], "min_score": 1.0},
+        {"query": {"match": {"content": Q}}, "rescore": {"window_size": 5},
+         "sort": [{"doc_len": "asc"}]},
+        {"query": {"match_phrase": {"content": Q}}, "rescore": {
+            "window_size": 5, "query": {"rescore_query": {"match": {"content": "x"}}}}},
+        {"query": {"match": {"content": Q}}, "rescore": {
+            "window_size": 5, "query": {"rescore_query": {"prefix": {"content": "me"}}}}},
+    ]:
+        with pytest.raises(DslError):
+            compile_search(reader, bad)
