@@ -104,8 +104,27 @@ def compile_filter(clauses) -> Column | None:
                 if op not in ops:
                     raise DslError(f"unsupported range op {op!r}")
                 cond = cond & getattr(F.col(col), ops[op])(v)
+        elif kind == "terms":
+            col, vals = _one_entry(spec, "terms filter")
+            if col not in FILTERABLE and col != "doc_id":
+                raise DslError(f"unfilterable column {col!r} (allowed: {FILTERABLE})")
+            if not isinstance(vals, list) or not vals:
+                raise DslError("terms filter needs a non-empty value array")
+            cond = F.col(col).isin(vals)
+        elif kind == "ids":
+            vals = (spec or {}).get("values")
+            if not isinstance(vals, list) or not all(isinstance(v, int) for v in vals):
+                raise DslError("ids filter needs {values: [int, ...]}")
+            cond = F.col("doc_id").isin(vals)
+        elif kind == "exists":
+            col = (spec or {}).get("field")
+            if col not in FILTERABLE:
+                raise DslError(f"unfilterable column {col!r} (allowed: {FILTERABLE})")
+            cond = F.col(col).isNotNull()
         else:
-            raise DslError(f"unsupported filter clause {kind!r} (term, range)")
+            raise DslError(
+                f"unsupported filter clause {kind!r} (term, terms, range, ids, exists)"
+            )
         flt = cond if flt is None else (flt & cond)
     return flt
 

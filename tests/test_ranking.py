@@ -347,3 +347,49 @@ def test_min_score_and_rescore_dsl(reader):
     ]:
         with pytest.raises(DslError):
             compile_search(reader, bad)
+
+
+def test_filter_dialect_terms_ids_exists(reader):
+    from ariadna_spark.query_dsl import compile_filter
+
+    base = compile_search(
+        reader, {"query": {"match": {"content": Q}}, "size": 50}
+    ).collect()
+    ids = [r["doc_id"] for r in base[:6]]
+    got = compile_search(reader, {
+        "query": {"bool": {
+            "must": [{"match": {"content": Q}}],
+            "filter": [{"ids": {"values": ids}}],
+        }},
+        "size": 50,
+    }).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(ids)
+
+    langs = ["fr", "go"]
+    got2 = compile_search(reader, {
+        "query": {"bool": {
+            "must": [{"match": {"content": Q}}],
+            "filter": [{"terms": {"lang": langs}}],
+        }},
+        "size": 500,
+    }).collect()
+    allowed = {r["doc_id"] for r in reader.docmap().filter(F.col("lang").isin(langs)).select("doc_id").collect()}
+    assert {r["doc_id"] for r in got2} <= allowed and got2
+    # exists on an always-present column is a no-op filter
+    got3 = compile_search(reader, {
+        "query": {"bool": {
+            "must": [{"match": {"content": Q}}],
+            "filter": [{"exists": {"field": "lang"}}],
+        }},
+        "size": 10,
+    }).collect()
+    assert [r["doc_id"] for r in got3] == [r["doc_id"] for r in base[:10]]
+    for bad in [
+        [{"terms": {"lang": []}}],
+        [{"terms": {"nope": ["x"]}}],
+        [{"ids": {"values": ["a"]}}],
+        [{"exists": {"field": "doc_id"}}],
+        [{"exists": {"field": "nope"}}],
+    ]:
+        with pytest.raises(DslError):
+            compile_filter(bad)
