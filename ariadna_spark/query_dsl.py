@@ -430,10 +430,37 @@ def compile_search(
         raise DslError("request body must be an object")
     unknown = set(body) - {
         "query", "size", "search_after", "sort", "from", "aggs", "highlight",
-        "collapse", "rescore", "min_score",
+        "collapse", "rescore", "min_score", "suggest",
     }
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
+    if "suggest" in body:
+        # suggest-only bodies (ES allows hits+suggest; scoped to the
+        # suggester alone so the result shape is unambiguous)
+        if set(body) - {"suggest"}:
+            raise DslError("suggest bodies carry only the suggest key")
+        sg = body["suggest"]
+        if not isinstance(sg, dict) or len(sg) != 1:
+            raise DslError("exactly one named suggester supported")
+        (_, sspec), = sg.items()
+        if not isinstance(sspec, dict):
+            raise DslError("suggester must be an object")
+        if "completion" in sspec:
+            if not isinstance(sspec.get("prefix"), str) or not sspec["prefix"]:
+                raise DslError("completion suggester needs {prefix, completion}")
+            size = int((sspec["completion"] or {}).get("size", 10))
+            return reader.suggest_terms(sspec["prefix"], size=size)
+        if "term" in sspec:
+            if not isinstance(sspec.get("text"), str) or not sspec["text"]:
+                raise DslError("term suggester needs {text, term}")
+            t = sspec["term"] or {}
+            return reader.suggest_corrections(
+                sspec["text"],
+                size=int(t.get("size", 10)),
+                max_dist=int(t.get("max_edits", 2)),
+                prefix_len=int(t.get("prefix_length", 1)),
+            )
+        raise DslError("suggester must be completion or term")
     if "min_score" in body:
         if "aggs" in body or "collapse" in body or body.get("sort"):
             raise DslError("min_score composes with relevance-ranked queries only")

@@ -295,6 +295,9 @@ class SearchService:
                 r.asDict()
                 for r in compile_search(self.reader, body, docs=self._docs).collect()
             ]
+        if "suggest" in body:
+            (sname,) = body["suggest"].keys()
+            return {"suggest": {sname: rows}}
         if "aggs" in body:
             if rows and "agg" not in rows[0]:
                 # lone terms+top_hits agg: (bucket, rank, doc_id, score)
@@ -512,6 +515,22 @@ class SearchService:
                 for rs in results
             ]
         }
+
+    def es_validate(self, body: dict) -> dict:
+        """POST /api/_validate: ES `_validate/query` — compile the request
+        body without collecting results. Compilation builds the lazy plan
+        only (rescore bodies additionally run their primary window pass —
+        the one compile-time action in the dialect), so an out-of-scope
+        or malformed body reports {valid: false, error} instead of 400ing
+        at search time."""
+        from ariadna_spark.query_dsl import DslError, compile_search
+
+        try:
+            with self._lock:
+                compile_search(self.reader, body, docs=self._docs)
+            return {"valid": True}
+        except DslError as e:
+            return {"valid": False, "error": str(e)}
 
     def es_rank_eval(self, body: dict) -> dict:
         """POST /api/_rank_eval: {"requests": [{"id": int, "query": str,
@@ -1006,6 +1025,8 @@ def make_handler(service: SearchService, public_dir: str | None = None):
                     return self._json(200, service.es_mget(body))
                 if u.path == "/api/_rank_eval":
                     return self._json(200, service.es_rank_eval(body))
+                if u.path == "/api/_validate":
+                    return self._json(200, service.es_validate(body))
                 if u.path == "/api/percolate":
                     return self._json(200, service.percolate_body(body))
                 if u.path == "/api/hybrid":

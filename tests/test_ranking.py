@@ -393,3 +393,22 @@ def test_filter_dialect_terms_ids_exists(reader):
     ]:
         with pytest.raises(DslError):
             compile_filter(bad)
+
+
+def test_suggest_in_search_body(reader):
+    got = rows(compile_search(reader, {
+        "suggest": {"s": {"prefix": "me", "completion": {"size": 5}}}
+    }))
+    assert got == rows(reader.suggest_terms("me", size=5))
+    got2 = rows(compile_search(reader, {
+        "suggest": {"s": {"text": "mrege", "term": {"size": 5, "max_edits": 2}}}
+    }))
+    assert got2 == rows(reader.suggest_corrections("mrege", size=5, max_dist=2))
+    for bad in [
+        {"suggest": {"s": {"prefix": "me", "completion": {}}}, "size": 5},
+        {"suggest": {"a": {}, "b": {}}},
+        {"suggest": {"s": {"prefix": "", "completion": {}}}},
+        {"suggest": {"s": {"text": "x", "phrase": {}}}},
+    ]:
+        with pytest.raises(DslError):
+            compile_search(reader, bad)

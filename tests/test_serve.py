@@ -847,3 +847,34 @@ def test_result_shaping_endpoints(service, spark):
             assert exc.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_validate_and_suggest_body_endpoints(service):
+    from serve import serve as mk_server
+
+    httpd = mk_server(service, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    try:
+        ok = post("/api/_validate", {"query": {"match": {"content": "merge join"}}})
+        assert ok == {"valid": True}
+        bad = post("/api/_validate", {"query": {"wildcard": {"content": "m*"}}})
+        assert bad["valid"] is False and "wildcard" in bad["error"]
+        sg = post("/api/_search", {
+            "suggest": {"complete_me": {"prefix": "me", "completion": {"size": 3}}}
+        })
+        hits = sg["suggest"]["complete_me"]
+        assert hits and all("term" in h and "df" in h for h in hits)
+    finally:
+        httpd.shutdown()
