@@ -1267,6 +1267,49 @@ class IndexReader:
             return None
         return sorted(r["term"] for r in rows)
 
+    def wildcard_topk(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_terms: int = 4096,
+        **kw,
+    ) -> DataFrame:
+        """ES `wildcard` query, scoped to edge anchors: `core*` (prefix),
+        `*core` (suffix) and `*core*` (infix). The core expands against
+        the index vocabulary — prefix via the edge-ngram machinery, infix
+        and suffix via ONE terms-table scan (the accelerated-grep
+        expansion) — and the union scores as a disjunctive BM25 query
+        through the block-max WAND kernel, each expanded term with its
+        own df/idf (the same query-expansion semantics prefix_topk
+        documents). Inner wildcards raise; an expansion past `max_terms`
+        raises loudly (an unselective pattern would silently become a
+        corpus scan — the caller should use regex_search for that
+        shape)."""
+        from ..analyze import tokenize_py as _tok
+
+        core = pattern.strip("*")
+        stars = len(pattern) - len(core)
+        if not core or "*" in core or stars != pattern.count("*") or stars == 0:
+            raise ValueError(
+                f"wildcard pattern {pattern!r}: edge anchors only "
+                "(core*, *core, *core*), non-empty core"
+            )
+        toks = _tok(core)
+        if len(toks) != 1:
+            raise ValueError(f"wildcard core must analyze to one token, got {toks}")
+        core = toks[0]
+        if pattern.endswith("*") and not pattern.startswith("*"):
+            return self.prefix_topk(core, k, **kw)
+        cands = self.terms_containing(core, max_terms=max_terms)
+        if cands is None:
+            raise ValueError(
+                f"wildcard {pattern!r} expands past {max_terms} vocabulary "
+                "terms; use regex_search for unselective patterns"
+            )
+        if not pattern.endswith("*"):  # *core: suffix anchor
+            cands = [t for t in cands if t.endswith(core)]
+        return self._topk_terms(sorted(cands), k, **kw)
+
     def fuzzy_terms(
         self,
         token: str,

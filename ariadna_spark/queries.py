@@ -4440,6 +4440,42 @@ LIMIT {_RESCORE_K}
 )
 
 
+_WILDCARD_PAT = "*er*"
+
+
+def q_wildcard(spark, sf_dir) -> DataFrame:
+    """ES `wildcard` query (edge-anchored; the delegated `_search`
+    surface): `*er*` expands against the index vocabulary in ONE
+    terms-table scan (the accelerated-grep expansion — 5 terms at the
+    gate sf) and the union scores as a disjunctive BM25 query through
+    the block-max WAND kernel, each term with its own df/idf. Oracle:
+    the scored CTE with the expansion replayed as `term LIKE '%er%'`
+    over the df table — engine vocabulary == oracle vocabulary by
+    construction."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {"query": {"wildcard": {"content": {"value": _WILDCARD_PAT}}}, "size": _WAND_K}
+    return compile_search(reader, body).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+SQL_WILDCARD = (
+    _SQL_PRELUDE
+    + f"""
+, scored AS (
+  SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM dfreq WHERE term LIKE '%er%')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+)
+
+
 _RESCORE_WINDOW = 20
 _RESCORE_RQ = "merge join"
 _RESCORE_RQW = 0.7
@@ -4598,6 +4634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boosting": q_boosting,  # r6: demote-don't-exclude negative clause
     "function_score": q_function_score,  # r6: field_value_factor rescore
     "rescore_topk": q_rescore_topk,  # r6: window rescore + min_score
+    "wildcard": q_wildcard,  # r6: edge-anchored vocabulary expansion
     # -- core fulltext surface (cheap, anchor the window) --
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
@@ -4621,7 +4658,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_prefix": q_phrase_prefix,
     "near_topk": q_near_topk,
     # -- lifecycle / maintenance verbs --
-    "overwrite_reindex": q_overwrite_reindex,
     "delete_by_query": q_delete_by_query,  # r6: replay republish fix
     "update_by_query": q_update_by_query,  # r6: NEW
     "snapshot_restore": q_snapshot_restore,  # r6: NEW
@@ -4670,6 +4706,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # superseded in-window by match_aggs/es_aggs_dsl (grouping-sets) and
     # its own wand.py code is untouched by the r6 diff
     "facet_counts": q_facet_counts,
+    # rotated out r6 for wildcard: r5 green; its append/tombstone/compact
+    # machinery is gated in-window by delete_by_query, update_by_query,
+    # snapshot_restore, attach_index and alias_rotation
+    "overwrite_reindex": q_overwrite_reindex,
     "near_dup_lsh": q_near_dup_lsh,
     "minhash_signatures": q_minhash_signatures,
     "minhash_shingles": q_minhash_shingles,
@@ -4722,6 +4762,7 @@ ORACLES: dict[str, str] = {
     "boosting": SQL_BOOSTING,
     "function_score": SQL_FUNCTION_SCORE,
     "rescore_topk": SQL_RESCORE_TOPK,
+    "wildcard": SQL_WILDCARD,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

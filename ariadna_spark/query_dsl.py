@@ -702,6 +702,13 @@ def compile_search(
         from .operators.ranking import dis_max_topk
 
         return dis_max_topk(reader, texts, float(spec.get("tie_breaker", 0.0)), k)
+    if kind == "wildcard":
+        field, mspec = _one_entry(spec, "wildcard")
+        _field_or_primary(reader, field, "wildcard")
+        try:
+            return reader.wildcard_topk(_as_text(mspec, "wildcard"), k)
+        except ValueError as e:  # anchor/selectivity scope -> 400 shape
+            raise DslError(str(e))
     if kind == "boosting":
         if not isinstance(spec, dict) or not {"positive", "negative"} <= set(spec):
             raise DslError("boosting needs {positive, negative[, negative_boost]}")

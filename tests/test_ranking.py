@@ -412,3 +412,22 @@ def test_suggest_in_search_body(reader):
     ]:
         with pytest.raises(DslError):
             compile_search(reader, bad)
+
+
+def test_wildcard_routes_and_errors(reader):
+    # prefix anchor == prefix_topk; infix == disjunction over the
+    # vocabulary expansion
+    assert rows(reader.wildcard_topk("mer*", 10)) == rows(reader.prefix_topk("mer", 10))
+    exp = reader.terms_containing("er") or []
+    assert rows(reader.wildcard_topk("*er*", 10)) == rows(reader._topk_terms(sorted(exp), 10))
+    suf = [t for t in (reader.terms_containing("ge") or []) if t.endswith("ge")]
+    assert rows(reader.wildcard_topk("*ge", 10)) == rows(reader._topk_terms(sorted(suf), 10))
+    body = {"query": {"wildcard": {"content": {"value": "*er*"}}}, "size": 7}
+    assert rows(compile_search(reader, body)) == rows(reader.wildcard_topk("*er*", 7))
+    for bad in ["er", "*", "**", "a*b", "m*re*"]:
+        with pytest.raises(ValueError):
+            reader.wildcard_topk(bad, 5)
+    with pytest.raises(DslError):
+        compile_search(reader, {"query": {"wildcard": {"content": "no_anchor"}}})
+    with pytest.raises(ValueError):
+        reader.wildcard_topk("*er*", 5, max_terms=2)  # over-cap is loud
