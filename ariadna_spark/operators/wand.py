@@ -1562,6 +1562,63 @@ class IndexReader:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def highlight_phrase_topk(
+        self,
+        docs: DataFrame,
+        phrase: str,
+        k: int = 10,
+        window: int = 5,
+        **kw,
+    ) -> DataFrame:
+        """Phrase-ranked highlighting: ranking comes from phrase_topk
+        (positions decode, exact adjacency), and the snippet centers on
+        the FIRST occurrence of the WHOLE phrase — `window` tokens each
+        side of the consecutive match, plus the matched tokens. Same O(k)
+        re-read contract as highlight_topk (winner ids are a pushed
+        IN-list; non-winners never touch the content scan). Returns
+        (doc_id, score, matched, snippet)."""
+        from ..analyze import tokenize_expr
+
+        seq = tokenize_py(phrase)
+        if not seq:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched string, snippet string"
+            )
+        top = self.phrase_topk(phrase, k, **kw).collect()  # O(k) rows
+        if not top:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, matched string, snippet string"
+            )
+        scores = self.spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in top], "doc_id long, score double"
+        )
+        hits = docs.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in top])
+        ).join(F.broadcast(scores), "doc_id")
+        n = len(seq)
+        pat = F.array(*[F.lit(t) for t in seq])
+        starts = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("t") - n + 1, F.lit(0))),
+            lambda i: F.slice(F.col("t"), i, n) == pat,
+        )
+        first = F.array_min(starts)
+        s0 = F.greatest(first - window, F.lit(1))
+        length = first + n - 1 + window - s0 + 1
+        return (
+            hits.withColumn("t", tokenize_expr("content"))
+            .withColumn("first_pos", first)
+            .withColumn(
+                "matched",
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("first_pos").cast("int"), n)),
+            )
+            .withColumn(
+                "snippet",
+                F.concat_ws(" ", F.slice(F.col("t"), s0.cast("int"), length.cast("int"))),
+            )
+            .select("doc_id", "score", "matched", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def more_like_this(
         self,
         docs: DataFrame,

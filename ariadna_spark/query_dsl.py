@@ -543,10 +543,16 @@ def compile_search(
         if docs is None:
             raise DslError("highlight needs the source corpus (docs=)")
         kind, spec = _one_entry(body.get("query") or {}, "query")
-        if kind != "match":
-            raise DslError(f"highlight composes with a match query, not {kind!r}")
-        field, mspec = _one_entry(spec, "match")
-        _field_or_primary(reader, field, "highlight match")
+        if kind not in ("match", "match_phrase"):
+            raise DslError(
+                f"highlight composes with match/match_phrase queries, not {kind!r}"
+            )
+        field, mspec = _one_entry(spec, kind)
+        _field_or_primary(reader, field, f"highlight {kind}")
+        if kind == "match_phrase":
+            return reader.highlight_phrase_topk(
+                docs, _as_text(mspec, kind), int(body.get("size", 10))
+            )
         return reader.highlight_topk(
             docs, _as_text(mspec, "match"), int(body.get("size", 10))
         )

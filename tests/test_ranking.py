@@ -431,3 +431,32 @@ def test_wildcard_routes_and_errors(reader):
         compile_search(reader, {"query": {"wildcard": {"content": "no_anchor"}}})
     with pytest.raises(ValueError):
         reader.wildcard_topk("*er*", 5, max_terms=2)  # over-cap is loud
+
+
+def test_highlight_phrase(spark, docs, reader):
+    phrase = "merge join"
+    got = reader.highlight_phrase_topk(docs, phrase, 5, window=3).collect()
+    winners = reader.phrase_topk(phrase, 5).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in winners]
+    # recompute each snippet independently from the doc content with the
+    # python analyzer (provably identical to the Catalyst expr)
+    seq = tokenize_py(phrase)
+    contents = {r["doc_id"]: r["content"] for r in docs.filter(
+        F.col("doc_id").isin([r["doc_id"] for r in got])).collect()}
+    for r in got:
+        toks = tokenize_py(contents[r["doc_id"]])
+        first = next(i for i in range(len(toks) - len(seq) + 1)
+                     if toks[i:i + len(seq)] == seq)
+        s0 = max(first - 3, 0)
+        want = " ".join(toks[s0:first + len(seq) + 3])
+        assert r["snippet"] == want
+        assert r["matched"] == " ".join(seq)
+    # DSL routing
+    body = {
+        "query": {"match_phrase": {"content": phrase}},
+        "highlight": {"fields": {"content": {}}},
+        "size": 5,
+    }
+    assert rows(compile_search(reader, body, docs=docs)) == rows(
+        reader.highlight_phrase_topk(docs, phrase, 5)
+    )
