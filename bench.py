@@ -488,6 +488,19 @@ def query_stress_run(n_docs: int = 1_000_000, cores: int = None) -> dict:
                 reader, [(0, q), (1, "binary search")], _re_ratings, k=10
             ).collect(),
         )
+        # wildcard = one terms-table scan (vocabulary-sized, tiny next to
+        # postings) + a disjunctive WAND over the expansion; rescore =
+        # pruned top-window job + rid-filtered secondary decode — both
+        # must track candidate/window size, not corpus size
+        from ariadna_spark.operators.ranking import rescore_topk
+
+        timed("wildcard", lambda: reader.wildcard_topk("*earch*", 10).collect())
+        timed(
+            "rescore",
+            lambda: rescore_topk(
+                reader, q, "binary search", window_size=50, k=10
+            ).collect(),
+        )
         from ariadna_spark.sources.segments import delete_by_query
 
         t0 = time.monotonic()
