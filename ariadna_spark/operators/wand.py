@@ -1243,6 +1243,19 @@ class IndexReader:
             return []
         return [r["term"] for r in ranked.collect()]
 
+    def _vocab(self, terms_df: DataFrame) -> DataFrame:
+        """Restrict a terms-table scan to the PRIMARY field's vocabulary.
+        On a multifield store secondary fields' terms are namespaced
+        "<field>:<term>" (analyzed tokens are alnum-only, so ':' can
+        never appear in a bare term); every vocabulary-expansion verb
+        (wildcard/grep expansion, fuzzy, suggest fallback) must exclude
+        them or a pattern could silently match another field's tokens —
+        with the wrong df/avgdl pairing to boot. No-op on single-field
+        stores."""
+        if self.field_stats is None:
+            return terms_df
+        return terms_df.filter(~F.col("term").contains(":"))
+
     def terms_containing(self, needle: str, max_terms: int = 4096) -> list[str] | None:
         """ALL index terms containing `needle` as a substring, across every
         live segment — the vocabulary expansion for index-accelerated regex
@@ -1256,7 +1269,7 @@ class IndexReader:
         if not dirs:
             return []
         rows = (
-            self._read_parquet(dirs, "terms")
+            self._vocab(self._read_parquet(dirs, "terms"))
             .filter(F.col("term").contains(needle))
             .select("term")
             .distinct()
@@ -1338,7 +1351,7 @@ class IndexReader:
         if prefix_len > 0:
             cond = cond & F.col("term").startswith(token[:prefix_len])
         rows = (
-            self._read_parquet(dirs, "terms")
+            self._vocab(self._read_parquet(dirs, "terms"))
             .filter(cond)
             .select("term")
             .distinct()
@@ -1401,7 +1414,7 @@ class IndexReader:
                 c = c & F.col("term").startswith(t[: prefix_len])
             prune = c if prune is None else (prune | c)
         tok_df = self.spark.createDataFrame([(t,) for t in tokens], "tok string")
-        vocab = self._read_parquet(dirs, "terms").filter(prune).select("term").distinct()
+        vocab = self._vocab(self._read_parquet(dirs, "terms")).filter(prune).select("term").distinct()
         join_cond = F.abs(F.length("term") - F.length("tok")) <= max_dist
         if prefix_len > 0:
             join_cond = join_cond & (
@@ -1455,7 +1468,7 @@ class IndexReader:
         if not dirs:
             return empty
         return (
-            self._read_parquet(dirs, "terms")
+            self._vocab(self._read_parquet(dirs, "terms"))
             .filter(F.col("term").startswith(p))
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
@@ -1492,7 +1505,7 @@ class IndexReader:
         if prefix_len > 0:
             cond = cond & F.col("term").startswith(t[:prefix_len])
         return (
-            self._read_parquet(dirs, "terms")
+            self._vocab(self._read_parquet(dirs, "terms"))
             .filter(cond)
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))

@@ -346,3 +346,29 @@ def test_dsl_http_endpoint(spark, docs, tmp_path_factory):
         assert ei.value.code == 400  # non-cursorable body rejected at open
     finally:
         httpd.shutdown()
+
+
+def test_multifield_vocab_expansions_exclude_namespaced_terms(spark, mf_reader):
+    """Vocabulary-expansion verbs on a multifield store must expand over
+    the PRIMARY field's bare terms only — secondary fields' namespaced
+    "<field>:<term>" entries would otherwise match substring/fuzzy
+    patterns with the wrong field's postings and stats."""
+    # the path field's terms are namespaced path:doc / path:txt / ...
+    raw = mf_reader._read_parquet(mf_reader._terms_dirs(), "terms")
+    assert raw.filter(F.col("term").contains(":")).count() > 0  # fixture sanity
+    # infix expansion: 'oc' would hit 'path:doc*' without the vocab guard
+    for needle in ("oc", "doc", "tx"):
+        ts = mf_reader.terms_containing(needle)
+        assert ts is not None and all(":" not in t for t in ts), (needle, ts)
+    # fuzzy expansion: no namespaced variant may enter the vocabulary
+    variants = mf_reader.fuzzy_terms_many(["docs", "merge"], max_dist=2)
+    for tok, vs in variants.items():
+        assert all(":" not in v for v in vs), (tok, vs)
+    # suggesters
+    for r in mf_reader.suggest_terms("do", size=50).collect():
+        assert ":" not in r["term"]
+    for r in mf_reader.suggest_corrections("doc", size=50, max_dist=2).collect():
+        assert ":" not in r["term"]
+    # wildcard rides terms_containing; route it end-to-end
+    out = mf_reader.wildcard_topk("*oc*", 5)
+    out.collect()  # must not throw; expansion excludes path:doc etc.
