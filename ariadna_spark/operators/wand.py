@@ -1323,6 +1323,40 @@ class IndexReader:
             cands = [t for t in cands if t.endswith(core)]
         return self._topk_terms(sorted(cands), k, **kw)
 
+    def regexp_topk(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_terms: int = 4096,
+        **kw,
+    ) -> DataFrame:
+        """ES `regexp` query: the pattern must match the WHOLE term (ES
+        anchoring semantics), matching vocabulary terms expand to a
+        disjunctive BM25 WAND query — each term with its own df/idf,
+        exactly the wildcard/prefix expansion contract. The dialect is
+        Java regex (Spark `rlike`), a superset of the Lucene operators ES
+        exposes; expansions past `max_terms` raise loudly (unselective
+        patterns belong to regex_search, which greps CONTENT rather than
+        ranking by vocabulary match). One primary-field vocabulary scan
+        (self._vocab — namespaced multifield terms excluded)."""
+        dirs = self._terms_dirs()
+        if not dirs:
+            return self.spark.createDataFrame([], WAND_OUT_SCHEMA)
+        rows = (
+            self._vocab(self._read_parquet(dirs, "terms"))
+            .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term")
+            .distinct()
+            .limit(max_terms + 1)
+            .collect()
+        )
+        if len(rows) > max_terms:
+            raise ValueError(
+                f"regexp {pattern!r} expands past {max_terms} vocabulary "
+                "terms; use regex_search for unselective patterns"
+            )
+        return self._topk_terms(sorted(r["term"] for r in rows), k, **kw)
+
     def fuzzy_terms(
         self,
         token: str,

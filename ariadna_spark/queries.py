@@ -4476,6 +4476,41 @@ FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
 )
 
 
+_REGEXP_PAT = "s(can|ort)"
+
+
+def q_regexp_topk(spark, sf_dir) -> DataFrame:
+    """ES `regexp` query (term-level, whole-term anchored; the delegated
+    `_search` surface): the pattern matches against the primary-field
+    vocabulary in ONE terms-table scan ({scan, sort} at the gate sf) and
+    the expansion scores as a disjunctive BM25 WAND query. Oracle
+    replays the anchor with DuckDB regexp_full_match over the df table —
+    Java-regex and RE2 agree on this dialect subset by construction of
+    the gate pattern."""
+    from .query_dsl import compile_search
+
+    reader = _wand_gate_reader(spark, sf_dir)
+    body = {"query": {"regexp": {"content": {"value": _REGEXP_PAT}}}, "size": _WAND_K}
+    return compile_search(reader, body).select(
+        "doc_id", F.round("score", 4).alias("score_r")
+    )
+
+
+SQL_REGEXP_TOPK = (
+    _SQL_PRELUDE
+    + f"""
+, scored AS (
+  SELECT tf.doc_id, sum({_BM25_SCORE_SQL}) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN (SELECT term FROM dfreq WHERE regexp_full_match(term, '{_REGEXP_PAT}'))
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score_r
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {_WAND_K}
+"""
+)
+
+
 _RESCORE_WINDOW = 20
 _RESCORE_RQ = "merge join"
 _RESCORE_RQW = 0.7
@@ -4635,10 +4670,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "function_score": q_function_score,  # r6: field_value_factor rescore
     "rescore_topk": q_rescore_topk,  # r6: window rescore + min_score
     "wildcard": q_wildcard,  # r6: edge-anchored vocabulary expansion
+    "regexp_topk": q_regexp_topk,  # r6: whole-term regexp expansion
     # -- core fulltext surface (cheap, anchor the window) --
     "bm25_flagship": q_bm25_flagship,
     "bm25_queryset": q_bm25_queryset,
-    "posting_intersection": q_posting_intersection,
     "wand_topk": q_wand_topk,
     "search_after": q_search_after,
     "filtered_bm25": q_filtered_bm25,
@@ -4706,6 +4741,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # superseded in-window by match_aggs/es_aggs_dsl (grouping-sets) and
     # its own wand.py code is untouched by the r6 diff
     "facet_counts": q_facet_counts,
+    # rotated out r6 for regexp_topk: r1-green brute-force posting
+    # intersection over tf (stats.py scalar path, unchanged; the INDEXED
+    # posting machinery is gated in-window by wand_topk/phrase/bool)
+    "posting_intersection": q_posting_intersection,
     # rotated out r6 for wildcard: r5 green; its append/tombstone/compact
     # machinery is gated in-window by delete_by_query, update_by_query,
     # snapshot_restore, attach_index and alias_rotation
@@ -4763,6 +4802,7 @@ ORACLES: dict[str, str] = {
     "function_score": SQL_FUNCTION_SCORE,
     "rescore_topk": SQL_RESCORE_TOPK,
     "wildcard": SQL_WILDCARD,
+    "regexp_topk": SQL_REGEXP_TOPK,
     "term_counts": SQL_TERM_COUNTS,
     "doc_stats": SQL_DOC_STATS,
     "corpus_stats": SQL_CORPUS_STATS,

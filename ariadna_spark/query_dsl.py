@@ -715,6 +715,13 @@ def compile_search(
             return reader.wildcard_topk(_as_text(mspec, "wildcard"), k)
         except ValueError as e:  # anchor/selectivity scope -> 400 shape
             raise DslError(str(e))
+    if kind == "regexp":
+        field, mspec = _one_entry(spec, "regexp")
+        _field_or_primary(reader, field, "regexp")
+        try:
+            return reader.regexp_topk(_as_text(mspec, "regexp"), k)
+        except ValueError as e:  # selectivity cap -> 400 shape
+            raise DslError(str(e))
     if kind == "boosting":
         if not isinstance(spec, dict) or not {"positive", "negative"} <= set(spec):
             raise DslError("boosting needs {positive, negative[, negative_boost]}")

@@ -460,3 +460,19 @@ def test_highlight_phrase(spark, docs, reader):
     assert rows(compile_search(reader, body, docs=docs)) == rows(
         reader.highlight_phrase_topk(docs, phrase, 5)
     )
+
+
+def test_regexp_topk(reader):
+    exp = [t for t in (reader.terms_containing("") or [])]  # full vocab? may be None
+    got = reader.regexp_topk("m[ae]rge|join", 10)
+    want = reader._topk_terms(sorted({"merge", "join"} & set(
+        r["term"] for r in reader._vocab(
+            reader._read_parquet(reader._terms_dirs(), "terms")
+        ).select("term").distinct().collect())), 10)
+    assert rows(got) == rows(want)
+    body = {"query": {"regexp": {"content": {"value": "m[ae]rge|join"}}}, "size": 6}
+    assert rows(compile_search(reader, body)) == rows(reader.regexp_topk("m[ae]rge|join", 6))
+    with pytest.raises(ValueError):
+        reader.regexp_topk(".*", 5, max_terms=3)  # unselective is loud
+    # at the tiny test sf the whole vocabulary fits the default cap, so
+    # `.*` compiles; the cap path is pinned by the direct call above

@@ -869,8 +869,8 @@ def test_validate_and_suggest_body_endpoints(service):
     try:
         ok = post("/api/_validate", {"query": {"match": {"content": "merge join"}}})
         assert ok == {"valid": True}
-        bad = post("/api/_validate", {"query": {"regexp": {"content": "m.*"}}})
-        assert bad["valid"] is False and "regexp" in bad["error"]
+        bad = post("/api/_validate", {"query": {"span_term": {"content": "m"}}})
+        assert bad["valid"] is False and "span_term" in bad["error"]
         sg = post("/api/_search", {
             "suggest": {"complete_me": {"prefix": "me", "completion": {"size": 3}}}
         })
