@@ -214,6 +214,7 @@ def build_postings(
     hot: list[str] | None = None,
     hot_df_threshold: int | None = None,
     n_salts: int = 16,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf[, doc_len]) -> compressed posting blocks.
 
@@ -247,13 +248,16 @@ def build_postings(
     # the term string follows as tiebreak so a 64-bit hash collision still
     # sorts each term contiguously and the kernel's boundary detection
     # (term equality) stays exact.
-    # Partition count: decoupled from core count — (term, salt) group sizes
-    # are Zipf-skewed, so tasks must be small relative to a core's share or
-    # the largest groups straggle the stage. 4x parallelism keeps the max
-    # task under ~1/4 of a core's work at test scale; at cluster scale this
-    # is simply spark.sql.shuffle.partitions sized to the data.
+    # Partition count: scale-adaptive. `shuffle_parts` (derived by the
+    # caller from the tf input's on-disk size — see build_index) sizes the
+    # shuffle to the DATA per guide §2.2 (partitions in the 100MB-1GB
+    # range at scale); the fallback floor is 2x parallelism so (term,
+    # salt) Zipf skew can't straggle the stage at test scale. Partition
+    # count never changes block content: a (term, salt) group is wholly
+    # inside one hash partition whatever the count, and block boundaries
+    # restart per group.
     spark = tf.sparkSession
-    n_parts = max(64, spark.sparkContext.defaultParallelism * 4)
+    n_parts = shuffle_parts or max(64, spark.sparkContext.defaultParallelism * 2)
     tid = F.xxhash64("term")
     arranged = salted.repartition(n_parts, tid, F.col("salt")).sortWithinPartitions(
         tid, "term", "salt", "doc_id"

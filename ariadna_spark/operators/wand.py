@@ -1007,7 +1007,25 @@ class IndexReader:
                         m["avgdl"] = m["total_tokens"] / max(m["N"], 1) or 1.0
                 self.field_stats = merged
                 self.primary_field = prim
-        self._schemas: dict = {}
+        # Artifact schemas are fixed by the writer (segments._build_from_tf),
+        # so prefill the per-kind schema cache with static DDL instead of
+        # sniffing parquet footers: a bare spark.read.parquet costs a
+        # one-task footer job per kind, which lands inside the FIRST query's
+        # wall time (cold serve latency) — with the prefill no query ever
+        # pays it.
+        from pyspark.sql.types import StructType
+
+        from .postings import POSTINGS_SCHEMA
+
+        self._schemas: dict = {
+            "blocks": StructType.fromDDL(POSTINGS_SCHEMA),
+            "terms": StructType.fromDDL("term string, df long"),
+            "ngrams": StructType.fromDDL("ng string, term string, df long"),
+            "docmap": StructType.fromDDL(
+                "doc_id long, repo string, path string, commit string, "
+                "lang string, doc_len long, content_sha string"
+            ),
+        }
 
     def _read_parquet(self, dirs: list[str], kind: str) -> DataFrame:
         """Parquet read with a per-reader schema cache: every bare
@@ -2741,9 +2759,24 @@ def multifield_topk(
 
     spark = fields[0][0].spark
     metas: dict[int, tuple[int, float, float]] = {}
-    parts = []
+    # Fields bound to the SAME physical store (same out_dir + live builds —
+    # e.g. one index queried under several boosts) share ONE block scan:
+    # the pruned parquet read, the df window and the tomb union are
+    # identical per store, so replicate the rows with an exploded field-tag
+    # array instead of unioning N identical subtrees (N-1 fewer scans; the
+    # kernel sees exactly the rows the per-field unions produced).
+    groups: dict[tuple, tuple] = {}
+    order: list[tuple] = []
     for fi, (reader, boost) in enumerate(fields):
         metas[fi] = (reader.stats["N"], reader.stats["avgdl"], float(boost))
+        key = (reader.out_dir, tuple(reader.build_ids))
+        if key not in groups:
+            groups[key] = (reader, [])
+            order.append(key)
+        groups[key][1].append(fi)
+    parts = []
+    for key in order:
+        reader, fis = groups[key]
         blocks = reader._blocks_for_terms(terms)
         if blocks is None:
             continue
@@ -2757,7 +2790,11 @@ def multifield_topk(
         tomb = reader._tomb_ranged(range_size)
         if tomb is not None:
             ranged = ranged.unionByName(tomb, allowMissingColumns=True)
-        parts.append(ranged.withColumn("field", F.lit(fi)))
+        parts.append(
+            ranged.withColumn(
+                "field", F.explode(F.array(*[F.lit(fi) for fi in fis]))
+            )
+        )
     if not parts:
         return spark.createDataFrame([], WAND_OUT_SCHEMA)
     ranged = parts[0]

@@ -80,6 +80,17 @@ def _docs_tf(spark: SparkSession, sf_dir: str):
     return docs, tf
 
 
+def _tf_capped(spark: SparkSession, sf_dir: str, cap: int):
+    """tf restricted to doc_id < cap, with the filter applied to the DOCS
+    side BEFORE the tokenize kernel: tf rows are doc-local, so filtering
+    before or after tokenization is row-identical, but Catalyst cannot
+    push a predicate through the opaque mapInArrow boundary — without
+    this the whole corpus is tokenized to keep a few hundred docs
+    (guide §4.1/§6: opaque functions defeat pushdown; do it by hand)."""
+    docs = load_docs(spark, sf_dir).filter(F.col("doc_id") < cap)
+    return term_freqs(docs, use_udf=True)
+
+
 # ---------------------------------------------------------------------------
 # E: fulltext surface
 # ---------------------------------------------------------------------------
@@ -321,12 +332,12 @@ def q_minhash_signatures(spark, sf_dir) -> DataFrame:
     Deterministic cross-engine hash family: h_i(t) = sha256(i || '|' || t),
     minimum taken lexicographically over the doc's distinct terms.
     """
-    _, tf = _docs_tf(spark, sf_dir)
+    tf = _tf_capped(spark, sf_dir, _MINHASH_CAP)
     aggs = [
         F.min(F.sha2(F.concat_ws("|", F.lit(str(i)), F.col("term")), 256)).alias(f"mh{i}")
         for i in _MINHASH_SEEDS
     ]
-    return tf.filter(F.col("doc_id") < _MINHASH_CAP).groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return tf.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 SQL_MINHASH_SIGNATURES = (
@@ -397,8 +408,8 @@ _JACC_T = 0.7
 
 def q_jaccard_pairs(spark, sf_dir) -> DataFrame:
     """Exact n-gram (unigram) Jaccard near-dup pairs among doc_id < cap."""
-    _, tf = _docs_tf(spark, sf_dir)
-    t = tf.filter(F.col("doc_id") < _JACC_CAP).select("doc_id", "term")
+    tf = _tf_capped(spark, sf_dir, _JACC_CAP)
+    t = tf.select("doc_id", "term")
     sizes = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = t.alias("a")
     b = t.alias("b")
@@ -1220,8 +1231,7 @@ def q_near_dup_lsh(spark, sf_dir) -> DataFrame:
     near-dup pipeline) on doc_id < cap."""
     from .operators.dedup import jaccard_verify, lsh_candidate_pairs, minhash_signatures
 
-    _, tf = _docs_tf(spark, sf_dir)
-    t = tf.filter(F.col("doc_id") < _LSH_CAP)
+    t = _tf_capped(spark, sf_dir, _LSH_CAP)
     cand = lsh_candidate_pairs(minhash_signatures(t), n_hashes=8, n_bands=_LSH_BANDS)
     out = jaccard_verify(t, cand, threshold=_LSH_T)
     return out.select("da", "db", F.round("jacc", 4).alias("jacc_r")).orderBy("da", "db")
@@ -3551,8 +3561,8 @@ def q_simhash(spark, sf_dir) -> DataFrame:
     reproduced exactly by the DuckDB oracle (duckdb_simhash_sql)."""
     from .operators.dedup import simhash_signatures
 
-    _, tf = _docs_tf(spark, sf_dir)
-    return simhash_signatures(tf.filter(F.col("doc_id") < _SIMHASH_CAP)).orderBy("doc_id")
+    tf = _tf_capped(spark, sf_dir, _SIMHASH_CAP)
+    return simhash_signatures(tf).orderBy("doc_id")
 
 
 def _sql_simhash() -> str:
@@ -3577,8 +3587,7 @@ def q_simhash_pairs(spark, sf_dir) -> DataFrame:
     dedup pipeline, oracle-paired end to end."""
     from .operators.dedup import simhash_near_pairs, simhash_signatures
 
-    _, tf = _docs_tf(spark, sf_dir)
-    sigs = simhash_signatures(tf.filter(F.col("doc_id") < _SIMHASH_CAP))
+    sigs = simhash_signatures(_tf_capped(spark, sf_dir, _SIMHASH_CAP))
     return simhash_near_pairs(sigs, max_hamming=_SIMHASH_MAXH).orderBy("da", "db")
 
 

@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR task scheduling: the engine overlaps independent jobs from
+        # driver threads (index build phases, python-worker warm-up — guide
+        # §2.6); FIFO would let a 32-task job camp on every slot while a
+        # 2-task map stage waits, serializing exactly the jobs we overlap.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

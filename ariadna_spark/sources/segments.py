@@ -160,6 +160,56 @@ def _trace(label: str, t0: float) -> None:
         print(f"TRACE {label} {time.monotonic() - t0:.1f}s", file=_sys.stderr, flush=True)
 
 
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fire a trivial mapInArrow job so the session's python workers spawn
+    and import numpy/pyarrow NOW, overlapped (FAIR scheduler) with the
+    JVM-side scan+shuffle map stage of the first real kernel job —
+    measured ~2.5s of first-Python-job wall time at local[32] that
+    otherwise lands inside the tokenize stage. Launched from a daemon
+    thread; failures are irrelevant (the real job warms lazily then)."""
+
+    def _k(batches):
+        import numpy  # noqa: F401
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        yield from batches
+
+    try:
+        par = spark.sparkContext.defaultParallelism
+        (
+            spark.range(par)
+            .repartition(par)
+            .mapInArrow(_k, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # noqa: BLE001 — warm-up is best-effort by design
+        pass
+
+
+def _dir_bytes(path: str) -> int:
+    try:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    except OSError:
+        return 0
+
+
+def _postings_shuffle_parts(spark: SparkSession, ckpt_bytes: int) -> int:
+    """Posting-shuffle partition count from the tf checkpoint's on-disk
+    size (guide §2.2: size partitions to the data, not to a constant):
+    parquet-compressed tf expands ~6x in flight, target ~256MB per
+    partition, floored at 2x parallelism so Zipf-skewed (term, salt)
+    groups can't straggle a small stage."""
+    par = spark.sparkContext.defaultParallelism
+    return max(par * 2, min(65536, int(ckpt_bytes * 6) // (256 << 20)))
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -186,6 +236,12 @@ def build_index(
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
+
+    import threading
+
+    threading.Thread(
+        target=_warm_python_workers, args=(spark,), daemon=True
+    ).start()
 
     docs = docs.select(*DOCS_COLUMNS)
     # ensure enough input splits that the tokenize kernel uses the whole
@@ -226,6 +282,7 @@ def build_index(
             bucket_batch=bucket_batch,
             publish=publish,
             fail_after_buckets=fail_after_buckets,
+            shuffle_parts=_postings_shuffle_parts(spark, _dir_bytes(tf_ckpt)),
         )
     finally:
         shutil.rmtree(tf_ckpt, ignore_errors=True)
@@ -282,6 +339,12 @@ def build_multifield_index(
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
+
+    import threading
+
+    threading.Thread(
+        target=_warm_python_workers, args=(spark,), daemon=True
+    ).start()
 
     docs = docs.select(*DOCS_COLUMNS)
     parallelism = spark.sparkContext.defaultParallelism
@@ -359,6 +422,7 @@ def build_multifield_index(
             avgdl_map=avgdl_map,
             ngram_filter=~F.col("term").contains(FIELD_SEP),
             extra_stats={"fields": field_stats, "primary": fields[0]},
+            shuffle_parts=_postings_shuffle_parts(spark, _dir_bytes(tf_ckpt)),
         )
     finally:
         shutil.rmtree(tf_ckpt, ignore_errors=True)
@@ -380,6 +444,7 @@ def _build_from_tf(
     avgdl_map: dict | None = None,
     ngram_filter=None,
     extra_stats: dict | None = None,
+    shuffle_parts: int | None = None,
 ) -> dict:
     """Shared lower half of the build: (doc_id, term, tf, doc_len) rows +
     a docmap -> terms/ngrams/docmap/postings artifacts + manifest. Used by
@@ -396,20 +461,31 @@ def _build_from_tf(
     store = SegmentStore(out_dir)
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
-    if scalars is not None:
-        n_docs, avgdl, total_tokens = scalars
-    else:
-        n_docs, avgdl, total_tokens = corpus_scalars_full(doc_lengths(tf))
+
+    # Corpus scalars are one more full-pass job over tf; run it INSIDE the
+    # thread pool (below) so the dictionary/docmap writes don't serialize
+    # behind it — phases that need (N, avgdl) block on this future, the
+    # others start immediately.
+    def _scalars():
+        if scalars is not None:
+            return scalars
+        t0 = time.monotonic()
+        out = corpus_scalars_full(doc_lengths(tf))
+        _trace("scalars", t0)
+        return out
 
     # term dictionary (df per term) — bucketed like postings so query-time
     # idf lookups prune to one bucket dir + pushed-down term predicate.
-    # persist() is lazy on purpose: the terms-table write materializes it,
-    # a separate count() would be one more fixed-cost job per build.
+    # persist() is lazy on purpose: the first artifact write materializes
+    # it, a separate count() would be one more fixed-cost job per build.
     t0 = time.monotonic()
     dfreq = doc_freqs(tf.select("doc_id", "term", "tf")).persist()
     _trace("dfreq", t0)
-    terms_dir = os.path.join(bdir, "terms")
-    if not os.path.exists(os.path.join(bdir, "_terms.json")):
+
+    def _phase_terms():
+        terms_dir = os.path.join(bdir, "terms")
+        if os.path.exists(os.path.join(bdir, "_terms.json")):
+            return
         t0 = time.monotonic()
         (
             dfreq.withColumn("bucket", term_bucket_expr("term", n_buckets))
@@ -430,7 +506,9 @@ def _build_from_tf(
     # crc32(ngram) so a prefix query prunes to one bucket dir. Sized at
     # ~(NGRAM_MAX - NGRAM_MIN + 1) x vocabulary — term metadata, not
     # postings, so it stays small relative to the index.
-    if not os.path.exists(os.path.join(bdir, "_ngrams.json")):
+    def _phase_ngrams():
+        if os.path.exists(os.path.join(bdir, "_ngrams.json")):
+            return
         t0 = time.monotonic()
         ng_src = dfreq if ngram_filter is None else dfreq.filter(ngram_filter)
         (
@@ -456,8 +534,11 @@ def _build_from_tf(
     # PHYSICALLY PARTITIONED by the (repo, path) key-hash bucket so the
     # streaming-overwrite tombstone join reads only the buckets of a
     # batch's keys (cost proportional to batch size, not corpus size).
-    docmap_dir = os.path.join(bdir, "docmap")
-    if not os.path.exists(os.path.join(bdir, "_docmap.json")):
+    def _phase_docmap():
+        docmap_dir = os.path.join(bdir, "docmap")
+        if os.path.exists(os.path.join(bdir, "_docmap.json")):
+            return
+        n_docs = scalars_fut.result()[0]
         t0 = time.monotonic()
         files_per_bucket = max(1, min(n_docs // 250_000 + 1, 64))
         (
@@ -473,58 +554,80 @@ def _build_from_tf(
         )
         _trace("docmap_write", t0)
 
-    missing = [
-        b for b in range(n_buckets) if not os.path.exists(os.path.join(bdir, f"_bucket_{b}.json"))
-    ]
-    committed = 0
-    if missing:
+    committed_box = [0]
+
+    def _phase_postings():
+        missing = [
+            b
+            for b in range(n_buckets)
+            if not os.path.exists(os.path.join(bdir, f"_bucket_{b}.json"))
+        ]
+        if not missing:
+            return
+        n_docs, avgdl, _ = scalars_fut.result()
         t0 = time.monotonic()
         hot = hot_terms(dfreq, max(block_size * 4, n_docs // 8))
         _trace("hot_terms", t0)
-        t0 = time.monotonic()
         postings = build_postings(
-            tf, n_docs, avgdl_map or avgdl, block_size=block_size, hot=hot, n_salts=n_salts
+            tf,
+            n_docs,
+            avgdl_map or avgdl,
+            block_size=block_size,
+            hot=hot,
+            n_salts=n_salts,
+            shuffle_parts=shuffle_parts,
         ).withColumn("bucket", term_bucket_expr("term", n_buckets))
-        postings.persist()
 
-        # one agg job computes every bucket's lineage metrics
-        metric_rows = (
-            postings.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("blocks"),
-                F.sum("n_docs").alias("postings"),
-                F.sum(
-                    F.length("doc_ids_varint")
-                    + F.length("tfs_varint")
-                    + F.length("dls_varint")
-                    + F.length("pos_varint")
-                ).alias("bytes_compressed"),
-            )
-            .collect()
-        )
-        _trace("postings_metrics", t0)
-        metrics = {
-            int(r["bucket"]): {
-                "blocks": int(r["blocks"]),
-                "postings": int(r["postings"]),
-                "bytes_compressed": int(r["bytes_compressed"]),
-            }
-            for r in metric_rows
-        }
-
-        # batched writes: each batch is one partitionBy job into a staging
-        # dir, then per-bucket atomic rename + marker (idempotent commits;
-        # far fewer jobs than one write per bucket)
+        # batched writes: each batch is ONE shuffle+encode+write job into a
+        # staging dir (repartitioned by bucket so each bucket dir holds a
+        # handful of files, not one per encode task — guide §6 small-files:
+        # fewer files to commit here, fewer footers for every query to
+        # open), then per-bucket atomic rename + marker. Lineage metrics
+        # come from reading the staged blocks back — the compressed blocks
+        # are orders of magnitude smaller than the posting shuffle, so this
+        # replaces the former persist() + separate metrics job (which
+        # materialized the whole posting set into executor memory and then
+        # re-read it once more for the write).
         for i in range(0, len(missing), bucket_batch):
             batch = missing[i : i + bucket_batch]
             t0 = time.monotonic()
             staging = os.path.join(bdir, f"_staging_{uuid.uuid4().hex[:8]}")
             (
                 postings.filter(F.col("bucket").isin(batch))
+                .repartition(F.col("bucket"))
+                .sortWithinPartitions("term", "block_id")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(staging)
             )
+            staged_any = os.path.isdir(staging) and any(
+                d.startswith("bucket=") for d in os.listdir(staging)
+            )
+            metric_rows = (
+                spark.read.parquet(staging)
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("blocks"),
+                    F.sum("n_docs").alias("postings"),
+                    F.sum(
+                        F.length("doc_ids_varint")
+                        + F.length("tfs_varint")
+                        + F.length("dls_varint")
+                        + F.length("pos_varint")
+                    ).alias("bytes_compressed"),
+                )
+                .collect()
+                if staged_any
+                else []
+            )
+            metrics = {
+                int(r["bucket"]): {
+                    "blocks": int(r["blocks"]),
+                    "postings": int(r["postings"]),
+                    "bytes_compressed": int(r["bytes_compressed"]),
+                }
+                for r in metric_rows
+            }
             wall_ms = int((time.monotonic() - t0) * 1000)
             for b in batch:
                 src = os.path.join(staging, f"bucket={b}")
@@ -538,14 +641,41 @@ def _build_from_tf(
                     os.path.join(bdir, f"_bucket_{b}.json"),
                     {"bucket": b, **m, "wall_ms": wall_ms // len(batch)},
                 )
-                committed += 1
+                committed_box[0] += 1
             shutil.rmtree(staging, ignore_errors=True)
             _trace(f"batch_{i}", t0)
-            if fail_after_buckets is not None and committed >= fail_after_buckets:
-                postings.unpersist()
-                dfreq.unpersist()
-                raise RuntimeError(f"injected failure after {committed} buckets")
-        postings.unpersist()
+            if fail_after_buckets is not None and committed_box[0] >= fail_after_buckets:
+                raise RuntimeError(
+                    f"injected failure after {committed_box[0]} buckets"
+                )
+
+    # The four artifacts (postings, terms, ngrams, docmap) are independent
+    # jobs over the shared tf checkpoint / cached dfreq: submit them from a
+    # small thread pool so the light dictionary/docmap writes back-fill the
+    # cluster while the posting shuffle's tail drains (guide §2.6 — actions
+    # are only sequential because driver code calls them sequentially).
+    # Each phase keeps its idempotent marker guard, so resume semantics are
+    # unchanged; exceptions are re-raised after every phase settles.
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            scalars_fut = pool.submit(_scalars)
+            futs = [
+                pool.submit(f)
+                for f in (_phase_postings, _phase_terms, _phase_ngrams, _phase_docmap)
+            ]
+            errs = []
+            for fut in futs:
+                try:
+                    fut.result()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errs.append(e)
+            n_docs, avgdl, total_tokens = scalars_fut.result()
+            if errs:
+                raise errs[0]
+    finally:
+        dfreq.unpersist()
 
     stats = {
         "N": n_docs,
@@ -575,7 +705,6 @@ def _build_from_tf(
     _atomic_write_json(os.path.join(bdir, "manifest.json"), manifest)
     if publish:
         store.publish(build_id)
-    dfreq.unpersist()
     return manifest
 
 
