@@ -303,7 +303,12 @@ def rank_eval(
     -> (query_id, p_at_k, mrr, dcg) per request; a request with no
     relevant docs in its top-k gets zeros (never a dropped row).
 
-    Metrics (ES `_rank_eval` definitions):
+    Metrics (simplified textbook forms — deliberately NOT ES's exact
+    formulas: ES precision divides by the retrieved count min(k, hits)
+    where this divides by constant k, and ES DCG gain is
+    (2^rating - 1) / log2(rank + 1) where this uses linear gain
+    rating / log2(rank + 1); engine and oracle implement the SAME
+    simplified forms, frozen by the declared rank_eval oracle):
       p_at_k = |relevant in top-k| / k     (relevant: rating >= threshold)
       mrr    = 1 / rank of the first relevant hit, else 0
       dcg    = sum(rating / log2(rank + 1)) over the top-k

@@ -855,6 +855,8 @@ def rrf_fuse(
     already happened inside each retriever (block-max WAND, IVF/LSH).
     The union/groupBy here moves a few hundred rows; exactly ES's
     coordinator-node fusion shape."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs >= 1 ranked input")
     fused = None
     for df in ranked:
         part = df.select(

@@ -251,6 +251,10 @@ def compile_query_string(
             tok = tok[1:]
             if not tok:
                 raise DslError("dangling +/- operator")
+            if tok.startswith('"'):
+                # _QS_TOKEN only recognizes phrases at token start, so
+                # -"a b" would otherwise mis-tokenize into bare garbage
+                raise DslError("+/- before a quoted phrase is unsupported")
         if ":" in tok:
             col, _, val = tok.partition(":")
             if col not in FILTERABLE:
@@ -261,11 +265,17 @@ def compile_query_string(
             continue
         m = _re.fullmatch(r"(.+?)~(\d*)", tok)
         if m:
+            if neg or req:
+                # silently dropping the operator would return exactly the
+                # docs a -fuzzy caller asked to exclude
+                raise DslError("fuzzy clauses take no +/-")
             if fuzzy is not None:
                 raise DslError("at most one fuzzy clause supported")
             fuzzy, fuzzy_dist = m.group(1), int(m.group(2) or 1)
             continue
         if tok.endswith("*"):
+            if neg or req:
+                raise DslError("prefix clauses take no +/-")
             if prefix is not None:
                 raise DslError("at most one prefix clause supported")
             prefix = tok[:-1]
@@ -296,6 +306,10 @@ def compile_query_string(
         return reader.bool_topk(
             m_text, s_text, n_text, flt=flt, msm=1 if s_text else 0, k=k, after=after
         )
+    if len(must) > 1:
+        # must-only with several terms is a CONJUNCTION; topk/filtered_topk
+        # are disjunctive OR BM25 and would silently drop the requirement
+        return reader.bool_topk(m_text, flt=flt, k=k, after=after)
     if flt is not None:
         return reader.filtered_topk(m_text, flt, k, after=after)
     return reader.topk(m_text, k, after=after)

@@ -535,8 +535,10 @@ class SearchService:
     def es_rank_eval(self, body: dict) -> dict:
         """POST /api/_rank_eval: {"requests": [{"id": int, "query": str,
         "ratings": [[doc_id, rating], ...]}], "k": int} -> per-request
-        precision@k / MRR / DCG@k. One batched topk_many job for the whole
-        request set; ratings broadcast into the join."""
+        precision@k / MRR / DCG@k. Simplified textbook metric forms, not
+        ES's exact formulas (see operators.ranking.rank_eval: constant-k
+        precision denominator, linear DCG gain). One batched topk_many job
+        for the whole request set; ratings broadcast into the join."""
         reqs = body.get("requests")
         if not isinstance(reqs, list) or not reqs:
             raise ValueError("_rank_eval needs a non-empty requests array")
@@ -622,7 +624,12 @@ class SearchService:
                 raise ValueError(f"queries[{i}]: missing q")
             terms = sorted(set(tokenize_py(str(q["q"]))))
             msm = q.get("msm")
-            qrows.append((int(q.get("id", i)), terms, int(msm) if msm else None))
+            # `if msm` would coerce an explicit msm=0/'0' to None and
+            # silently flip to all-terms AND semantics — reject instead
+            msm = int(msm) if msm is not None else None
+            if msm is not None and msm < 1:
+                raise ValueError(f"queries[{i}]: msm must be >= 1")
+            qrows.append((int(q.get("id", i)), terms, msm))
         ddf = self.spark.createDataFrame(drows, "doc_id long, content string")
         qdf = self.spark.createDataFrame(
             qrows, "query_id long, terms array<string>, msm int"

@@ -118,7 +118,9 @@ def rows(df):
 def test_query_string_routes(reader):
     cases = [
         ("merge join", {}, reader.topk("merge join", 10)),
-        ("+merge +join", {}, reader.topk("merge join", 10)),
+        # must-only with several terms is a conjunction: every must token
+        # is required (was wrongly routed to disjunctive topk pre-r7)
+        ("+merge +join", {}, reader.bool_topk("merge join", k=10)),
         ('"merge join"', {}, reader.phrase_topk("merge join", 10)),
         ("mer*", {}, reader.prefix_topk("mer", 10)),
         ("mrege~2", {}, reader.fuzzy_topk("mrege", 10, max_dist=2)),
@@ -135,13 +137,16 @@ def test_query_string_routes(reader):
         (
             "+merge +join lang:fr",
             {},
-            reader.filtered_topk("merge join", F.col("lang") == "fr", 10),
+            reader.bool_topk("merge join", flt=F.col("lang") == "fr", k=10),
         ),
         (
             "merge join",
             {"default_operator": "and"},
-            reader.topk("merge join", 10),
+            reader.bool_topk("merge join", k=10),
         ),
+        # single must term: conjunction of one == plain match — stays on
+        # the cheaper pruned topk plan
+        ("+merge", {}, reader.topk("merge", 10)),
     ]
     for qs, kw, want in cases:
         assert rows(compile_query_string(reader, qs, **kw)) == rows(want), qs
@@ -149,7 +154,10 @@ def test_query_string_routes(reader):
 
 def test_query_string_errors(reader):
     for bad in ["", "   ", "*", "-only", "+", "lang:fr", '"unterminated',
-                '"a b" extra', "mer* scan", "a~1 b~2", "badcol:x"]:
+                '"a b" extra', "mer* scan", "a~1 b~2", "badcol:x",
+                # +/- on expansion clauses would silently invert/ignore
+                # the operator (r7 ADVICE): loud errors instead
+                "-mer*", "+mer*", "-mrege~1", '-"a b"', '+"a b"']:
         with pytest.raises(DslError):
             compile_query_string(reader, bad)
     with pytest.raises(DslError):
