@@ -170,6 +170,8 @@ def _warm_python_workers(spark: SparkSession) -> None:
 
     def _k(batches):
         import numpy  # noqa: F401
+        import pandas  # noqa: F401 — the query kernels are applyInPandas;
+        # without this the FIRST query pays the pandas import per worker
         import pyarrow  # noqa: F401
         import pyarrow.compute  # noqa: F401
 
@@ -264,6 +266,7 @@ def build_index(
     tf_ckpt = os.path.join(scratch, f"tf_ckpt_{build_id}_{uuid.uuid4().hex[:8]}")
     term_freqs_dl(docs, with_positions=with_positions).write.mode("overwrite").parquet(tf_ckpt)
     tf = spark.read.parquet(tf_ckpt)
+    ckpt_bytes = _dir_bytes(tf_ckpt)
     _trace("tf+scalars", t0)
     dl = doc_lengths(tf)
     docmap_df = docs.join(dl, "doc_id").select(
@@ -282,7 +285,8 @@ def build_index(
             bucket_batch=bucket_batch,
             publish=publish,
             fail_after_buckets=fail_after_buckets,
-            shuffle_parts=_postings_shuffle_parts(spark, _dir_bytes(tf_ckpt)),
+            shuffle_parts=_postings_shuffle_parts(spark, ckpt_bytes),
+            ckpt_bytes=ckpt_bytes,
         )
     finally:
         shutil.rmtree(tf_ckpt, ignore_errors=True)
@@ -358,6 +362,7 @@ def build_multifield_index(
         "overwrite"
     ).parquet(tf_ckpt)
     tf_f = spark.read.parquet(tf_ckpt)
+    ckpt_bytes = _dir_bytes(tf_ckpt)
     _trace("tf_fields", t0)
 
     try:
@@ -422,7 +427,8 @@ def build_multifield_index(
             avgdl_map=avgdl_map,
             ngram_filter=~F.col("term").contains(FIELD_SEP),
             extra_stats={"fields": field_stats, "primary": fields[0]},
-            shuffle_parts=_postings_shuffle_parts(spark, _dir_bytes(tf_ckpt)),
+            shuffle_parts=_postings_shuffle_parts(spark, ckpt_bytes),
+            ckpt_bytes=ckpt_bytes,
         )
     finally:
         shutil.rmtree(tf_ckpt, ignore_errors=True)
@@ -445,6 +451,7 @@ def _build_from_tf(
     ngram_filter=None,
     extra_stats: dict | None = None,
     shuffle_parts: int | None = None,
+    ckpt_bytes: int = 0,
 ) -> dict:
     """Shared lower half of the build: (doc_id, term, tf, doc_len) rows +
     a docmap -> terms/ngrams/docmap/postings artifacts + manifest. Used by
@@ -579,22 +586,37 @@ def _build_from_tf(
         ).withColumn("bucket", term_bucket_expr("term", n_buckets))
 
         # batched writes: each batch is ONE shuffle+encode+write job into a
-        # staging dir (repartitioned by bucket so each bucket dir holds a
-        # handful of files, not one per encode task — guide §6 small-files:
-        # fewer files to commit here, fewer footers for every query to
-        # open), then per-bucket atomic rename + marker. Lineage metrics
-        # come from reading the staged blocks back — the compressed blocks
-        # are orders of magnitude smaller than the posting shuffle, so this
-        # replaces the former persist() + separate metrics job (which
-        # materialized the whole posting set into executor memory and then
-        # re-read it once more for the write).
+        # staging dir, then per-bucket atomic rename + marker. Lineage
+        # metrics come from reading the staged blocks back — the compressed
+        # blocks are orders of magnitude smaller than the posting shuffle,
+        # so this replaces the former persist() + separate metrics job
+        # (which materialized the whole posting set into executor memory
+        # and then re-read it once more for the write).
+        #
+        # File fan-out is scale-adaptive (guide §6: files in a size band,
+        # never one-per-task NOR one-giant-per-bucket): the write
+        # repartitions into ~ckpt_bytes/8MB tasks keyed by (bucket,
+        # term-hash sub-split), floored at one task per bucket. At test
+        # scale that is ONE file per bucket (the r7 small-files win: a
+        # query used to open up to 128 footers per bucket); at 1M+ docs a
+        # bucket splits into several ~10-30MB term-sorted files so the
+        # query-side scan keeps its parallelism and row-group pruning
+        # (a single ~100MB file is one parquet row group = one task).
+        write_parts = max(
+            n_buckets, min(shuffle_parts or 64, int(ckpt_bytes) // (8 << 20))
+        )
+        sub = max(1, write_parts // n_buckets)
         for i in range(0, len(missing), bucket_batch):
             batch = missing[i : i + bucket_batch]
             t0 = time.monotonic()
             staging = os.path.join(bdir, f"_staging_{uuid.uuid4().hex[:8]}")
             (
                 postings.filter(F.col("bucket").isin(batch))
-                .repartition(F.col("bucket"))
+                .repartition(
+                    write_parts,
+                    F.col("bucket"),
+                    F.pmod(F.xxhash64("term"), F.lit(sub)),
+                )
                 .sortWithinPartitions("term", "block_id")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
@@ -1227,8 +1249,17 @@ def compact(
             ngram_filter=~F.col("term").contains(FIELD_SEP),
             extra_stats={"fields": field_stats, "primary": prim_name},
         )
+    ckpt_bytes = _dir_bytes(tf_ckpt)
     manifest = _build_from_tf(
-        spark, tf, docmap, out_dir, build_id=build_id, n_buckets=n_buckets, **mf_kw
+        spark,
+        tf,
+        docmap,
+        out_dir,
+        build_id=build_id,
+        n_buckets=n_buckets,
+        shuffle_parts=_postings_shuffle_parts(spark, ckpt_bytes),
+        ckpt_bytes=ckpt_bytes,
+        **mf_kw,
     )
     store.publish_many([build_id])
     if gc:
