@@ -617,7 +617,11 @@ def _build_from_tf(
                     F.col("bucket"),
                     F.pmod(F.xxhash64("term"), F.lit(sub)),
                 )
-                .sortWithinPartitions("term", "block_id")
+                # leading with the partition column satisfies the dynamic-
+                # partition writer's required ordering, so it keeps THIS
+                # sort instead of re-sorting by bucket (unstably) and
+                # scrambling the term order the row-group stats rely on
+                .sortWithinPartitions("bucket", "term", "block_id")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(staging)

@@ -328,3 +328,57 @@ def test_rank_eval_ratings_broadcast(spark, index_dir):
     )
     plan = physical_plan(rank_eval(reader, [(1, "merge join"), (2, "window scan")], ratings, k=5))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_capped_tf_filter_reaches_docs_scan(spark):
+    """r7: the capped dedup queries (minhash/jaccard/lsh/simhash) filter
+    the DOCS side before the opaque tokenize kernel — the doc_id predicate
+    must sit BELOW the MapInArrow node (pushed to the parquet scan on a
+    fresh read, or a Filter under the kernel when the session has docs
+    cached), because Catalyst cannot push through mapInArrow."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from ariadna_spark import queries as Q
+
+    plan = physical_plan(Q.QUERIES["minhash_signatures"](spark, sf))
+    lines = plan.splitlines()
+    kernel_at = next(i for i, ln in enumerate(lines) if "MapInArrow" in ln)
+    below = "\n".join(lines[kernel_at + 1 :])
+    # formatted plans print parents before children: the cap must appear
+    # below the kernel, not as a post-kernel Filter above it
+    assert "LessThan(doc_id,300)" in below or "doc_id" in below and "< 300" in below, plan
+    above = "\n".join(lines[:kernel_at])
+    assert "< 300" not in above, plan
+
+
+def test_multifield_same_store_single_scan(spark, index_dir):
+    """r7: multifield_topk over N boosts of ONE physical store must scan
+    the posting blocks once (field tags exploded), not once per field."""
+    from ariadna_spark.operators.wand import multifield_topk
+
+    reader = IndexReader(spark, index_dir)
+    plan = physical_plan(
+        multifield_topk([(reader, 1.0), (reader, 2.0)], "merge join", 5)
+    )
+    n_block_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "bucket=" in ln
+    )
+    assert n_block_scans <= 1, plan
+
+
+def test_bucket_files_term_sorted(spark, index_dir):
+    """r7: each posting bucket file is written term-sorted (row-group /
+    page statistics stay tight for the pushed `term IN` filter) and at
+    test scale a bucket holds a SINGLE file, not one per encode task."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    bdirs = glob.glob(os.path.join(index_dir, "builds/p1/bucket=*"))
+    assert bdirs
+    for bd in bdirs:
+        files = glob.glob(os.path.join(bd, "*.parquet"))
+        assert len(files) == 1, (bd, files)
+        terms = pq.read_table(files[0], columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms), bd
