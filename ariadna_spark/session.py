@@ -35,6 +35,19 @@ def get_spark(
         # task overhead dominates at local scale. On a 1000-executor cluster
         # this would be set to ~2-3x total cores instead.
         shuffle_partitions = max(cores * 2, 8)
+    # Preload numpy/pandas/pyarrow in the python-worker DAEMON so forked
+    # workers inherit them copy-on-write (worker_daemon.py): the first
+    # Python-boundary job otherwise pays ~2.5s of parallel imports at
+    # local[32]. Local mode: the JVM (and thus the daemon) inherits this
+    # process's env, so extending PYTHONPATH makes the module importable
+    # by the daemon's fresh interpreter; on a cluster ship the module via
+    # --py-files instead.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -47,6 +60,7 @@ def get_spark(
         # §2.6); FIFO would let a 32-task job camp on every slot while a
         # 2-task map stage waits, serializing exactly the jobs we overlap.
         .config("spark.scheduler.mode", "FAIR")
+        .config("spark.python.daemon.module", "ariadna_spark.worker_daemon")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
