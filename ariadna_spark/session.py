@@ -22,6 +22,53 @@ def _local_dir() -> str:
     return "/tmp"
 
 
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Fire a trivial mapInArrow job so the session's python workers spawn
+    and import numpy/pandas/pyarrow NOW, overlapped (FAIR scheduler) with
+    whatever the driver does next — measured ~2.5s of first-Python-job
+    wall time at local[32] that otherwise lands inside the first real
+    kernel stage. Failures are irrelevant (the real job warms lazily)."""
+
+    def _k(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401 — the query kernels are applyInPandas;
+        # without this the FIRST query pays the pandas import per worker
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+
+        yield from batches
+
+    try:
+        par = spark.sparkContext.defaultParallelism
+        (
+            spark.range(par)
+            .repartition(par)
+            .mapInArrow(_k, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # noqa: BLE001 — warm-up is best-effort by design
+        pass
+
+
+def ensure_workers_warm(spark: SparkSession) -> None:
+    """Start the worker warm-up ONCE per session, from a daemon thread.
+
+    Called at session creation (so the fork+import cost overlaps the
+    driver-side setup that follows — data loading, plan building) and
+    again defensively at index-build entry for sessions constructed
+    elsewhere; the marker makes the second call free."""
+    if getattr(spark, "_ariadna_workers_warmed", False):
+        return
+    spark._ariadna_workers_warmed = True
+    import threading
+
+    threading.Thread(
+        target=_warm_python_workers, args=(spark,), daemon=True
+    ).start()
+
+
 def get_spark(
     app_name: str = "ariadna_spark",
     cores: int | None = None,
@@ -82,4 +129,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_workers_warm(spark)
     return spark

