@@ -83,3 +83,31 @@ def test_sources_build_identical_index(spark, src_docs, tmp_path):
     ra = IndexReader(spark, out_a).topk("binary_search hashMap", 5).collect()
     rb = IndexReader(spark, out_b).topk("binary_search hashMap", 5).collect()
     assert [(r["doc_id"], r["score"]) for r in ra] == [(r["doc_id"], r["score"]) for r in rb]
+
+
+def test_worker_warmup_once_per_session(spark, monkeypatch):
+    """ensure_workers_warm fires its background job exactly once per
+    session: the second call must see the marker and spawn nothing (the
+    warm-up moved to session creation in r7 — a per-build re-fire would
+    waste a job per micro-batch under streaming ingestion)."""
+    import threading
+
+    from ariadna_spark import session as S
+
+    # ensure_workers_warm does `import threading` inside the function, so
+    # patching the module-level Thread intercepts its spawn
+    spawned = []
+
+    class _FakeThread:
+        def __init__(self, *a, **kw):
+            spawned.append(1)
+
+        def start(self):
+            pass
+
+    monkeypatch.setattr(threading, "Thread", _FakeThread)
+    monkeypatch.setattr(spark, "_ariadna_workers_warmed", False, raising=False)
+    S.ensure_workers_warm(spark)
+    S.ensure_workers_warm(spark)
+    assert spawned == [1]
+    assert spark._ariadna_workers_warmed is True
