@@ -40,9 +40,11 @@ def _warm_python_workers(spark: SparkSession) -> None:
 
     try:
         par = spark.sparkContext.defaultParallelism
+        # one row per partition, numPartitions set at the source: par
+        # tasks cover every worker slot in a SINGLE stage (the former
+        # range->repartition shape paid a shuffle for the same coverage)
         (
-            spark.range(par)
-            .repartition(par)
+            spark.range(0, par, 1, par)
             .mapInArrow(_k, "id long")
             .write.format("noop")
             .mode("overwrite")
