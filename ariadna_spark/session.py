@@ -137,6 +137,15 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("ARIADNA_PARQUET_CODEC", "zstd"),
         )
+        # Shuffle/broadcast/spill codec (guide §2.3 "measure both"):
+        # interleaved 1M-doc build A/B on this box, fresh JVM per run —
+        # lz4 286/300s vs zstd 255/230s; the posting shuffle's bytes are
+        # memory traffic here, so the better ratio wins wall time. At
+        # sf0.1 bench scale the codec is latency-neutral (measured).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("ARIADNA_IO_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
