@@ -126,25 +126,26 @@ def get_spark(
         # threads); tmpfs restores flat behavior. On a real cluster this is
         # the executors' local NVMe, which is per-node and scales with N.
         .config("spark.local.dir", _local_dir())
-        # Parquet codec for everything the engine writes (tf checkpoint,
-        # index artifacts, pipeline outputs): zstd is ~30% smaller than
-        # snappy at similar read speed (guide §6), and on this
-        # memory-bandwidth-bound box the byte saving is wall time —
-        # interleaved 1M-doc build A/B: snappy 341/317s vs zstd 219/221s,
-        # artifacts 1082 MB -> 761 MB. At 100 TB the same trade buys
-        # network/disk I/O. Env-overridable for A/B.
+        # Compression codecs: a bandwidth-for-CPU trade, bought only when
+        # per-core bandwidth is the scarce resource (guide §2.3 "measure
+        # both", §6). Measured on this box, interleaved A/B at 1M docs:
+        # parquet snappy 341/317s vs zstd 219/221s (artifacts 1082 MB ->
+        # 761 MB) and shuffle lz4 286/300s vs zstd 255/230s at local[32],
+        # where 32 tasks contend for the memory bus — but at the pinned
+        # local[2] ladder rung (CPU-bound, bandwidth idle) zstd builds are
+        # ~15% SLOWER (217/248 vs 257/278 at 300k docs). So the default
+        # scales with parallelism: heavy codecs from 8 cores up (the
+        # cluster-executor regime, where NIC/disk/memory-bus contention is
+        # the norm), light ones below. Env-overridable for A/B.
         .config(
             "spark.sql.parquet.compression.codec",
-            os.environ.get("ARIADNA_PARQUET_CODEC", "zstd"),
+            os.environ.get(
+                "ARIADNA_PARQUET_CODEC", "zstd" if cores >= 8 else "snappy"
+            ),
         )
-        # Shuffle/broadcast/spill codec (guide §2.3 "measure both"):
-        # interleaved 1M-doc build A/B on this box, fresh JVM per run —
-        # lz4 286/300s vs zstd 255/230s; the posting shuffle's bytes are
-        # memory traffic here, so the better ratio wins wall time. At
-        # sf0.1 bench scale the codec is latency-neutral (measured).
         .config(
             "spark.io.compression.codec",
-            os.environ.get("ARIADNA_IO_CODEC", "zstd"),
+            os.environ.get("ARIADNA_IO_CODEC", "zstd" if cores >= 8 else "lz4"),
         )
     )
     for k, v in (extra_conf or {}).items():
